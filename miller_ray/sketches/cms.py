@@ -1,0 +1,178 @@
+"""Count-Min sketch + heavy-hitters (CMS + candidate heap).
+
+Approximate analogue of Miller's ``most-frequent`` / ``top`` by count and
+``count-distinct -f F`` per-value counts (reference
+``pkg/transformers/most_or_least_frequent.go``, ``uniq.go``): point-count
+overestimates bounded by eps*N with probability 1-delta (Cormode &
+Muthukrishnan 2005).
+
+Rows use Kirsch-Mitzenmacher double hashing ((h1 + i*h2) mod w), updates
+are one ``np.bincount`` per row (vectorized over the whole batch).
+
+``HeavyHitters`` pairs the CMS with a bounded candidate set (the classic
+"CMS + heap" top-k): each partial tracks the locally-frequent values; on
+merge the candidate union is re-scored against the merged CMS and
+truncated. Deterministic tie-break: (-count, value) ascending.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from miller_ray.hashing import hash_pair
+from miller_ray.sketches.base import pack_arrays, unpack_arrays
+
+_TAG = b"CMS1"
+
+
+class CountMinSketch:
+    __slots__ = ("depth", "width", "counts", "n", "seed")
+
+    def __init__(self, eps: float = 1e-4, delta: float = 1e-3, seed: int = 0,
+                 width: int | None = None, depth: int | None = None):
+        self.width = int(width if width is not None else np.ceil(np.e / eps))
+        self.depth = int(depth if depth is not None else np.ceil(np.log(1.0 / delta)))
+        self.counts = np.zeros((self.depth, self.width), dtype=np.int64)
+        self.n = 0  # total weight ingested
+        self.seed = seed
+
+    @property
+    def eps(self) -> float:
+        return np.e / self.width
+
+    def _indices(self, values) -> np.ndarray:
+        h1, h2 = hash_pair(values, seed=self.seed)
+        rows = []
+        w = np.uint64(self.width)
+        with np.errstate(over="ignore"):
+            for i in range(self.depth):
+                rows.append(((h1 + np.uint64(i) * h2) % w).astype(np.int64))
+        return np.stack(rows)  # (depth, batch)
+
+    def update_batch(self, values, weights: np.ndarray | None = None) -> None:
+        idx = self._indices(values)
+        if idx.shape[1] == 0:
+            return
+        if weights is None:
+            for i in range(self.depth):
+                self.counts[i] += np.bincount(idx[i], minlength=self.width)
+            self.n += idx.shape[1]
+        else:
+            w = np.asarray(weights, dtype=np.int64)
+            for i in range(self.depth):
+                self.counts[i] += np.bincount(idx[i], weights=w, minlength=self.width).astype(np.int64)
+            self.n += int(w.sum())
+
+    def query(self, values) -> np.ndarray:
+        """Estimated counts (vector) for a vector of values."""
+        idx = self._indices(values)
+        if idx.shape[1] == 0:
+            return np.zeros(0, dtype=np.int64)
+        est = self.counts[0][idx[0]]
+        for i in range(1, self.depth):
+            est = np.minimum(est, self.counts[i][idx[i]])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.width, other.depth, other.seed) != (self.width, self.depth, self.seed):
+            raise ValueError("CMS shape/seed mismatch")
+        self.counts += other.counts
+        self.n += other.n
+        return self
+
+    def to_bytes(self) -> bytes:
+        return pack_arrays(_TAG, [self.width, self.depth, self.n, self.seed], [self.counts.ravel()])
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountMinSketch":
+        scalars, arrays = unpack_arrays(data, _TAG)
+        obj = cls(width=int(scalars[0]), depth=int(scalars[1]), seed=int(scalars[3]))
+        obj.counts = arrays[0].reshape(obj.depth, obj.width).astype(np.int64)
+        obj.n = int(scalars[2])
+        return obj
+
+
+_HH_TAG = b"CMH1"
+
+
+class HeavyHitters:
+    """Top-k frequent int64 values: CMS + bounded exact candidate counts.
+
+    Candidates are tracked exactly per partial (bincount-style local
+    counts), so a value frequent anywhere stays in some partial's
+    candidate set; the merged CMS re-scores the union. ``slack`` extra
+    candidates guard against locally-light globally-heavy values.
+    """
+
+    __slots__ = ("k", "slack", "cms", "cand_values", "cand_counts")
+
+    def __init__(self, k: int = 50, eps: float = 1e-4, delta: float = 1e-3,
+                 seed: int = 0, slack: int = 8):
+        self.k = k
+        self.slack = slack
+        self.cms = CountMinSketch(eps=eps, delta=delta, seed=seed)
+        self.cand_values = np.zeros(0, dtype=np.int64)
+        self.cand_counts = np.zeros(0, dtype=np.int64)
+
+    def _truncate(self) -> None:
+        cap = self.k * self.slack
+        if self.cand_values.size > cap:
+            order = np.lexsort((self.cand_values, -self.cand_counts))[:cap]
+            order.sort()
+            self.cand_values = self.cand_values[order]
+            self.cand_counts = self.cand_counts[order]
+
+    def update_batch(self, values, weights: np.ndarray | None = None) -> None:
+        vals = np.asarray(values, dtype=np.int64)
+        if vals.size == 0:
+            return
+        self.cms.update_batch(vals, weights=weights)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        if weights is None:
+            cnt = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        else:
+            cnt = np.bincount(inv, weights=np.asarray(weights, dtype=np.float64),
+                              minlength=uniq.size).astype(np.int64)
+        # fold into the running candidate map
+        allv = np.concatenate([self.cand_values, uniq])
+        allc = np.concatenate([self.cand_counts, cnt])
+        mv, minv = np.unique(allv, return_inverse=True)
+        mc = np.bincount(minv, weights=allc.astype(np.float64), minlength=mv.size).astype(np.int64)
+        self.cand_values, self.cand_counts = mv, mc
+        self._truncate()
+
+    def merge(self, other: "HeavyHitters") -> "HeavyHitters":
+        self.cms.merge(other.cms)
+        allv = np.concatenate([self.cand_values, other.cand_values])
+        mv = np.unique(allv)
+        # re-score the candidate union against the merged CMS (upper bound)
+        mc = self.cms.query(mv)
+        self.cand_values, self.cand_counts = mv, mc
+        self._truncate()
+        return self
+
+    def top(self, k: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """(values, estimated_counts), count-desc then value-asc."""
+        k = k or self.k
+        est = self.cms.query(self.cand_values) if self.cand_values.size else self.cand_counts
+        order = np.lexsort((self.cand_values, -est))[:k]
+        return self.cand_values[order], est[order]
+
+    def to_bytes(self) -> bytes:
+        return pack_arrays(
+            _HH_TAG, [self.k, self.slack],
+            [self.cand_values, self.cand_counts]) + self.cms.to_bytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HeavyHitters":
+        # pack_arrays is length-prefixed, so find the CMS tail by parsing
+        scalars, arrays = unpack_arrays(data, _HH_TAG)
+        # re-serialize len: 4 + 4 + 8*2 + 4 + sum(1+len(dtype)+8+nbytes)
+        off = 4 + 4 + 8 * 2 + 4
+        for a in arrays:
+            off += 1 + len(a.dtype.str) + 8 + a.nbytes
+        obj = cls(k=int(scalars[0]), slack=int(scalars[1]))
+        obj.cand_values = arrays[0].astype(np.int64)
+        obj.cand_counts = arrays[1].astype(np.int64)
+        obj.cms = CountMinSketch.from_bytes(data[off:])
+        return obj

@@ -1,0 +1,154 @@
+"""KLL quantile sketch (Karnin, Lang, Liberty 2016, arXiv:1603.05346).
+
+Approximate analogue of Miller's stats1 ``median`` / ``p{0..100}``
+(reference ``pkg/transformers/utils/percentile_keeper.go`` — exact,
+buffer-all) with rank error ~ O(1/k) using O(k log(n/k)) space.
+
+Implementation notes:
+- Levels are numpy float64 arrays; an item at level h has weight 2^h.
+- Level capacities follow c*k*(2/3)^(depth) with a floor of 2.
+- Compaction keeps every other item of the sorted level; the even/odd
+  offset is derived from a deterministic counter (splitmix64 of
+  (seed, compaction_index)) rather than an RNG, so a re-executed Ray
+  block reproduces identical state while the offset sequence remains
+  equidistributed (the property the KLL analysis needs in expectation).
+- Rank/quantile queries sort the weighted item multiset; quantile uses
+  Miller's R-type-1 convention on the weighted CDF so that at small n
+  (sketch in exact mode, nothing compacted) answers equal Miller's
+  exact percentiles bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from miller_ray.hashing import splitmix64
+from miller_ray.sketches.base import pack_arrays, unpack_arrays
+
+_TAG = b"KLL1"
+_C = 2.0 / 3.0
+
+
+class KLL:
+    __slots__ = ("k", "seed", "levels", "n", "_compactions")
+
+    def __init__(self, k: int = 200, seed: int = 0):
+        self.k = int(k)
+        self.seed = seed
+        self.levels: list[np.ndarray] = [np.zeros(0, dtype=np.float64)]
+        self.n = 0
+        self._compactions = 0
+
+    # -- capacity bookkeeping -------------------------------------------
+    def _capacity(self, level: int) -> int:
+        depth = len(self.levels) - 1 - level
+        return max(2, int(np.ceil(self.k * (_C ** depth))))
+
+    def _total_capacity(self) -> int:
+        return sum(self._capacity(h) for h in range(len(self.levels)))
+
+    def _size(self) -> int:
+        return sum(a.size for a in self.levels)
+
+    def _offset(self) -> int:
+        self._compactions += 1
+        h = splitmix64(np.array([self._compactions], dtype=np.uint64), seed=self.seed)
+        return int(h[0] & np.uint64(1))
+
+    def _compress(self) -> None:
+        while self._size() > self._total_capacity():
+            for h in range(len(self.levels)):
+                if self.levels[h].size > self._capacity(h):
+                    buf = np.sort(self.levels[h])
+                    if buf.size % 2 == 1:
+                        # keep one item at this level, compact the even rest
+                        keep, buf = buf[:1], buf[1:]
+                    else:
+                        keep = np.zeros(0, dtype=np.float64)
+                    promoted = buf[self._offset():: 2]
+                    self.levels[h] = keep
+                    if h + 1 == len(self.levels):
+                        self.levels.append(np.zeros(0, dtype=np.float64))
+                    self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+                    break
+            else:
+                break
+
+    # -- updates ---------------------------------------------------------
+    def update_batch(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self.n += v.size
+        cap0 = max(self.k, 8)
+        for start in range(0, v.size, cap0):
+            self.levels[0] = np.concatenate([self.levels[0], v[start : start + cap0]])
+            if self._size() > self._total_capacity():
+                self._compress()
+
+    def merge(self, other: "KLL") -> "KLL":
+        if other.k != self.k:
+            raise ValueError("KLL k mismatch")
+        for h, arr in enumerate(other.levels):
+            while h >= len(self.levels):
+                self.levels.append(np.zeros(0, dtype=np.float64))
+            self.levels[h] = np.concatenate([self.levels[h], arr])
+        self.n += other.n
+        self._compactions = max(self._compactions, other._compactions)
+        self._compress()
+        return self
+
+    # -- queries ---------------------------------------------------------
+    def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = []
+        wts = []
+        for h, arr in enumerate(self.levels):
+            if arr.size:
+                vals.append(arr)
+                wts.append(np.full(arr.size, 1 << h, dtype=np.int64))
+        if not vals:
+            return np.zeros(0), np.zeros(0, dtype=np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, p: float) -> float:
+        """p in [0,100], Miller R-type-1 convention on the weighted CDF:
+        the value whose cumulative weight first exceeds floor(p*W/100)."""
+        v, w = self._weighted_items()
+        if v.size == 0:
+            return float("nan")
+        cw = np.cumsum(w)
+        total = cw[-1]
+        target = int(p * total / 100.0)
+        if target >= total:
+            target = total - 1
+        idx = int(np.searchsorted(cw, target, side="right"))
+        return float(v[min(idx, v.size - 1)])
+
+    def quantiles(self, ps) -> np.ndarray:
+        return np.array([self.quantile(p) for p in ps])
+
+    def rank(self, x: float) -> float:
+        """Estimated fraction of items <= x."""
+        v, w = self._weighted_items()
+        if v.size == 0:
+            return float("nan")
+        idx = np.searchsorted(v, x, side="right")
+        return float(np.sum(w[:idx]) / np.sum(w))
+
+    # -- serialization ---------------------------------------------------
+    def to_bytes(self) -> bytes:
+        return pack_arrays(_TAG, [self.k, self.seed, self.n, self._compactions],
+                           [a for a in self.levels])
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KLL":
+        scalars, arrays = unpack_arrays(data, _TAG)
+        obj = cls(k=int(scalars[0]), seed=int(scalars[1]))
+        obj.n = int(scalars[2])
+        obj._compactions = int(scalars[3])
+        obj.levels = [a.astype(np.float64) for a in arrays] or [np.zeros(0)]
+        return obj
