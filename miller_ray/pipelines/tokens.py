@@ -1,0 +1,105 @@
+"""The north-rule flagship: one streaming pass over a tokens table
+(doc_id, tokens: list<int32>, n_tok, source) building ALL five sketches
+as mergeable UDAFs, plus grouped (per-source) variants with salted
+merge.
+
+Answers, approximately, what Miller answers exactly:
+- HLL(doc_id), HLL per source    <-> ``mlr count-distinct -f doc_id``
+- CMS+heap over flattened tokens <-> ``mlr most-frequent`` / ``top`` by count
+- KLL / t-digest over n_tok      <-> ``mlr stats1 -a p50,p90,p99 -f n_tok``
+- Bloom(doc_id)                  <-> membership pruning for dedup/semi-join
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from miller_ray.engine.udaf import SketchSpec, build_grouped_sketches, build_sketches
+from miller_ray.schema import sf_to_tokens_rows, tokens_parquet_path
+from miller_ray.sketches import BloomFilter, HeavyHitters, HyperLogLog, KLL, TDigest
+
+
+def read_tokens(sf_dir: str, n_rows: int | None = None):
+    """Tokens Dataset for a testdata sf dir (deterministic synthetic,
+    cached as multi-row-group Parquet under /tmp)."""
+    n = n_rows or sf_to_tokens_rows(sf_dir)
+    path = tokens_parquet_path(n)
+    return rd.read_parquet(path)
+
+
+def default_specs(hll_p: int = 14, hh_k: int = 50, kll_k: int = 200,
+                  td_compression: float = 200.0, bloom_capacity: int = 1_000_000):
+    return [
+        SketchSpec.column("hll_doc_id", lambda: HyperLogLog(p=hll_p), "doc_id"),
+        SketchSpec.column("hll_source", lambda: HyperLogLog(p=hll_p), "source"),
+        SketchSpec.flat_list_column("hh_tokens", lambda: HeavyHitters(k=hh_k, eps=1e-4, delta=1e-3), "tokens"),
+        SketchSpec.column("kll_n_tok", lambda: KLL(k=kll_k), "n_tok"),
+        SketchSpec.column("td_n_tok", lambda: TDigest(td_compression), "n_tok"),
+        SketchSpec.flat_list_column("kll_token_values", lambda: KLL(k=kll_k), "tokens"),
+        SketchSpec.column("bloom_doc_id", lambda: BloomFilter(capacity=bloom_capacity, fpp=0.01), "doc_id"),
+    ]
+
+
+def sketch_build(ds, specs=None) -> dict:
+    """ONE pass over ds building every sketch; returns {name: sketch}."""
+    return build_sketches(ds, specs or default_specs())
+
+
+def sketch_summary(ds) -> pd.DataFrame:
+    """Flagship output: one row per (sketch, statistic) estimate."""
+    sk = sketch_build(ds)
+    rows: list[tuple[str, str, float]] = []
+    rows.append(("hll_doc_id", "distinct_count", sk["hll_doc_id"].estimate()))
+    rows.append(("hll_source", "distinct_count", sk["hll_source"].estimate()))
+    tv, tc = sk["hh_tokens"].top(10)
+    for i, (v, c) in enumerate(zip(tv, tc), 1):
+        rows.append(("hh_tokens", f"top{i}_token_{int(v)}", float(c)))
+    for p in (50, 90, 99):
+        rows.append(("kll_n_tok", f"p{p}", sk["kll_n_tok"].quantile(p)))
+        rows.append(("td_n_tok", f"p{p}", sk["td_n_tok"].quantile(p)))
+        rows.append(("kll_token_values", f"p{p}", sk["kll_token_values"].quantile(p)))
+    rows.append(("bloom_doc_id", "estimated_fpp", sk["bloom_doc_id"].estimated_fpp()))
+    return pd.DataFrame(rows, columns=["sketch", "stat", "value"])
+
+
+def grouped_ntok_sketches(ds, hll_p: int = 14, kll_k: int = 200) -> pd.DataFrame:
+    """Per-source sketches with the salted two-level merge: distinct
+    doc_ids (HLL) and n_tok quantiles (KLL) per source."""
+    specs = [
+        SketchSpec.column("hll_doc_id", lambda: HyperLogLog(p=hll_p), "doc_id"),
+        SketchSpec.column("kll_n_tok", lambda: KLL(k=kll_k), "n_tok"),
+    ]
+    pdf = build_grouped_sketches(ds, ["source"], specs)
+    out = pd.DataFrame({
+        "source": pdf["source"],
+        "doc_id_distinct_est": [h.estimate() for h in pdf["hll_doc_id"]],
+        "n_tok_p50_est": [k.quantile(50) for k in pdf["kll_n_tok"]],
+        "n_tok_p90_est": [k.quantile(90) for k in pdf["kll_n_tok"]],
+        "n_tok_p99_est": [k.quantile(99) for k in pdf["kll_n_tok"]],
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def verify_token_arrays(sf_dir: str, n_rows: int | None = None) -> bool:
+    """Per-row invariant vs the reference scan (input_hint): our Dataset
+    scan yields token arrays identical to a plain pyarrow read,
+    row-aligned by doc_id, and n_tok == len(tokens) everywhere."""
+    import pyarrow.parquet as pq
+
+    n = n_rows or sf_to_tokens_rows(sf_dir)
+    path = tokens_parquet_path(n)
+    ref = pq.read_table(path)
+    ours = read_tokens(sf_dir, n_rows=n).to_pandas().sort_values("doc_id")
+    refd = ref.to_pandas().sort_values("doc_id")
+    if not (ours["n_tok"].to_numpy() == ours["tokens"].map(len).to_numpy()).all():
+        return False
+    if len(ours) != len(refd):
+        return False
+    for a, b in zip(ours["tokens"], refd["tokens"]):
+        if not np.array_equal(np.asarray(a), np.asarray(b)):
+            return False
+    return True

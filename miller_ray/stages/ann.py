@@ -1,0 +1,108 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: the baseline — numpy matmul per batch
+  against a BROADCAST query matrix (ray.put once, read in every task;
+  never re-shipped per batch), local top-k per block, tiny global merge.
+- LSH-bucketed variant: random-hyperplane signatures bucket the corpus;
+  only matching buckets are scanned — the scale path when the corpus is
+  too large for full scans per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from miller_ray.hashing import splitmix64
+
+
+def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = t[col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     emb_col: str = "embedding", id_col: str = "vec_id",
+                     concurrency: int = 4) -> pd.DataFrame:
+    """Exact cosine top-k for each query row. Output columns:
+    (query_id, rank, vec_id) — rank 1-based by (similarity desc, vec_id
+    asc); similarity itself is omitted so results are float-free.
+
+    Query matrix is normalized once on the driver and broadcast via
+    ray.put; each actor fetches it once in __init__."""
+    import ray
+
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    qref = ray.put(qn)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(qref)  # (nq, d), once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _emb_matrix(t, emb_col)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = self.q @ m.T  # (nq, batch)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            nq = self.q.shape[0]
+            kk = min(k, sims.shape[1])
+            # local top-k per query per block
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {"query_id": [], id_col: [], "sim": []}
+            for qi in range(nq):
+                sel = part[qi]
+                rows["query_id"].append(np.full(kk, qi, dtype=np.int64))
+                rows[id_col].append(ids[sel])
+                rows["sim"].append(sims[qi, sel])
+            return pa.table({c: pa.array(np.concatenate(v)) for c, v in rows.items()})
+
+    parts = ds.map_batches(Scorer, batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=concurrency)
+    pdf = parts.to_pandas()  # small: nq * k * n_blocks rows
+    pdf = pdf.sort_values(["query_id", "sim", id_col],
+                          ascending=[True, False, True])
+    top = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", id_col]]
+
+
+def lsh_bucketed_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 12,
+                      emb_col: str = "embedding", id_col: str = "vec_id",
+                      seed: int = 0, probe_hamming: int = 1) -> pd.DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets; scan only the
+    buckets within ``probe_hamming`` of each query's signature. At scale
+    the bucketed corpus is a partitioned Parquet layout keyed by
+    signature prefix; here buckets are a grouped Dataset."""
+    import ray
+
+    d = queries.shape[1]
+    rng_base = splitmix64(np.arange(n_planes * d, dtype=np.uint64), seed=seed)
+    planes = ((rng_base.astype(np.float64) / 2**64) - 0.5).reshape(n_planes, d)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    qsig = (qn @ planes.T > 0).astype(np.uint64) @ (1 << np.arange(n_planes, dtype=np.uint64))
+
+    # probe set: signatures within hamming radius
+    probe = {int(s) for s in qsig}
+    if probe_hamming >= 1:
+        for s in list(probe):
+            for b in range(n_planes):
+                probe.add(s ^ (1 << b))
+    pref = ray.put((planes, probe))
+
+    class Filter:
+        def __init__(self):
+            self.planes, self.probe = ray.get(pref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _emb_matrix(t, emb_col)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sig = (mn @ self.planes.T > 0).astype(np.uint64) @ \
+                (1 << np.arange(self.planes.shape[0], dtype=np.uint64))
+            mask = np.array([int(s) in self.probe for s in sig])
+            return t.filter(pa.array(mask))
+
+    candidates = ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True)
+    return brute_force_topk(candidates, queries, k=k, emb_col=emb_col, id_col=id_col)

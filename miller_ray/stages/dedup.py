@@ -1,0 +1,241 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Miller's only dedup is exact whole-record ``uniq -a`` (reference
+``pkg/transformers/uniq.go:392-475``); these generalize it to
+training-data scale:
+
+- exact_dedup: hash-partitioned first-per-group. The shuffle key is a
+  64-bit content hash, NOT the payload, so only (hash, id) pairs move
+  wide; a Bloom pre-pass can prune definitely-unique rows before the
+  shuffle (north-rule Bloom use).
+- minhash_dedup: shingle -> minhash signature -> LSH band buckets ->
+  candidate pairs within buckets -> signature-estimated Jaccard filter
+  -> connected components (union-find over the surviving edge set,
+  which is tiny relative to the corpus).
+- simhash_fingerprints: 64-bit fingerprints + banded buckets for
+  Hamming-radius candidate generation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from miller_ray.hashing import hash64
+from miller_ray.sketches.minhash import MinHash, hamming64, shingle_hashes, simhash_concat
+
+
+def exact_dedup(ds, content_cols: list[str], id_col: str,
+                keep: str = "min"):
+    """Keep one row per distinct content: the one with the min (or max)
+    id. Shuffle key = content hash; collisionful groups are disambiguated
+    inside the group by the real content columns."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = None
+        for c in content_cols:
+            hc = hash64(t[c], seed=17)
+            h = hc if h is None else (h ^ hc)
+        return t.append_column("__h", pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df.groupby(content_cols, sort=False)[id_col].transform(keep)
+        out = df[df[id_col] == idx].drop(columns="__h")
+        return out
+
+    return hashed.groupby("__h").map_groups(first_per_group, batch_format="pandas")
+
+
+def _word_shingles(t: pa.Table, text_col: str, n: int = 3):
+    """(flat shingle hashes, offsets) for each doc in the batch."""
+    words = pc.split_pattern_regex(pc.cast(t[text_col], pa.string()), pattern=r"\s+")
+    flat_words = pc.list_flatten(words)
+    word_h = hash64(flat_words, seed=23)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(t.num_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    sh_list = []
+    sh_offsets = [0]
+    for i in range(t.num_rows):
+        sh = shingle_hashes(word_h[offsets[i]:offsets[i + 1]], n=n)
+        sh_list.append(sh)
+        sh_offsets.append(sh_offsets[-1] + sh.size)
+    flat = np.concatenate(sh_list) if sh_list else np.zeros(0, dtype=np.uint64)
+    return flat, np.array(sh_offsets, dtype=np.int64)
+
+
+def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 128, shingle_n: int = 3, seed: int = 0,
+                       concurrency: int = 4):
+    """Dataset of (id, sig: list<uint64>) — actor pool holds the MinHash
+    permutation table (k x 2 uint64) across batches."""
+
+    class Signer:
+        def __init__(self):
+            self.mh = MinHash(k=k, seed=seed)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, offsets = _word_shingles(t, text_col, n=shingle_n)
+            sigs = self.mh.signatures_concat(flat, offsets)
+            sig_col = pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1).view(np.int64)), k)
+            return pa.table({id_col: t[id_col], "sig": sig_col})
+
+    return ds.map_batches(Signer, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=concurrency)
+
+
+def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 128, bands: int = 16, threshold: float = 0.7,
+                  shingle_n: int = 3, seed: int = 0) -> pd.DataFrame:
+    """Near-dup groups via MinHash-LSH. Returns (id, rep) for every doc
+    in a near-dup cluster of size >= 2, rep = min id in the cluster.
+
+    Pipeline: signatures -> explode to (band, band_hash, id) rows ->
+    groupby band bucket -> candidate pairs -> estimated-Jaccard filter
+    (signature agreement, no second text pass) -> union-find on the
+    surviving edges (driver; edges << corpus)."""
+    mh = MinHash(k=k, seed=seed)
+    sig_ds = minhash_signatures(ds, text_col, id_col, k=k, shingle_n=shingle_n, seed=seed)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sigs = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)).view(np.uint64).reshape(n, k)
+        bh = mh.band_hashes(sigs, bands)  # (n, bands)
+        ids = np.repeat(np.asarray(t[id_col]), bands)
+        band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+        return pa.table({
+            id_col: pa.array(ids),
+            "band": pa.array(band_id),
+            "bh": pa.array(bh.reshape(-1).view(np.int64)),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.repeat(sigs, bands, axis=0).reshape(-1).view(np.int64)), k),
+        })
+
+    exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"a": [], "b": [], "est_j": []})
+        df = df.sort_values(id_col).drop_duplicates(id_col)
+        ids = df[id_col].to_numpy()
+        sigs = np.stack([np.asarray(s, dtype=np.int64).view(np.uint64) for s in df["sig"]])
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            hit = np.flatnonzero(agree >= threshold)
+            for j in hit:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + j])
+                out_j.append(float(agree[j]))
+        return pd.DataFrame({"a": out_a, "b": out_b, "est_j": out_j})
+
+    edge_df = exploded.groupby(["band", "bh"]).map_groups(
+        pairs, batch_format="pandas").to_pandas()
+    edge_df = edge_df.drop_duplicates(["a", "b"])
+
+    # union-find over surviving edges (tiny)
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edge_df["a"], edge_df["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame(rows, columns=[id_col, "rep"])
+
+
+def simhash_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
+                         concurrency: int = 4):
+    """(id, simhash: int64) fingerprints, vectorized per batch."""
+
+    def f(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.cast(t[text_col], pa.string()), pattern=r"\s+")
+        flat = hash64(pc.list_flatten(words), seed=29)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = np.zeros(t.num_rows + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        fp = simhash_concat(flat, offsets)
+        return pa.table({id_col: t[id_col], "simhash": pa.array(fp.view(np.int64))})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=concurrency)
+
+
+def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> pd.DataFrame:
+    """Candidate near-dup pairs by SimHash: bucket on each of 4 16-bit
+    bands (any pair within Hamming<=3 of 64 bits shares at least one
+    exact band by pigeonhole when distance < 4); verify Hamming inside
+    buckets."""
+    fps = simhash_fingerprints(ds, text_col, id_col)
+
+    def explode(t: pa.Table) -> pa.Table:
+        f = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = f.size
+        rows = {id_col: [], "band": [], "key": [], "simhash": []}
+        ids = np.asarray(t[id_col])
+        for b in range(4):
+            rows[id_col].append(ids)
+            rows["band"].append(np.full(n, b, dtype=np.int64))
+            rows["key"].append(((f >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            rows["simhash"].append(f.view(np.int64))
+        return pa.table({c: pa.array(np.concatenate(v)) for c, v in rows.items()})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        df = df.sort_values(id_col).drop_duplicates(id_col)
+        ids = df[id_col].to_numpy()
+        f = df["simhash"].to_numpy().view(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            d = hamming64(f[i + 1:], int(f[i]))
+            for j in np.flatnonzero(d <= max_hamming):
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + j])
+                out_h.append(int(d[j]))
+        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+
+    edges = fps.map_batches(explode, batch_format="pyarrow") \
+               .groupby(["band", "key"]).map_groups(pairs, batch_format="pandas") \
+               .to_pandas()
+    return edges.drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+
+def ngram_jaccard(ds, pairs_df: pd.DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3) -> pd.DataFrame:
+    """Exact n-gram Jaccard for a candidate pair list: broadcast the
+    candidate id set, collect only those docs' shingle sets, score pairs."""
+    import ray
+
+    wanted = set(pairs_df["a"]) | set(pairs_df["b"])
+    ref = ray.put(wanted)
+
+    def collect(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        mask = pa.array([x in w for x in np.asarray(t[id_col])])
+        sub = t.filter(mask)
+        flat, offsets = _word_shingles(sub, text_col, n=shingle_n)
+        sets = [flat[offsets[i]:offsets[i + 1]].tobytes() for i in range(sub.num_rows)]
+        return pa.table({id_col: sub[id_col], "sh": pa.array(sets, type=pa.binary())})
+
+    rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+    shingles = {r[id_col]: np.frombuffer(r["sh"], dtype=np.uint64) for r in rows}
+    out = []
+    for a, b in zip(pairs_df["a"], pairs_df["b"]):
+        sa, sb = set(shingles[a].tolist()), set(shingles[b].tolist())
+        j = len(sa & sb) / max(1, len(sa | sb))
+        out.append((a, b, j))
+    return pd.DataFrame(out, columns=["a", "b", "jaccard"])

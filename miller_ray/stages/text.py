@@ -1,0 +1,136 @@
+"""Text-analysis stages over a documents table (doc_id, text, lang,
+source, ...): tokenization, language-ID heuristics, quality scoring,
+token counting, document fingerprinting.
+
+These are the training-data-pipeline extensions beyond Miller's verb set
+(Miller's closest analogues: ``put`` with string BIFs, ``sub``/``gsub``).
+All stages are vectorized ``map_batches``; the regex/stopword state lives
+in an actor (__init__ once per actor, __call__ per batch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from miller_ray.hashing import hash64
+from miller_ray.schema import VOCAB_SIZE
+
+
+def token_count(ds, text_col: str = "text", out_col: str = "n_tok"):
+    """Whitespace token count, vectorized (split_pattern + list_value_length)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.cast(t[text_col], pa.string()), pattern=r"\s+")
+        return t.append_column(out_col, pc.cast(pc.list_value_length(toks), pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tokenize(ds, text_col: str = "text", out_col: str = "tokens",
+             vocab_size: int = VOCAB_SIZE):
+    """Deterministic hash tokenizer: whitespace words -> hash64 % vocab
+    (int32 ids). Produces the north-rule tokens layout from a documents
+    table. Zero-copy list construction from the flat word array."""
+
+    def f(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t[text_col], pa.string()), pattern=" ")
+        flat = pc.list_flatten(words)
+        offsets = np.zeros(t.num_rows + 1, dtype=np.int64)
+        np.cumsum(pc.list_value_length(words).to_numpy(zero_copy_only=False), out=offsets[1:])
+        ids = (hash64(flat) % np.uint64(vocab_size)).astype(np.int32)
+        toks = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(ids))
+        t = t.append_column(out_col, toks)
+        return t.append_column("n_tok", pa.array(np.diff(offsets).astype(np.int32)))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class QualityScorer:
+    """Actor-pool stage: per-doc quality heuristics (length, punctuation
+    ratio, stopword ratio, mean word length). Stopword set + regexes
+    compiled once per actor."""
+
+    STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for")
+
+    def __init__(self):
+        self.stop = set(self.STOPWORDS)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        n_chars = pc.utf8_length(text)
+        words = pc.split_pattern_regex(text, pattern=r"\s+")
+        n_words = pc.cast(pc.list_value_length(words), pa.float64())
+        # punctuation ratio: chars not alnum/space over total
+        stripped = pc.replace_substring_regex(text, pattern=r"[\w\s]", replacement="")
+        punct = pc.cast(pc.utf8_length(stripped), pa.float64())
+        total = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
+        punct_ratio = pc.divide(punct, total)
+        mean_word_len = pc.divide(pc.cast(n_chars, pa.float64()),
+                                  pc.max_element_wise(n_words, 1.0))
+        # stopword ratio via flat word membership (vectorized is_in)
+        flat = pc.utf8_lower(pc.list_flatten(words))
+        is_stop = pc.cast(pc.is_in(flat, value_set=pa.array(self.STOPWORDS)), pa.float64())
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = np.zeros(t.num_rows + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        stops = np.add.reduceat(is_stop.to_numpy(zero_copy_only=False),
+                                np.minimum(offsets[:-1], max(0, len(flat) - 1))) \
+            if len(flat) else np.zeros(t.num_rows)
+        stops = np.where(lens > 0, stops, 0.0)
+        stop_ratio = stops / np.maximum(lens, 1)
+        t = t.append_column("punct_ratio", punct_ratio)
+        t = t.append_column("mean_word_len", mean_word_len)
+        t = t.append_column("stop_ratio", pa.array(stop_ratio))
+        return t
+
+
+def quality_score(ds, concurrency: int = 4):
+    return ds.map_batches(QualityScorer, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency)
+
+
+def fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
+    """MD5 hex fingerprint of the text (matches DuckDB/SQL ``md5()``)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df[out_col] = [hashlib.md5(s.encode()).hexdigest() for s in df[text_col]]
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def lang_id(ds, text_col: str = "text", out_col: str = "lang_pred"):
+    """Toy n-gram language-ID heuristic: scores per-language marker
+    stopwords; deterministic. (The real model-based stage would be an
+    actor pool loading a fastText-style model — not available in this
+    container; the plumbing is identical.)"""
+    markers = {
+        "en": ["the", "and", "of"],
+        "de": ["der", "und", "die"],
+        "fr": ["le", "et", "les"],
+        "es": ["el", "y", "los"],
+    }
+
+    class Scorer:
+        def __init__(self):
+            self.markers = {k: set(v) for k, v in markers.items()}
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            preds = []
+            for s in df[text_col]:
+                words = set(s.lower().split()[:200])
+                best, best_n = "unknown", 0
+                for lang in sorted(self.markers):
+                    n = len(words & self.markers[lang])
+                    if n > best_n:
+                        best, best_n = lang, n
+                preds.append(best)
+            df[out_col] = preds
+            return df
+
+    return ds.map_batches(Scorer, batch_format="pandas", concurrency=2)

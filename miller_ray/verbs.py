@@ -1,0 +1,758 @@
+"""Miller-semantics verb facade over ray.data.Dataset.
+
+Each function re-expresses one reference verb (file cited per function,
+all under /root/reference/pkg/transformers/) Ray-Data-first: stateless
+per-record verbs are vectorized ``map_batches``; accumulating verbs are
+partial-aggregate + small shuffle (engine.groupby); buffer-all verbs
+(sort, tac) map to Dataset-wide operators.
+
+Divergences from Miller, by design (SURVEY.md §1.6):
+- output row order is undefined unless the verb sorts; callers compare
+  set-wise (the driver's value-hash is order-insensitive).
+- first-seen tie-breaks (mode/antimode/top ties) are replaced by the
+  deterministic total order (count desc / value asc), documented per
+  verb.
+
+Aggregate results are returned as small pandas DataFrames (they are
+O(groups)); record-level verbs return Datasets and keep streaming.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from miller_ray.engine.groupby import grouped_percentiles, grouped_stats
+
+_MOMENT_ACCS = {"count", "null_count", "sum", "mean", "min", "max", "var",
+                "stddev", "meaneb", "skewness", "kurtosis", "minlen", "maxlen"}
+
+
+# ---------------------------------------------------------------------------
+# counting / distinctness  (count.go, uniq.go)
+# ---------------------------------------------------------------------------
+
+def count(ds, group_by: list[str] | None = None, output_name: str = "count") -> pd.DataFrame:
+    """Verb ``count`` (count.go): record count, optionally per group."""
+    if not group_by:
+        return pd.DataFrame({output_name: [ds.count()]})
+    # pre-aggregate per block, then merge: one row per (block, group)
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(group_by).aggregate([([], "count_all")])
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.select_columns(group_by).map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby(group_by).aggregate(Sum("count_all", alias_name=output_name)).to_pandas()
+    out[output_name] = out[output_name].astype(np.int64)
+    return out
+
+
+def count_distinct(ds, fields: list[str], n: bool = False,
+                   output_name: str = "count") -> pd.DataFrame:
+    """Verb ``count-distinct -f fields`` (uniq.go:27-33): count of records
+    per distinct field-combo; ``-n`` -> number of distinct combos."""
+    res = count(ds.select_columns(fields), group_by=fields, output_name=output_name)
+    if n:
+        return pd.DataFrame({output_name: [len(res)]})
+    return res
+
+
+def uniq(ds, fields: list[str], show_counts: bool = False,
+         show_num_distinct: bool = False) -> pd.DataFrame:
+    """Verb ``uniq -g`` (uniq.go:282-366): distinct value combos;
+    ``-c`` adds counts; ``-n`` -> count only. Output order is undefined
+    (Miller: first-seen) — sort by fields for determinism."""
+    res = count(ds.select_columns(fields), group_by=fields)
+    if show_num_distinct:
+        return pd.DataFrame({"count": [len(res)]})
+    res = res.sort_values(fields).reset_index(drop=True)
+    if not show_counts:
+        res = res[fields]
+    return res
+
+
+def count_similar(ds, group_by: list[str], counter_name: str = "count"):
+    """Verb ``count-similar`` (count_similar.go): append the count of
+    records sharing the group key to every record. Two-pass: small
+    grouped count -> broadcast map-side join (no wide shuffle)."""
+    counts = count(ds, group_by=group_by, output_name=counter_name)
+    return _broadcast_join(ds, counts, on=group_by)
+
+
+# ---------------------------------------------------------------------------
+# stats1 / stats2  (stats1.go, stats2.go)
+# ---------------------------------------------------------------------------
+
+def stats1(ds, accs: list[str], fields: list[str],
+           group_by: list[str] | None = None, interpolated: bool = False) -> pd.DataFrame:
+    """Verb ``stats1 -a accs -f fields [-g group]`` (stats1.go:249-338).
+
+    Moment accumulators stream via partial aggregation; percentile
+    accumulators (pNN/median/mad) use the exact per-group sort path
+    (the approximate path is pipelines.sketch_verbs). mode/antimode/
+    distinct_count use a value-counts reduction with the deterministic
+    (count, value) tie-break replacing Miller's first-seen rule.
+    """
+    group_by = group_by or []
+    moment = [a for a in accs if a in _MOMENT_ACCS]
+    pctls = [a for a in accs if a.startswith("p") and a[1:].replace(".", "").isdigit()]
+    extra = [a for a in accs if a in ("median", "mad")]
+    modes = [a for a in accs if a in ("mode", "antimode", "distinct_count")]
+    unknown = set(accs) - set(moment) - set(pctls) - set(extra) - set(modes)
+    if unknown:
+        raise ValueError(f"unsupported stats1 accumulators: {sorted(unknown)}")
+
+    results: list[pd.DataFrame] = []
+    if moment:
+        results.append(grouped_stats(ds, group_by, fields, moment))
+    if pctls or extra:
+        ps = [float(a[1:]) for a in pctls]
+        for f in fields:
+            results.append(grouped_percentiles(ds, group_by, f, ps,
+                                               interpolated=interpolated, extra_accs=extra))
+    if modes:
+        for f in fields:
+            results.append(_value_stats(ds, group_by, f, modes))
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.merge(r, on=group_by) if group_by else pd.concat([out, r], axis=1)
+    # Miller emits fields in (field, acc) request order
+    ordered = list(group_by)
+    for f in fields:
+        for a in accs:
+            col = f"{f}_{a}"
+            if col in out.columns:
+                ordered.append(col)
+    return out[ordered]
+
+
+def _value_stats(ds, group_by: list[str], field: str, modes: list[str]) -> pd.DataFrame:
+    """distinct_count / mode / antimode via a (group, value)-count
+    reduction. Tie-break: highest/lowest count, then smallest value
+    (deterministic; Miller uses first-seen, stats1_accumulators.go:367-405)."""
+    vc = count(ds.select_columns(group_by + [field]), group_by=group_by + [field])
+    keys = group_by or []
+
+    def summarize(df: pd.DataFrame) -> dict:
+        row = {k: df[k].iloc[0] for k in keys}
+        if "distinct_count" in modes:
+            row[f"{field}_distinct_count"] = df[field].nunique()
+        if "mode" in modes:
+            top = df.sort_values(["count", field], ascending=[False, True]).iloc[0]
+            row[f"{field}_mode"] = top[field]
+        if "antimode" in modes:
+            bot = df.sort_values(["count", field], ascending=[True, True]).iloc[0]
+            row[f"{field}_antimode"] = bot[field]
+        return row
+
+    if keys:
+        rows = [summarize(g) for _, g in vc.groupby(keys, sort=False)]
+    else:
+        rows = [summarize(vc)]
+    return pd.DataFrame(rows)
+
+
+def stats2(ds, accs: list[str], field_pairs: list[tuple[str, str]],
+           group_by: list[str] | None = None) -> pd.DataFrame:
+    """Verb ``stats2 -a corr,cov,r2,linreg-ols -f x,y`` (stats2.go:22):
+    bivariate stats from mergeable moment sums."""
+    from miller_ray.engine import exact
+
+    group_by = group_by or []
+    frames = []
+    for x, y in field_pairs:
+        base = grouped_stats(ds, group_by, [x, y],
+                             ["count", "sum", "var"])  # var forces s2 partials
+        # need sumxy: dedicated partial pass
+        sxy = _sum_xy(ds, group_by, x, y)
+        m = base.merge(sxy, on=group_by) if group_by else pd.concat([base, sxy], axis=1)
+        n = m[f"{x}_count"].to_numpy(dtype=np.float64)
+        sumx, sumy = m[f"{x}_sum"].to_numpy(), m[f"{y}_sum"].to_numpy()
+        # recover raw sumx2 from var: sumx2 = var*(n-1) + sumx^2/n
+        sumx2 = m[f"{x}_var"].to_numpy() * (n - 1) + sumx * sumx / n
+        sumy2 = m[f"{y}_var"].to_numpy() * (n - 1) + sumy * sumy / n
+        sumxy = m["__sumxy"].to_numpy()
+        out = m[group_by].copy() if group_by else pd.DataFrame(index=m.index)
+        prefix = f"{x}_{y}_"
+        for a in accs:
+            if a == "cov":
+                out[prefix + "cov"] = exact.finalize_cov(n, sumx, sumy, sumxy)
+            elif a == "corr":
+                out[prefix + "corr"] = exact.finalize_corr(n, sumx, sumx2, sumy, sumy2, sumxy)
+            elif a == "r2":
+                out[prefix + "r2"] = exact.finalize_r2(n, sumx, sumx2, sumy, sumy2, sumxy)
+            elif a == "linreg-ols":
+                mm, bb = exact.finalize_linreg_ols(n, sumx, sumx2, sumxy, sumy)
+                out[prefix + "m"] = mm
+                out[prefix + "b"] = bb
+                out[prefix + "n"] = n.astype(np.int64)
+            else:
+                raise ValueError(f"unsupported stats2 accumulator: {a}")
+        frames.append(out)
+    res = frames[0]
+    for f in frames[1:]:
+        res = res.merge(f, on=group_by) if group_by else pd.concat([res, f], axis=1)
+    return res.reset_index(drop=True)
+
+
+def _sum_xy(ds, group_by: list[str], x: str, y: str) -> pd.DataFrame:
+    keys = group_by or ["__g"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in group_by} if group_by else {
+            "__g": pa.array(np.zeros(t.num_rows, dtype=np.int8))}
+        fx = pc.cast(t[x], pa.float64())
+        fy = pc.cast(t[y], pa.float64())
+        cols["__xy"] = pc.multiply(fx, fy)
+        return pa.table(cols).group_by(keys).aggregate([("__xy", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.select_columns(list(dict.fromkeys(group_by + [x, y]))).map_batches(
+        partial, batch_format="pyarrow")
+    out = parts.groupby(keys).aggregate(Sum("__xy_sum", alias_name="__sumxy")).to_pandas()
+    return out[group_by + ["__sumxy"]] if group_by else out[["__sumxy"]]
+
+
+# ---------------------------------------------------------------------------
+# top / most-frequent / histogram / fraction
+# ---------------------------------------------------------------------------
+
+def top(ds, field: str, n: int = 1, group_by: list[str] | None = None,
+        smallest: bool = False) -> pd.DataFrame:
+    """Verb ``top -n N -f field [-g group]`` (top.go:146-182): the N
+    largest (``-a`` min: smallest) values per group. Output: group keys +
+    ``top_idx`` (1-based) + ``<field>_top``. Ties: value order then
+    arbitrary among equal values (Miller keeps first-seen)."""
+    group_by = group_by or []
+
+    def per_block(t: pa.Table) -> pa.Table:
+        # bounded local top-k per (block, group): keeps the shuffle tiny
+        df = t.select(group_by + [field]).to_pandas()
+        if group_by:
+            g = (df.sort_values(field, ascending=smallest)
+                   .groupby(group_by, sort=False).head(n))
+        else:
+            g = df.sort_values(field, ascending=smallest).head(n)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(per_block, batch_format="pyarrow")
+    pdf = parts.to_pandas()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df.sort_values(field, ascending=smallest).head(n)
+        out = pd.DataFrame({
+            **{k: sel[k].to_numpy() for k in group_by},
+            "top_idx": np.arange(1, len(sel) + 1, dtype=np.int64),
+            f"{field}_top": sel[field].to_numpy(),
+        })
+        return out
+
+    if group_by:
+        return (pdf.groupby(group_by, sort=False, as_index=False)
+                   .apply(finalize, include_groups=True)
+                   .reset_index(drop=True)[group_by + ["top_idx", f"{field}_top"]])
+    return finalize(pdf)
+
+
+def most_frequent(ds, fields: list[str], n: int = 1, descending: bool = True,
+                  output_name: str = "count") -> pd.DataFrame:
+    """Verbs ``most-frequent`` / ``least-frequent``
+    (most_or_least_frequent.go:24-39). Tie-break: count then value asc
+    (Miller: first-seen)."""
+    vc = count(ds.select_columns(fields), group_by=fields, output_name=output_name)
+    vc = vc.sort_values([output_name] + fields,
+                        ascending=[not descending] + [True] * len(fields))
+    return vc.head(n).reset_index(drop=True)
+
+
+def histogram(ds, fields: list[str], lo: float, hi: float, nbins: int = 20) -> pd.DataFrame:
+    """Verb ``histogram --lo --hi --nbins`` (histogram.go:247-266):
+    values in [lo, hi) binned by int((x-lo)*mul); x == hi joins the last
+    bin; values outside are dropped. Output: bin_lo, bin_hi + one count
+    column per field."""
+    mul = nbins / (hi - lo)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {}
+        for f in fields:
+            x = t[f].to_numpy(zero_copy_only=False).astype(np.float64)
+            ok = (x >= lo) & (x < hi)
+            idx = ((x[ok] - lo) * mul).astype(np.int64)
+            counts = np.bincount(idx, minlength=nbins).astype(np.int64)
+            counts[nbins - 1] += int((x == hi).sum())
+            out[f"{f}_count"] = counts
+        out["bin"] = np.arange(nbins, dtype=np.int64)
+        return pa.table(out)
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.select_columns(fields).map_batches(partial, batch_format="pyarrow")
+    merged = parts.groupby("bin").aggregate(
+        *[Sum(f"{f}_count", alias_name=f"{f}_count") for f in fields]).to_pandas()
+    merged = merged.sort_values("bin").reset_index(drop=True)
+    width = (hi - lo) / nbins
+    out = pd.DataFrame({"bin_lo": lo + merged["bin"] * width,
+                        "bin_hi": lo + (merged["bin"] + 1) * width})
+    for f in fields:
+        out[f"{f}_count"] = merged[f"{f}_count"].astype(np.int64)
+    return out
+
+
+def fraction(ds, fields: list[str], group_by: list[str] | None = None,
+             percent: bool = False):
+    """Verb ``fraction -f fields [-g group]`` (fraction.go:44-139):
+    value / per-group column total, appended as <field>_fraction.
+    Two-pass: tiny grouped sums -> broadcast divide (streams)."""
+    group_by = group_by or []
+    sums = grouped_stats(ds, group_by, fields, ["sum"])
+    import ray
+
+    sums_ref = ray.put(sums)
+    mult = 100.0 if percent else 1.0
+    suffix = "_fraction_percent" if percent else "_fraction"
+
+    def divide(t: pa.Table) -> pa.Table:
+        s = ray.get(sums_ref)
+        if group_by:
+            key_df = t.select(group_by).to_pandas()
+            m = key_df.merge(s, on=group_by, how="left")
+            for f in fields:
+                denom = m[f"{f}_sum"].to_numpy()
+                t = t.append_column(f"{f}{suffix}",
+                                    pa.array(t[f].to_numpy(zero_copy_only=False) * mult / denom))
+        else:
+            for f in fields:
+                denom = float(s[f"{f}_sum"].iloc[0])
+                t = t.append_column(f"{f}{suffix}",
+                                    pc.multiply(pc.cast(t[f], pa.float64()), mult / denom))
+        return t
+
+    return ds.map_batches(divide, batch_format="pyarrow")
+
+
+def merge_fields(ds, accs: list[str], in_fields: list[str], out_name: str,
+                 keep_inputs: bool = False):
+    """Verb ``merge-fields -a accs -f fields -o name`` (merge_fields.go:
+    15-30): stats1 accumulators horizontally across fields within each
+    record — a vectorized row-wise reduce, no shuffle at all."""
+
+    def rowwise(t: pa.Table) -> pa.Table:
+        mat = np.column_stack([t[f].to_numpy(zero_copy_only=False).astype(np.float64)
+                               for f in in_fields])
+        if not keep_inputs:
+            t = t.drop_columns([f for f in in_fields if f in t.column_names])
+        for a in accs:
+            if a == "min":
+                vals = np.nanmin(mat, axis=1)
+            elif a == "max":
+                vals = np.nanmax(mat, axis=1)
+            elif a == "sum":
+                vals = np.nansum(mat, axis=1)
+            elif a == "mean":
+                vals = np.nanmean(mat, axis=1)
+            elif a == "count":
+                vals = (~np.isnan(mat)).sum(axis=1).astype(np.int64)
+            else:
+                raise ValueError(f"merge-fields acc not supported: {a}")
+            t = t.append_column(f"{out_name}_{a}", pa.array(vals))
+        return t
+
+    return ds.map_batches(rowwise, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# record-level verbs (map_batches, streaming)
+# ---------------------------------------------------------------------------
+
+def cut(ds, fields: list[str], complement: bool = False):
+    """Verb ``cut -f`` (cut.go): project fields (``-x`` complement)."""
+    if complement:
+        keep = [c for c in ds.schema().names if c not in fields]
+        return ds.select_columns(keep)
+    return ds.select_columns(fields)
+
+
+def rename(ds, mapping: dict[str, str]):
+    """Verb ``rename`` (rename.go): rename columns."""
+    return ds.rename_columns(mapping)
+
+
+def mlr_filter(ds, predicate):
+    """Verb ``filter`` (put_or_filter.go): keep rows where a vectorized
+    Arrow predicate (pa.Table -> BooleanArray) is true."""
+    return ds.map_batches(lambda t: t.filter(predicate(t)), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def put(ds, **columns):
+    """Verb ``put`` for the common assignment case: new columns from
+    vectorized Arrow expressions (pa.Table -> Array)."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        for name, fn in columns.items():
+            arr = fn(t)
+            if name in t.column_names:
+                t = t.set_column(t.column_names.index(name), name, arr)
+            else:
+                t = t.append_column(name, arr)
+        return t
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def head(ds, n: int = 10, group_by: list[str] | None = None):
+    """Verb ``head`` (head.go): first n records (per group with -g).
+    Ungrouped relies on Dataset.limit's backpressure fast-stop —
+    the analogue of Miller's downstream-done protocol."""
+    if not group_by:
+        return ds.limit(n)
+    return ds.groupby(group_by).map_groups(
+        lambda df: df.head(n), batch_format="pandas")
+
+
+def tail(ds, n: int = 10, group_by: list[str] | None = None):
+    """Verb ``tail`` (tail.go): last n records per group."""
+    if not group_by:
+        total = ds.count()
+        # no Dataset-native tail: skip the first total-n rows
+        return _skip_rows(ds, max(0, total - n))
+    return ds.groupby(group_by).map_groups(
+        lambda df: df.tail(n), batch_format="pandas")
+
+
+def _skip_rows(ds, k: int):
+    import ray
+
+    counter_holder = {"seen": 0}
+
+    def skipper(t: pa.Table) -> pa.Table:
+        # NOTE: correctness relies on preserve_order for a true "tail";
+        # used only for small data / conformance, not a scale path.
+        seen = counter_holder["seen"]
+        counter_holder["seen"] = seen + t.num_rows
+        if seen + t.num_rows <= k:
+            return t.slice(0, 0)
+        return t.slice(max(0, k - seen))
+
+    return ds.map_batches(skipper, batch_format="pyarrow", concurrency=1)
+
+
+def sample(ds, k: int, seed: int = 42, group_by: list[str] | None = None) -> pd.DataFrame:
+    """Verb ``sample -k`` (sample.go:186): reservoir sample of k per
+    group. Distributed as a mergeable weighted reservoir: per-block
+    priority = hash-seeded uniform key, global top-k by priority ==
+    uniform k-sample (Efraimidis-Spirakis A-Res with deterministic
+    per-row priorities)."""
+    from miller_ray.hashing import hash64
+
+    group_by = group_by or []
+
+    def prioritize(t: pa.Table) -> pa.Table:
+        # deterministic pseudo-random priority from row content hash
+        h = hash64(pa.array(np.arange(t.num_rows)), seed=seed)
+        first_col = t.column_names[0]
+        base = hash64(t[first_col], seed=seed)
+        pri = (base ^ h).astype(np.float64) / 2**64
+        return t.append_column("__pri", pa.array(pri))
+
+    parts = ds.map_batches(prioritize, batch_format="pyarrow")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if group_by:
+            return pa.Table.from_pandas(
+                df.sort_values("__pri").groupby(group_by, sort=False).head(k),
+                preserve_index=False)
+        return pa.Table.from_pandas(df.nsmallest(k, "__pri"), preserve_index=False)
+
+    pdf = parts.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if group_by:
+        pdf = pdf.sort_values("__pri").groupby(group_by, sort=False).head(k)
+    else:
+        pdf = pdf.nsmallest(k, "__pri")
+    return pdf.drop(columns="__pri").reset_index(drop=True)
+
+
+def decimate(ds, n: int = 10):
+    """Verb ``decimate -n`` (decimate.go): keep every n-th record.
+    Distributed contract: keep a deterministic 1/n of records selected
+    by row-content hash (Miller's is positional; position is not stable
+    under parallel scan)."""
+    from miller_ray.hashing import hash64
+
+    def pick(t: pa.Table) -> pa.Table:
+        h = hash64(t[t.column_names[0]], seed=99)
+        return t.filter(pa.array(h % np.uint64(n) == np.uint64(n - 1)))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fill_down(ds, fields: list[str], group_by: list[str], order_by: str):
+    """Verb ``fill-down -f`` (fill_down.go:112): carry last non-null
+    value forward within a group, ordered by ``order_by`` (Miller uses
+    stream order; distributed needs an explicit order column)."""
+
+    def ffill(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by)
+        df[fields] = df[fields].ffill()
+        return df
+
+    return ds.groupby(group_by).map_groups(ffill, batch_format="pandas")
+
+
+def step(ds, fields: list[str], steppers: list[str], group_by: list[str],
+         order_by: str):
+    """Verb ``step -a delta,shift,rsum,counter`` (step.go:631-712):
+    per-group successive-record functions over an explicit order column."""
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by)
+        for f in fields:
+            for s in steppers:
+                if s == "delta":
+                    df[f"{f}_delta"] = df[f].diff().fillna(0)
+                elif s == "shift" or s == "shift_lag":
+                    df[f"{f}_{s}"] = df[f].shift(1)
+                elif s == "shift_lead":
+                    df[f"{f}_shift_lead"] = df[f].shift(-1)
+                elif s == "rsum":
+                    df[f"{f}_rsum"] = df[f].cumsum()
+                elif s == "counter":
+                    df[f"{f}_counter"] = np.arange(1, len(df) + 1, dtype=np.int64)
+                elif s == "ratio":
+                    df[f"{f}_ratio"] = df[f] / df[f].shift(1)
+                elif s == "from-first":
+                    df[f"{f}_from_first"] = df[f] - df[f].iloc[0]
+                else:
+                    raise ValueError(f"unsupported stepper: {s}")
+        return df
+
+    return ds.groupby(group_by).map_groups(apply, batch_format="pandas")
+
+
+def rank(ds, field: str, group_by: list[str] | None = None,
+         output_name: str | None = None):
+    """Verb ``rank`` (rank.go, EmitRank percentile_keeper.go:88-104):
+    standard competition rank (1,2,2,4) of the field among all records
+    (per group with -g)."""
+    group_by = group_by or []
+    output_name = output_name or f"{field}_rank"
+
+    def rk(df: pd.DataFrame) -> pd.DataFrame:
+        df[output_name] = df[field].rank(method="min").astype(np.int64)
+        return df
+
+    if group_by:
+        return ds.groupby(group_by).map_groups(rk, batch_format="pandas")
+    # global rank: grouped reduction on value counts, then broadcast map
+    vc = count(ds.select_columns([field]), group_by=[field])
+    vc = vc.sort_values(field).reset_index(drop=True)
+    vc[output_name] = (vc["count"].cumsum().shift(1).fillna(0) + 1).astype(np.int64)
+    lookup = vc[[field, output_name]]
+    return _broadcast_join(ds, lookup, on=[field])
+
+
+def sec2gmt(ds, fields: list[str], decimals: int = 0):
+    """Verbs ``sec2gmt`` / ``sec2gmtdate`` (sec2gmt.go): epoch seconds ->
+    ISO-8601 UTC strings, vectorized via Arrow timestamp cast."""
+
+    def conv(t: pa.Table) -> pa.Table:
+        for f in fields:
+            ts = pc.cast(pc.multiply(pc.cast(t[f], pa.float64()), 1_000_000.0),
+                         pa.int64()).cast(pa.timestamp("us"))
+            s = pc.strftime(ts, format="%Y-%m-%dT%H:%M:%SZ")
+            t = t.set_column(t.column_names.index(f), f, s)
+        return t
+
+    return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def seqgen(start: int, stop: int, step_by: int = 1):
+    """Verb ``seqgen`` (seqgen.go:18-20): counter sequence as a Dataset."""
+    import ray.data as rd
+
+    # Miller's seqgen is inclusive of stop
+    n = max(0, (stop - start) // step_by + 1)
+
+    def to_i(t: pa.Table) -> pa.Table:
+        return pa.table({"i": pc.add(pc.multiply(t["id"], step_by), start)})
+
+    return rd.range(n).map_batches(to_i, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# joins  (join.go)
+# ---------------------------------------------------------------------------
+
+def _broadcast_join(ds, small_df: pd.DataFrame, on: list[str], how: str = "left"):
+    """Broadcast-hash-join: ray.put the small side once; pandas merge
+    per batch (the Ray-native replacement for join.go's ingestLeftFile
+    half-streaming hash join, join.go:311-330)."""
+    import ray
+
+    ref = ray.put(small_df)
+
+    class Joiner:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(Joiner, batch_format="pandas", concurrency=4)
+
+
+def join(ds, right, on: list[str], how: str = "inner",
+         right_is_small: bool = True, num_partitions: int = 32):
+    """Verb ``join`` (join.go:311-330). Small right side -> broadcast
+    hash join (actor-pool holds the table once per actor). Large-large
+    -> Ray Dataset.join (hash-partitioned shuffle join)."""
+    if right_is_small:
+        small = right.to_pandas() if not isinstance(right, pd.DataFrame) else right
+        return _broadcast_join(ds, small, on=on, how="inner" if how == "inner" else how)
+    return ds.join(right, join_type=how, num_partitions=num_partitions, on=tuple(on))
+
+
+# ---------------------------------------------------------------------------
+# sort-family  (sort.go, tac.go, shuffle.go)
+# ---------------------------------------------------------------------------
+
+def sort(ds, keys: list[str], descending: list[bool] | bool = False):
+    """Verb ``sort`` (sort.go:56-67): multi-key sort. Miller emits
+    records missing the key last; Arrow sorts nulls last by default."""
+    return ds.sort(keys, descending=descending)
+
+
+def tac(ds, order_col: str):
+    """Verb ``tac`` (tac.go): reverse — needs an explicit order column
+    in a distributed setting."""
+    return ds.sort(order_col, descending=True)
+
+
+def shuffle(ds, seed: int = 42):
+    """Verb ``shuffle`` (shuffle.go): random permutation."""
+    return ds.random_shuffle(seed=seed)
+
+
+def fill_empty(ds, fields: list[str], fill_value: str = "N/A"):
+    """Verb ``fill-empty -v`` (fill_empty.go): replace empty/null string
+    values with the fill string."""
+
+    def fill(t: pa.Table) -> pa.Table:
+        for f in fields:
+            col = t[f]
+            filled = pc.if_else(
+                pc.or_kleene(pc.is_null(col), pc.equal(pc.cast(col, pa.string()), "")),
+                pa.scalar(fill_value), pc.cast(col, pa.string()))
+            t = t.set_column(t.column_names.index(f), f, filled)
+        return t
+
+    return ds.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def case_verb(ds, fields: list[str], how: str = "upper"):
+    """Verb ``case`` (case.go:266): upper/lower/title-case values."""
+    fn = {"upper": pc.utf8_upper, "lower": pc.utf8_lower, "title": pc.utf8_title}[how]
+
+    def conv(t: pa.Table) -> pa.Table:
+        for f in fields:
+            t = t.set_column(t.column_names.index(f), f, fn(pc.cast(t[f], pa.string())))
+        return t
+
+    return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def clean_whitespace(ds, fields: list[str]):
+    """Verb ``clean-whitespace`` (clean_whitespace.go): strip + collapse
+    internal whitespace in values."""
+
+    def conv(t: pa.Table) -> pa.Table:
+        for f in fields:
+            s = pc.utf8_trim_whitespace(pc.cast(t[f], pa.string()))
+            s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+            t = t.set_column(t.column_names.index(f), f, s)
+        return t
+
+    return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sub(ds, fields: list[str], pattern: str, replacement: str, all_matches: bool = False):
+    """Verbs ``sub``/``gsub`` (subs.go): regex substitution on fields."""
+
+    def conv(t: pa.Table) -> pa.Table:
+        for f in fields:
+            s = pc.cast(t[f], pa.string())
+            s = pc.replace_substring_regex(
+                s, pattern=pattern, replacement=replacement,
+                max_replacements=None if all_matches else 1)
+            t = t.set_column(t.column_names.index(f), f, s)
+        return t
+
+    return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def having_fields(ds, at_least: list[str]):
+    """Verb ``having-fields --at-least`` (having_fields.go): with a fixed
+    Arrow schema this filters rows where the fields are non-null."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = None
+        for c in at_least:
+            m = pc.is_valid(t[c])
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sparsify(ds):
+    """Verb ``sparsify`` (sparsify.go): under a fixed Arrow schema,
+    empty strings become nulls (the columnar analogue of dropping
+    empty-valued fields)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for i, c in enumerate(t.column_names):
+            col = t[c]
+            if pa.types.is_string(col.type):
+                t = t.set_column(i, c, pc.if_else(pc.equal(col, ""), pa.nulls(len(col), pa.string()), col))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unsparsify(ds, fill: str = ""):
+    """Verb ``unsparsify`` (unsparsify.go): nulls -> fill string (the
+    union-of-keys across records is the Arrow schema already)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for i, c in enumerate(t.column_names):
+            col = t[c]
+            if pa.types.is_string(col.type):
+                t = t.set_column(i, c, pc.fill_null(col, fill))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def skip_trivial_records(ds):
+    """Verb ``skip-trivial-records`` (skip_trivial_records.go): drop rows
+    where every field is null/empty."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = None
+        for c in t.column_names:
+            col = t[c]
+            m = pc.is_valid(col)
+            if pa.types.is_string(col.type):
+                m = pc.and_(m, pc.not_equal(pc.fill_null(col, ""), ""))
+            mask = m if mask is None else pc.or_(mask, m)
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
