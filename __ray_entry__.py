@@ -1,16 +1,22 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship one-pass 7-sketch build over the
+north-rule tokens table at sf0.001 scale. ``queries()`` exposes one
+callable per implemented operator/pipeline from SURVEY.md §2 (and the
+training-data extensions); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every exactly-SQL-expressible query. Sketch/approximate and
+order-dependent queries intentionally have no oracle entry (driver
+records a rows-only check); their accuracy bounds are pinned in
+``tests/`` instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
+
+Float-column convention: any column produced by multi-step arithmetic is
+rounded to a fixed number of decimals IN BOTH the Ray result and the
+oracle SQL (summation order differs between engines; rounding makes the
+value-hash comparison well-defined). Columns that are raw data values
+(percentiles, top-k, min/max) are left untouched.
 """
 
 from __future__ import annotations
@@ -18,27 +24,582 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for c, d in cols.items():
+        df[c] = df[c].astype(np.float64).round(d)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def q_count_by_group(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.count(_t(sf_dir, "lineitem", ["l_returnflag"]), ["l_returnflag"])
+
+
+def q_count_distinct(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.count_distinct(_t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"]),
+                                ["l_returnflag", "l_linestatus"])
+
+
+def q_count_distinct_n(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.count_distinct(_t(sf_dir, "lineitem", ["l_partkey"]), ["l_partkey"], n=True)
+
+
+def q_uniq_priorities(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.uniq(_t(sf_dir, "orders", ["o_orderpriority"]), ["o_orderpriority"],
+                      show_counts=True)
+
+
+def q_stats1_moments(sf_dir: str):
+    from miller_ray import verbs
+
+    r = verbs.stats1(_t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]),
+                     ["count", "sum", "mean", "min", "max"],
+                     ["l_quantity", "l_extendedprice"], ["l_returnflag"])
+    return _round(r, {"l_quantity_sum": 2, "l_quantity_mean": 6,
+                      "l_extendedprice_sum": 2, "l_extendedprice_mean": 4})
+
+
+def q_stats1_var(sf_dir: str):
+    from miller_ray import verbs
+
+    r = verbs.stats1(_t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
+                     ["var", "stddev", "meaneb"], ["l_quantity"], ["l_returnflag"])
+    return _round(r, {"l_quantity_var": 3, "l_quantity_stddev": 4, "l_quantity_meaneb": 6})
+
+
+def q_stats1_skew_kurt(sf_dir: str):
+    from miller_ray import verbs
+
+    r = verbs.stats1(_t(sf_dir, "lineitem", ["l_returnflag", "l_discount"]),
+                     ["skewness", "kurtosis"], ["l_discount"], ["l_returnflag"])
+    return _round(r, {"l_discount_skewness": 6, "l_discount_kurtosis": 6})
+
+
+def q_stats1_percentiles(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.stats1(_t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]),
+                        ["p25", "p50", "p75", "p90", "p99"],
+                        ["l_extendedprice"], ["l_returnflag"])
+
+
+def q_stats1_median_interp(sf_dir: str):
+    from miller_ray import verbs
+
+    r = verbs.stats1(_t(sf_dir, "lineitem", ["l_linestatus", "l_quantity"]),
+                     ["median"], ["l_quantity"], ["l_linestatus"], interpolated=True)
+    return _round(r, {"l_quantity_median": 6})
+
+
+def q_stats1_distinct_mode(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.stats1(_t(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"]),
+                        ["distinct_count", "mode"], ["o_orderpriority"], ["o_orderstatus"])
+
+
+def q_top3(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.top(_t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]),
+                     "l_extendedprice", n=3, group_by=["l_returnflag"])
+
+
+def q_bottom2_orderkeys(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.top(_t(sf_dir, "orders", ["o_orderpriority", "o_orderkey"]),
+                     "o_orderkey", n=2, group_by=["o_orderpriority"], smallest=True)
+
+
+def q_histogram(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.histogram(_t(sf_dir, "lineitem", ["l_quantity"]), ["l_quantity"],
+                           lo=0.0, hi=50.0, nbins=10)
+
+
+def q_fraction(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    sums = verbs.stats1(ds, ["sum"], ["o_totalprice"], ["o_orderpriority"])
+    total = sums["o_totalprice_sum"].sum()
+    out = sums.rename(columns={"o_totalprice_sum": "group_sum"})
+    out["o_totalprice_fraction"] = out["group_sum"] / total
+    return _round(out[["o_orderpriority", "o_totalprice_fraction"]],
+                  {"o_totalprice_fraction": 6})
+
+
+def q_most_frequent_brand(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.most_frequent(_t(sf_dir, "part", ["p_brand"]), ["p_brand"], n=3)
+
+
+def q_merge_fields(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_tax", "l_discount"])
+    return verbs.merge_fields(ds, ["min", "max", "sum"], ["l_tax", "l_discount"],
+                              "rate", keep_inputs=False)
+
+
+def q_stats2(sf_dir: str):
+    from miller_ray import verbs
+
+    r = verbs.stats2(_t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]),
+                     ["corr", "r2"], [("l_quantity", "l_extendedprice")], ["l_returnflag"])
+    return _round(r, {"l_quantity_l_extendedprice_corr": 6,
+                      "l_quantity_l_extendedprice_r2": 8})
+
+
+def q_join_segment_revenue(sf_dir: str):
+    from miller_ray import verbs
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = verbs.join(_t(sf_dir, "orders", ["o_custkey", "o_totalprice"]), cust,
+                        on=["o_custkey"])
+    r = verbs.stats1(joined, ["count", "sum"], ["o_totalprice"], ["c_mktsegment"])
+    return _round(r, {"o_totalprice_sum": 2})
+
+
+def q_sort_head(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return verbs.head(verbs.sort(ds, ["l_extendedprice"], descending=True), 100)
+
+
+def q_filter_project(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"])
+    ds = verbs.mlr_filter(ds, lambda t: pc.greater(t["l_quantity"], 45.0))
+    return verbs.put(ds, revenue=lambda t: pc.multiply(
+        t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))
+
+
+def q_rank(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+    r = verbs.rank(ds, "l_quantity", group_by=["l_returnflag"])
+    return r.select_columns(["l_orderkey", "l_linenumber", "l_quantity_rank"])
+
+
+def q_count_similar(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return verbs.count_similar(ds, ["c_mktsegment"], counter_name="segment_count")
+
+
+def q_step_delta(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    r = verbs.step(ds, ["value"], ["delta", "rsum"], ["user_id"], "event_id")
+    return r.select_columns(["event_id", "value_delta", "value_rsum"]).to_pandas().pipe(
+        _round, {"value_delta": 6, "value_rsum": 6})
+
+
+def q_sec2gmt(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id"])
+    ds = verbs.put(ds, sec=lambda t: t["event_id"])
+    return verbs.sec2gmt(ds, ["sec"]).select_columns(["event_id", "sec"])
+
+
+def q_case_upper(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    return verbs.case_verb(ds, ["lang"], how="upper")
+
+
+def q_fill_empty(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type"])
+    return verbs.fill_empty(ds, ["event_type"], fill_value="N/A")
+
+
+def q_seqgen(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.seqgen(1, 1000)
+
+
+def q_dedup_exact(sf_dir: str):
+    from miller_ray.stages import dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.exact_dedup(ds, ["text"], "doc_id")
+    return out.select_columns(["doc_id"])
+
+
+def q_lang_counts(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.count(_t(sf_dir, "documents", ["lang"]), ["lang"])
+
+
+def q_token_stats(sf_dir: str):
+    from miller_ray import verbs
+    from miller_ray.stages import text
+
+    ds = text.token_count(_t(sf_dir, "documents", ["lang", "text"]))
+    r = verbs.stats1(ds, ["count", "sum", "mean", "max"], ["n_tok"], ["lang"])
+    return _round(r, {"n_tok_mean": 6, "n_tok_sum": 1, "n_tok_max": 1})
+
+
+def q_fingerprint(sf_dir: str):
+    from miller_ray.stages import text
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return text.fingerprint(ds).select_columns(["doc_id", "fingerprint"])
+
+
+def q_ann_top10(sf_dir: str):
+    import duckdb
+
+    from miller_ray.stages import ann
+
+    con = duckdb.connect()
+    q = con.execute(
+        f"select embedding from '{sf_dir}/embeddings.parquet' where vec_id < 4 order by vec_id"
+    ).df()["embedding"]
+    con.close()
+    queries_m = np.stack(q.to_numpy()).astype(np.float64)
+    return ann.brute_force_topk(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                                queries_m, k=10)
+
+
+# ----- sketch / approximate / non-SQL queries (rows-only checks) -----------
+
+def q_sketch_flagship(sf_dir: str):
+    from miller_ray.pipelines import tokens as T
+
+    return T.sketch_summary(T.read_tokens(sf_dir))
+
+
+def q_sketch_grouped(sf_dir: str):
+    from miller_ray.pipelines import tokens as T
+
+    return T.grouped_ntok_sketches(T.read_tokens(sf_dir))
+
+
+def q_bloom_membership(sf_dir: str):
+    """Build Bloom on even doc_ids, probe odds: zero false negatives by
+    construction; report observed fp stats (deterministic)."""
+    import pyarrow as pa
+
+    from miller_ray.engine.udaf import SketchSpec, build_sketches
+    from miller_ray.pipelines import tokens as T
+    from miller_ray.sketches import BloomFilter
+
+    ds = T.read_tokens(sf_dir)
+
+    def evens(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 20), pa.int64())
+        return t.filter(pc.equal(pc.bit_wise_and(idx, 1), 0))
+
+    even_ds = ds.map_batches(evens, batch_format="pyarrow")
+    sk = build_sketches(even_ds, [SketchSpec.column(
+        "bloom", lambda: BloomFilter(capacity=200_000, fpp=0.01), "doc_id")])
+    bloom = sk["bloom"]
+
+    def probe(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 20), pa.int64())
+        odd = t.filter(pc.equal(pc.bit_wise_and(idx, 1), 1))
+        even = t.filter(pc.equal(pc.bit_wise_and(idx, 1), 0))
+        fp = int(bloom.contains_batch(odd["doc_id"]).sum())
+        fn = int((~bloom.contains_batch(even["doc_id"])).sum())
+        return pa.table({"n_odd": [odd.num_rows], "n_even": [even.num_rows],
+                         "false_pos": [fp], "false_neg": [fn]})
+
+    agg = ds.map_batches(probe, batch_format="pyarrow").to_pandas().sum()
+    return pd.DataFrame({
+        "n_probed": [int(agg["n_odd"])],
+        "false_neg": [int(agg["false_neg"])],
+        "fp_rate_pct_x100": [int(10000 * agg["false_pos"] / max(1, agg["n_odd"]))],
+    })
+
+
+def q_minhash_dedup(sf_dir: str):
+    from miller_ray.stages import dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_dedup(ds, threshold=0.9)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from miller_ray.stages import dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_near_pairs(ds, max_hamming=3)
+
+
+def q_sample_reservoir(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    return verbs.sample(ds, k=5, group_by=["o_orderpriority"])
+
+
+def q_quality_scores(sf_dir: str):
+    from miller_ray import verbs
+    from miller_ray.stages import text
+
+    ds = text.quality_score(_t(sf_dir, "documents", ["source", "text"]))
+    r = verbs.stats1(ds, ["mean"], ["stop_ratio", "mean_word_len"], ["source"])
+    return _round(r, {"stop_ratio_mean": 6, "mean_word_len_mean": 6})
+
+
+def q_multimodal_features(sf_dir: str):
+    import ray.data as rd
+
+    from miller_ray.stages import multimodal
+
+    media = rd.from_arrow(multimodal.make_fake_media_table(200))
+    feats = multimodal.extract_image_features(media, concurrency=2)
+    return feats.to_pandas().assign(
+        f0=lambda d: d["features"].map(lambda v: round(float(v[0]), 6))
+    )[["media_id", "f0"]]
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: one-pass 7-sketch build over the sf0.001 tokens table."""
+    return q_sketch_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "count_by_group": q_count_by_group,
+        "count_distinct": q_count_distinct,
+        "count_distinct_n": q_count_distinct_n,
+        "uniq_priorities": q_uniq_priorities,
+        "stats1_moments": q_stats1_moments,
+        "stats1_var": q_stats1_var,
+        "stats1_skew_kurt": q_stats1_skew_kurt,
+        "stats1_percentiles": q_stats1_percentiles,
+        "stats1_median_interp": q_stats1_median_interp,
+        "stats1_distinct_mode": q_stats1_distinct_mode,
+        "top3": q_top3,
+        "bottom2_orderkeys": q_bottom2_orderkeys,
+        "histogram": q_histogram,
+        "fraction": q_fraction,
+        "most_frequent_brand": q_most_frequent_brand,
+        "merge_fields": q_merge_fields,
+        "stats2": q_stats2,
+        "join_segment_revenue": q_join_segment_revenue,
+        "sort_head": q_sort_head,
+        "filter_project": q_filter_project,
+        "rank": q_rank,
+        "count_similar": q_count_similar,
+        "step_delta": q_step_delta,
+        "sec2gmt": q_sec2gmt,
+        "case_upper": q_case_upper,
+        "fill_empty": q_fill_empty,
+        "seqgen": q_seqgen,
+        "dedup_exact": q_dedup_exact,
+        "lang_counts": q_lang_counts,
+        "token_stats": q_token_stats,
+        "fingerprint": q_fingerprint,
+        "ann_top10": q_ann_top10,
+        # approximate / non-SQL (rows-only checks)
+        "sketch_flagship": q_sketch_flagship,
+        "sketch_grouped": q_sketch_grouped,
+        "bloom_membership": q_bloom_membership,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "sample_reservoir": q_sample_reservoir,
+        "quality_scores": q_quality_scores,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    p_idx = "1 + least(cast(floor({p}*count(*)/100.0) as int), count(*)-1)"
+    return {
+        "count_by_group":
+            "SELECT l_returnflag, count(*) AS count FROM lineitem GROUP BY l_returnflag",
+        "count_distinct":
+            "SELECT l_returnflag, l_linestatus, count(*) AS count FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus",
+        "count_distinct_n":
+            "SELECT count(DISTINCT l_partkey) AS count FROM lineitem",
+        "uniq_priorities":
+            "SELECT o_orderpriority, count(*) AS count FROM orders GROUP BY o_orderpriority",
+        "stats1_moments":
+            "SELECT l_returnflag, "
+            "count(l_quantity) AS l_quantity_count, "
+            "ROUND(sum(l_quantity), 2) AS l_quantity_sum, "
+            "ROUND(avg(l_quantity), 6) AS l_quantity_mean, "
+            "min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max, "
+            "count(l_extendedprice) AS l_extendedprice_count, "
+            "ROUND(sum(l_extendedprice), 2) AS l_extendedprice_sum, "
+            "ROUND(avg(l_extendedprice), 4) AS l_extendedprice_mean, "
+            "min(l_extendedprice) AS l_extendedprice_min, "
+            "max(l_extendedprice) AS l_extendedprice_max "
+            "FROM lineitem GROUP BY l_returnflag",
+        "stats1_var":
+            "SELECT l_returnflag, ROUND(var_samp(l_quantity), 3) AS l_quantity_var, "
+            "ROUND(stddev_samp(l_quantity), 4) AS l_quantity_stddev, "
+            "ROUND(sqrt(var_samp(l_quantity)/count(l_quantity)), 6) AS l_quantity_meaneb "
+            "FROM lineitem GROUP BY l_returnflag",
+        "stats1_skew_kurt":
+            # Miller's formulas via raw power sums (NOT duckdb's skewness()):
+            # skew = [(s3 - m*(3*s2 - 2*n*m^2))/n] / [((s2 - n*m^2)/(n-1))^1.5]
+            # kurt = [(s4 - m*(4*s3 - m*(6*s2 - 3*n*m^2)))/n] / [((s2-n*m^2)/n)^2] - 3
+            "WITH s AS (SELECT l_returnflag, count(*)::DOUBLE AS n, "
+            "sum(l_discount) AS s1, sum(l_discount*l_discount) AS s2, "
+            "sum(l_discount*l_discount*l_discount) AS s3, "
+            "sum(l_discount*l_discount*l_discount*l_discount) AS s4 "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, "
+            "ROUND(((s3 - (s1/n)*(3*s2 - 2*n*(s1/n)*(s1/n)))/n) / "
+            "  POW((s2 - n*(s1/n)*(s1/n))/(n-1), 1.5), 6) AS l_discount_skewness, "
+            "ROUND(((s4 - (s1/n)*(4*s3 - (s1/n)*(6*s2 - 3*n*(s1/n)*(s1/n))))/n) / "
+            "  POW((s2 - n*(s1/n)*(s1/n))/n, 2) - 3.0, 6) AS l_discount_kurtosis "
+            "FROM s",
+        "stats1_percentiles":
+            "SELECT l_returnflag, "
+            + ", ".join(
+                f"(list_sort(list(l_extendedprice)))[{p_idx.format(p=p)}] "
+                f"AS l_extendedprice_p{p}" for p in (25, 50, 75, 90, 99))
+            + " FROM lineitem GROUP BY l_returnflag",
+        "stats1_median_interp":
+            "SELECT l_linestatus, ROUND(quantile_cont(l_quantity, 0.5), 6) "
+            "AS l_quantity_median FROM lineitem GROUP BY l_linestatus",
+        "stats1_distinct_mode":
+            "SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS "
+            "o_orderpriority_distinct_count, "
+            "(SELECT p FROM (SELECT o_orderpriority p, count(*) c FROM orders o2 "
+            " WHERE o2.o_orderstatus = o.o_orderstatus GROUP BY 1 "
+            " ORDER BY c DESC, p LIMIT 1)) AS o_orderpriority_mode "
+            "FROM orders o GROUP BY o_orderstatus",
+        "top3":
+            "SELECT l_returnflag, CAST(row_number() OVER "
+            "(PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS BIGINT) AS top_idx, "
+            "l_extendedprice AS l_extendedprice_top FROM lineitem QUALIFY top_idx <= 3",
+        "bottom2_orderkeys":
+            "SELECT o_orderpriority, CAST(row_number() OVER "
+            "(PARTITION BY o_orderpriority ORDER BY o_orderkey ASC) AS BIGINT) AS top_idx, "
+            "o_orderkey AS o_orderkey_top FROM orders QUALIFY top_idx <= 2",
+        "histogram":
+            "WITH bins AS (SELECT CAST(range AS BIGINT) b FROM range(0, 10)), "
+            "c AS (SELECT least(cast(floor(l_quantity/5.0) as BIGINT), 9) b, "
+            "count(*) n FROM lineitem WHERE l_quantity >= 0 AND l_quantity <= 50 GROUP BY 1) "
+            "SELECT bins.b*5.0 AS bin_lo, (bins.b+1)*5.0 AS bin_hi, "
+            "COALESCE(c.n, 0) AS l_quantity_count FROM bins LEFT JOIN c ON bins.b = c.b",
+        "fraction":
+            "SELECT o_orderpriority, ROUND(sum(o_totalprice) / "
+            "(SELECT sum(o_totalprice) FROM orders), 6) AS o_totalprice_fraction "
+            "FROM orders GROUP BY o_orderpriority",
+        "most_frequent_brand":
+            "SELECT p_brand, count(*) AS count FROM part GROUP BY p_brand "
+            "ORDER BY count DESC, p_brand LIMIT 3",
+        "merge_fields":
+            "SELECT l_orderkey, l_linenumber, "
+            "least(l_tax, l_discount) AS rate_min, "
+            "greatest(l_tax, l_discount) AS rate_max, "
+            "l_tax + l_discount AS rate_sum FROM lineitem",
+        "stats2":
+            "SELECT l_returnflag, "
+            "ROUND(corr(l_quantity, l_extendedprice), 6) AS l_quantity_l_extendedprice_corr, "
+            "ROUND(POW(corr(l_quantity, l_extendedprice), 2), 8) "
+            "AS l_quantity_l_extendedprice_r2 "
+            "FROM lineitem GROUP BY l_returnflag",
+        "join_segment_revenue":
+            "SELECT c_mktsegment, count(o_totalprice) AS o_totalprice_count, "
+            "ROUND(sum(o_totalprice), 2) AS o_totalprice_sum "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+        "sort_head":
+            "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+            "ORDER BY l_extendedprice DESC LIMIT 100",
+        "filter_project":
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, "
+            "l_extendedprice * (1.0 - l_discount) AS revenue "
+            "FROM lineitem WHERE l_quantity > 45.0",
+        "rank":
+            "SELECT l_orderkey, l_linenumber, CAST(rank() OVER "
+            "(PARTITION BY l_returnflag ORDER BY l_quantity) AS BIGINT) AS l_quantity_rank "
+            "FROM lineitem",
+        "count_similar":
+            "SELECT c_custkey, c_mktsegment, CAST(count(*) OVER "
+            "(PARTITION BY c_mktsegment) AS BIGINT) AS segment_count FROM customer",
+        "step_delta":
+            "SELECT event_id, "
+            "ROUND(COALESCE(value - lag(value) OVER w, 0), 6) AS value_delta, "
+            "ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS UNBOUNDED PRECEDING), 6) AS value_rsum "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)",
+        "sec2gmt":
+            "SELECT event_id, strftime(epoch_ms(event_id * 1000), "
+            "'%Y-%m-%dT%H:%M:%SZ') AS sec FROM events",
+        "case_upper":
+            "SELECT doc_id, upper(lang) AS lang FROM documents",
+        "fill_empty":
+            "SELECT event_id, CASE WHEN event_type IS NULL OR event_type = '' "
+            "THEN 'N/A' ELSE event_type END AS event_type FROM events",
+        "seqgen":
+            "SELECT CAST(range AS BIGINT) AS i FROM range(1, 1001)",
+        "dedup_exact":
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "lang_counts":
+            "SELECT lang, count(*) AS count FROM documents GROUP BY lang",
+        "token_stats":
+            "WITH t AS (SELECT lang, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) "
+            "AS n_tok FROM documents) "
+            "SELECT lang, count(n_tok) AS n_tok_count, ROUND(sum(n_tok), 1) AS n_tok_sum, "
+            "ROUND(avg(n_tok), 6) AS n_tok_mean, ROUND(max(n_tok), 1) AS n_tok_max "
+            "FROM t GROUP BY lang",
+        "fingerprint":
+            "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "ann_top10":
+            "WITH q AS (SELECT vec_id AS query_id, embedding e FROM embeddings "
+            "WHERE vec_id < 4) "
+            "SELECT q.query_id, CAST(row_number() OVER (PARTITION BY q.query_id "
+            "ORDER BY list_cosine_similarity(v.embedding, q.e) DESC, v.vec_id) AS BIGINT) "
+            "AS rank, v.vec_id FROM embeddings v CROSS JOIN q QUALIFY rank <= 10",
+    }

@@ -565,8 +565,9 @@ def sec2gmt(ds, fields: list[str], decimals: int = 0):
 
     def conv(t: pa.Table) -> pa.Table:
         for f in fields:
-            ts = pc.cast(pc.multiply(pc.cast(t[f], pa.float64()), 1_000_000.0),
-                         pa.int64()).cast(pa.timestamp("us"))
+            # cast to second precision: %S on timestamp[us] renders
+            # fractional seconds, which Miller's sec2gmt does not
+            ts = pc.cast(pc.cast(t[f], pa.int64()), pa.timestamp("s"))
             s = pc.strftime(ts, format="%Y-%m-%dT%H:%M:%SZ")
             t = t.set_column(t.column_names.index(f), f, s)
         return t
