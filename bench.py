@@ -1,0 +1,170 @@
+"""Benchmark harness (driver-run, per-round).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the flagship sketch-build twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency (the sandbox stand-in for the
+north rule's N vs 4N cluster-size criterion; see BASELINE.md).
+
+This script OWNS its Ray session (unlike __ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _init_ray(num_cpus: int) -> None:
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level=logging.ERROR, log_to_driver=False)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.print_on_execution_start = False
+
+
+# ---------------------------------------------------------------------------
+# headline pipelines (a representative slice of __ray_entry__.queries())
+# ---------------------------------------------------------------------------
+
+def _bench_queries(sf_dir: str) -> dict[str, callable]:
+    import __ray_entry__ as E
+
+    q = E.queries()
+    names = [
+        "sketch_flagship",      # north rule: one-pass 7-sketch build
+        "sketch_grouped",       # per-source salted two-level merge
+        "stats1_moments",
+        "stats1_percentiles",
+        "count_distinct_n",
+        "top3",
+        "sort_head",
+        "join_segment_revenue",
+        "token_stats",
+        "dedup_exact",
+    ]
+    return {n: (lambda f=q[n]: f(sf_dir)) for n in names}
+
+
+def _consume(result) -> int:
+    """Force execution; return row count."""
+    try:
+        import ray.data
+
+        if isinstance(result, ray.data.Dataset):
+            return result.count()
+    except Exception:
+        pass
+    return len(result)
+
+
+def _flagship_rows(sf_dir: str) -> int:
+    from miller_ray.schema import sf_to_tokens_rows
+
+    return sf_to_tokens_rows(sf_dir)
+
+
+def run_bench(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dict:
+    _init_ray(num_cpus)
+    # warm the tokens-table cache OUTSIDE the timed region
+    from miller_ray.schema import sf_to_tokens_rows, tokens_parquet_path
+
+    tokens_parquet_path(sf_to_tokens_rows(sf_dir))
+
+    queries = _bench_queries(sf_dir)
+    if names:
+        queries = {n: queries[n] for n in names}
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        _consume(fn())
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline pipelines wall time (sf%s, %d cpus)" % (_sf_of(sf_dir), num_cpus),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+    }
+    if "sketch_flagship" in timings:
+        rows = _flagship_rows(sf_dir)
+        out["flagship_rows"] = rows
+        out["flagship_seq_per_sec"] = round(rows / max(timings["sketch_flagship"], 1e-9), 1)
+    return out
+
+
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    """Fresh-process flagship runs at two parallelism levels."""
+    results = {}
+    for cpus in (low, high):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", "sketch_flagship"],
+            env=env, capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    thr_low = results[low]["flagship_seq_per_sec"]
+    thr_high = results[high]["flagship_seq_per_sec"]
+    eff = (thr_high / thr_low) / (high / low)
+    return {
+        "metric": "flagship sketch-build scaling (%d vs %d cpus)" % (low, high),
+        "value": round(eff, 3),
+        "unit": "scaling_efficiency",
+        "sf": _sf_of(sf_dir),
+        "num_cpus": high,
+        "queries": {
+            "flagship_sec_cpus%d" % low: results[low]["queries"]["sketch_flagship"],
+            "flagship_sec_cpus%d" % high: results[high]["queries"]["sketch_flagship"],
+        },
+        "seq_per_sec": {str(low): thr_low, str(high): thr_high},
+        "speedup": round(thr_high / thr_low, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    args = sys.argv[1:]
+    if "--scaling" in args:
+        out = run_scaling(sf_dir)
+    elif "--one" in args:
+        name = args[args.index("--one") + 1]
+        out = run_bench(sf_dir, num_cpus, names=[name])
+    else:
+        out = run_bench(sf_dir, num_cpus)
+    print(json.dumps(out))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

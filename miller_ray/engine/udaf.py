@@ -97,15 +97,22 @@ def build_sketches(ds, specs: list[SketchSpec], batch_size: int | None = 131072,
     parts = ds.map_batches(_partial_fn(specs), batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=batch_size)
     merge = _merge_fn(specs)
-    # tree-merge while the partial count is too large for a driver fold
+    # Materialize the partials ONCE (KB–MB per block — the full input is
+    # never materialized), then tree-merge while the partial count is too
+    # large for a driver fold. Without this, each count()/take_all()
+    # action would re-execute the whole build pass.
+    parts = parts.materialize()
     n = parts.count()
     while n > 4 * merge_fanin:
         parts = parts.repartition(max(1, n // merge_fanin)).map_batches(
-            merge, batch_format="pyarrow", batch_size=merge_fanin)
+            merge, batch_format="pyarrow", batch_size=merge_fanin).materialize()
         n = parts.count()
     rows = parts.take_all()
     out: dict[str, Any] = {}
     for spec in specs:
+        if not rows:  # empty input -> fresh (zero) sketches
+            out[spec.name] = spec.factory()
+            continue
         cls = type(spec.factory())
         acc = cls.from_bytes(rows[0][spec.name])
         for r in rows[1:]:

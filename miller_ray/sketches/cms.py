@@ -30,7 +30,10 @@ class CountMinSketch:
 
     def __init__(self, eps: float = 1e-4, delta: float = 1e-3, seed: int = 0,
                  width: int | None = None, depth: int | None = None):
-        self.width = int(width if width is not None else np.ceil(np.e / eps))
+        w = int(width if width is not None else np.ceil(np.e / eps))
+        # round up to a power of two: index masking (& (w-1)) is ~50x
+        # cheaper than uint64 modulo, and a larger width only tightens eps
+        self.width = 1 << int(np.ceil(np.log2(max(w, 2))))
         self.depth = int(depth if depth is not None else np.ceil(np.log(1.0 / delta)))
         self.counts = np.zeros((self.depth, self.width), dtype=np.int64)
         self.n = 0  # total weight ingested
@@ -40,37 +43,53 @@ class CountMinSketch:
     def eps(self) -> float:
         return np.e / self.width
 
-    def _indices(self, values) -> np.ndarray:
+    def _index_iter(self, values):
+        """Yield the depth per-row index vectors (int64) one at a time.
+
+        In-place (h += h2; h & mask) per level — no (depth, n) stack,
+        no modulo — so a 13M-value batch costs ~2 vector ops per level.
+        """
         h1, h2 = hash_pair(values, seed=self.seed)
-        rows = []
-        w = np.uint64(self.width)
+        mask = np.uint64(self.width - 1)
+        h = h1.copy()
         with np.errstate(over="ignore"):
-            for i in range(self.depth):
-                rows.append(((h1 + np.uint64(i) * h2) % w).astype(np.int64))
-        return np.stack(rows)  # (depth, batch)
+            for _ in range(self.depth):
+                yield (h & mask).view(np.int64)
+                h += h2
 
     def update_batch(self, values, weights: np.ndarray | None = None) -> None:
-        idx = self._indices(values)
-        if idx.shape[1] == 0:
+        vals = values
+        if weights is None:
+            # unique-first: hashing cost scales with #distinct, not batch
+            # size — a huge win for token streams (vocab << batch)
+            arr = np.asarray(vals) if not isinstance(vals, np.ndarray) else vals
+            try:
+                if getattr(arr, "size", 0) > 65536 and arr.dtype.kind in "iu":
+                    vals, weights = np.unique(arr, return_counts=True)
+            except TypeError:
+                pass
+        n = len(vals) if not hasattr(vals, "size") else vals.size
+        if n == 0:
             return
         if weights is None:
-            for i in range(self.depth):
-                self.counts[i] += np.bincount(idx[i], minlength=self.width)
-            self.n += idx.shape[1]
+            for i, idx in enumerate(self._index_iter(vals)):
+                self.counts[i] += np.bincount(idx, minlength=self.width)
+            self.n += n
         else:
-            w = np.asarray(weights, dtype=np.int64)
-            for i in range(self.depth):
-                self.counts[i] += np.bincount(idx[i], weights=w, minlength=self.width).astype(np.int64)
+            w = np.asarray(weights, dtype=np.float64)
+            for i, idx in enumerate(self._index_iter(vals)):
+                self.counts[i] += np.bincount(idx, weights=w,
+                                              minlength=self.width).astype(np.int64)
             self.n += int(w.sum())
 
     def query(self, values) -> np.ndarray:
         """Estimated counts (vector) for a vector of values."""
-        idx = self._indices(values)
-        if idx.shape[1] == 0:
+        est = None
+        for i, idx in enumerate(self._index_iter(values)):
+            row = self.counts[i][idx]
+            est = row if est is None else np.minimum(est, row)
+        if est is None or est.size == 0:
             return np.zeros(0, dtype=np.int64)
-        est = self.counts[0][idx[0]]
-        for i in range(1, self.depth):
-            est = np.minimum(est, self.counts[i][idx[i]])
         return est
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
@@ -126,13 +145,26 @@ class HeavyHitters:
         vals = np.asarray(values, dtype=np.int64)
         if vals.size == 0:
             return
-        self.cms.update_batch(vals, weights=weights)
-        uniq, inv = np.unique(vals, return_inverse=True)
         if weights is None:
-            cnt = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+            vmin = vals.min() if vals.size else 0
+            vmax = vals.max() if vals.size else 0
+            if 0 <= vmin and vmax < (1 << 22):
+                # small-domain ints (token ids): O(n) bincount beats the
+                # O(n log n) sort inside np.unique
+                full = np.bincount(vals)
+                uniq = np.flatnonzero(full)
+                cnt = full[uniq].astype(np.int64)
+                uniq = uniq.astype(np.int64)
+            else:
+                uniq, cnt = np.unique(vals, return_counts=True)
+                cnt = cnt.astype(np.int64)
         else:
+            uniq, inv = np.unique(vals, return_inverse=True)
             cnt = np.bincount(inv, weights=np.asarray(weights, dtype=np.float64),
                               minlength=uniq.size).astype(np.int64)
+        # one unique pass serves both the CMS (hash #distinct values, not
+        # #items) and the exact candidate fold below
+        self.cms.update_batch(uniq, weights=cnt)
         # fold into the running candidate map
         allv = np.concatenate([self.cand_values, uniq])
         allc = np.concatenate([self.cand_counts, cnt])

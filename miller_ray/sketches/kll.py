@@ -82,10 +82,32 @@ class KLL:
             return
         self.n += v.size
         cap0 = max(self.k, 8)
-        for start in range(0, v.size, cap0):
-            self.levels[0] = np.concatenate([self.levels[0], v[start : start + cap0]])
+        if v.size <= 2 * cap0:
+            self.levels[0] = np.concatenate([self.levels[0], v])
             if self._size() > self._total_capacity():
                 self._compress()
+            return
+        # Bulk path: pre-compact the batch itself. Sort once; repeatedly
+        # halve (keep every other item, doubling weight) until it fits a
+        # level-0 buffer, dropping the odd remainder item at its current
+        # level. One large compaction per level has LOWER rank-error
+        # variance than the item-at-a-time equivalent (same expected
+        # error, fewer independent coin flips), and turns a 13M-value
+        # batch from ~65k Python iterations into log2(n/k) slices.
+        arr = np.sort(v)
+        h = 0
+        while arr.size > cap0:
+            while h >= len(self.levels):
+                self.levels.append(np.zeros(0, dtype=np.float64))
+            if arr.size % 2 == 1:
+                self.levels[h] = np.concatenate([self.levels[h], arr[:1]])
+                arr = arr[1:]
+            arr = arr[self._offset():: 2]  # stays sorted
+            h += 1
+        while h >= len(self.levels):
+            self.levels.append(np.zeros(0, dtype=np.float64))
+        self.levels[h] = np.concatenate([self.levels[h], arr])
+        self._compress()
 
     def merge(self, other: "KLL") -> "KLL":
         if other.k != self.k:
