@@ -361,6 +361,47 @@ def q_bloom_membership(sf_dir: str):
     })
 
 
+def q_checkpointed_sketch(sf_dir: str):
+    """Resumable sketch build with per-partition lineage manifests
+    (north rule): run once over a 4-file shard layout, report the merged
+    estimates plus lineage metrics. Deterministic."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from miller_ray.engine.checkpoint import checkpointed_build, lineage_report
+    from miller_ray.engine.udaf import SketchSpec
+    from miller_ray.schema import generate_tokens_table, sf_to_tokens_rows
+    from miller_ray.sketches import KLL, HyperLogLog
+
+    n = sf_to_tokens_rows(sf_dir)
+    work = tempfile.mkdtemp(prefix="mr_ckpt_")
+    try:
+        paths = []
+        per = max(n // 4, 1)
+        for i in range(4):
+            t = generate_tokens_table(per, seed=1000 + i)
+            p = f"{work}/part-{i}.parquet"
+            pq.write_table(t, p, row_group_size=max(per // 4, 100))
+            paths.append(p)
+        specs = [
+            SketchSpec.column("hll_doc_id", lambda: HyperLogLog(p=14), "doc_id"),
+            SketchSpec.column("kll_n_tok", lambda: KLL(k=200), "n_tok"),
+        ]
+        ck = f"{work}/ckpt"
+        out = checkpointed_build(paths, specs, ck)
+        rep = lineage_report(ck)
+        return pd.DataFrame({
+            "n_partitions": [len(rep)],
+            "rows_total": [sum(e["rows"] for e in rep)],
+            "hll_doc_id_est_bucket": [int(out["hll_doc_id"].estimate() // 100)],
+            "kll_p50": [out["kll_n_tok"].quantile(50)],
+        })
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_minhash_dedup(sf_dir: str):
     from miller_ray.stages import dedup
 
@@ -450,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_flagship": q_sketch_flagship,
         "sketch_grouped": q_sketch_grouped,
         "bloom_membership": q_bloom_membership,
+        "checkpointed_sketch": q_checkpointed_sketch,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "sample_reservoir": q_sample_reservoir,
