@@ -306,6 +306,206 @@ def q_ann_top10(sf_dir: str):
                                 queries_m, k=10)
 
 
+def q_label(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    return verbs.label(ds, ["regionkey", "name"])
+
+
+def q_template(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    return verbs.template(ds, ["n_name", "n_nationkey", "n_missing"], fill="-")
+
+
+def q_grep(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    return verbs.grep_verb(ds, "widget")
+
+
+def q_nest_explode(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    return verbs.nest_explode(ds, "p_name", sep=" ")
+
+
+def q_nest_implode(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    exploded = verbs.nest_explode(ds, "p_name", sep=" ")
+    return verbs.nest_implode(exploded, "p_name", ["p_partkey"], sep=";")
+
+
+def q_reshape_long(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_tax", "l_discount"])
+    return verbs.reshape_wide_to_long(ds, ["l_tax", "l_discount"],
+                                      key_name="rate_kind", value_name="rate")
+
+
+def q_reshape_wide(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_tax", "l_discount"])
+    long = verbs.reshape_wide_to_long(ds, ["l_tax", "l_discount"],
+                                      key_name="rate_kind", value_name="rate")
+    return verbs.reshape_long_to_wide(long, "rate_kind", "rate",
+                                      ["l_orderkey", "l_linenumber"])
+
+
+def q_repeat(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = verbs.head(_t(sf_dir, "region", ["r_regionkey", "r_name"]), 5)
+    return verbs.repeat(ds, n=3)
+
+
+def q_sec2gmtdate(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id"])
+    ds = verbs.put(ds, day=lambda t: t["event_id"])
+    return verbs.sec2gmtdate(ds, ["day"]).select_columns(["event_id", "day"])
+
+
+def q_ssub(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    return verbs.ssub(ds, ["p_name"], "widget", "gadget")
+
+
+def q_gsub(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "part", ["p_partkey", "p_type"])
+    return verbs.gsub(ds, ["p_type"], "[aeiou]", "_")
+
+
+def q_format_values(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    return verbs.format_values(ds, float_format="%.2f")
+
+
+def q_summary(sf_dir: str):
+    from miller_ray import verbs
+
+    r = verbs.summary(_t(sf_dir, "lineitem", ["l_quantity", "l_discount"]),
+                      ["l_quantity", "l_discount"])
+    return _round(r, {"sum": 2, "mean": 6, "stddev": 6, "iqr": 6})
+
+
+def q_uniq_all(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.uniq_all(_t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"]))
+
+
+def q_count_distinct_unlashed(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.count_distinct_unlashed(
+        _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"]),
+        ["l_returnflag", "l_linestatus"])
+
+
+def q_histogram_auto(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.histogram_auto(_t(sf_dir, "lineitem", ["l_quantity"]),
+                                ["l_quantity"], nbins=8)
+
+
+def q_top_full_records(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.top_full_records(_t(sf_dir, "orders",
+                                     ["o_orderkey", "o_orderpriority", "o_totalprice"]),
+                                  "o_totalprice", n=2, group_by=["o_orderpriority"])
+
+
+def q_cumfrac(sf_dir: str):
+    from miller_ray import verbs
+
+    sums = verbs.stats1(_t(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]),
+                        ["sum"], ["o_totalprice"], ["o_orderpriority"])
+    r = verbs.cumulative_fraction(
+        _rd().from_pandas(sums.rename(columns={"o_totalprice_sum": "grp_sum"})),
+        "grp_sum")
+    return _round(r[["o_orderpriority", "grp_sum", "grp_sum_cumfrac"]],
+                  {"grp_sum": 2, "grp_sum_cumfrac": 6})
+
+
+def q_stats2_linreg(sf_dir: str):
+    from miller_ray import verbs
+
+    r = verbs.stats2(_t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]),
+                     ["linreg-ols", "cov"], [("l_quantity", "l_extendedprice")])
+    return _round(r, {"l_quantity_l_extendedprice_m": 4,
+                      "l_quantity_l_extendedprice_b": 4,
+                      "l_quantity_l_extendedprice_cov": 4})
+
+
+def q_sort_within_records(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    return verbs.sort_within_records(ds)
+
+
+def q_reorder(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    return verbs.reorder(ds, ["n_name"])
+
+
+def q_split_write(sf_dir: str):
+    """split -g then read back per-partition counts (resumable layout)."""
+    import shutil
+    import tempfile
+
+    from miller_ray import verbs
+
+    out = tempfile.mkdtemp(prefix="mr_split_")
+    try:
+        verbs.split_write(_t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+                          out, by="o_orderpriority")
+        back = _rd().read_parquet(out)
+        r = verbs.count(back, ["o_orderpriority"])
+        # hive partition values are URL-encoded on disk ("4-NOT%20SPECIFIED")
+        from urllib.parse import unquote
+
+        r["o_orderpriority"] = r["o_orderpriority"].map(unquote)
+        return r
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_tee(sf_dir: str):
+    import shutil
+    import tempfile
+
+    from miller_ray import verbs
+
+    out = tempfile.mkdtemp(prefix="mr_tee_")
+    try:
+        ds = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        passed = verbs.tee(ds, out)
+        return verbs.count(passed, ["s_nationkey"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # ----- sketch / approximate / non-SQL queries (rows-only checks) -----------
 
 def q_sketch_flagship(sf_dir: str):
@@ -487,6 +687,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "ann_top10": q_ann_top10,
+        "label": q_label,
+        "template": q_template,
+        "grep": q_grep,
+        "nest_explode": q_nest_explode,
+        "nest_implode": q_nest_implode,
+        "reshape_long": q_reshape_long,
+        "reshape_wide": q_reshape_wide,
+        "repeat": q_repeat,
+        "sec2gmtdate": q_sec2gmtdate,
+        "ssub": q_ssub,
+        "gsub": q_gsub,
+        "format_values": q_format_values,
+        "summary": q_summary,
+        "uniq_all": q_uniq_all,
+        "count_distinct_unlashed": q_count_distinct_unlashed,
+        "histogram_auto": q_histogram_auto,
+        "top_full_records": q_top_full_records,
+        "cumfrac": q_cumfrac,
+        "stats2_linreg": q_stats2_linreg,
+        "sort_within_records": q_sort_within_records,
+        "reorder": q_reorder,
+        "split_write": q_split_write,
+        "tee": q_tee,
         # approximate / non-SQL (rows-only checks)
         "sketch_flagship": q_sketch_flagship,
         "sketch_grouped": q_sketch_grouped,
@@ -644,4 +867,109 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q.query_id, CAST(row_number() OVER (PARTITION BY q.query_id "
             "ORDER BY list_cosine_similarity(v.embedding, q.e) DESC, v.vec_id) AS BIGINT) "
             "AS rank, v.vec_id FROM embeddings v CROSS JOIN q QUALIFY rank <= 10",
+        "label":
+            "SELECT r_regionkey AS regionkey, r_name AS name FROM region",
+        "template":
+            "SELECT n_name, n_nationkey, '-' AS n_missing FROM nation",
+        "grep":
+            "SELECT p_partkey, p_name, p_brand FROM part WHERE "
+            "regexp_matches(concat('p_partkey=', p_partkey, ',p_name=', p_name, "
+            "',p_brand=', p_brand), 'widget')",
+        "nest_explode":
+            "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS p_name FROM part",
+        "nest_implode":
+            "WITH e AS (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w "
+            "FROM part) SELECT p_partkey, string_agg(w, ';' ORDER BY w) AS p_name "
+            "FROM e GROUP BY p_partkey",
+        "reshape_long":
+            "SELECT l_orderkey, l_linenumber, 'l_tax' AS rate_kind, l_tax AS rate "
+            "FROM lineitem UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem",
+        "reshape_wide":
+            "SELECT l_orderkey, l_linenumber, max(l_tax) AS l_tax, "
+            "max(l_discount) AS l_discount FROM lineitem GROUP BY 1, 2",
+        "repeat":
+            "SELECT r_regionkey, r_name FROM (SELECT * FROM region ORDER BY "
+            "r_regionkey LIMIT 5) CROSS JOIN range(3)",
+        "sec2gmtdate":
+            "SELECT event_id, strftime(epoch_ms(event_id * 1000), '%Y-%m-%d') AS day "
+            "FROM events",
+        "ssub":
+            "SELECT p_partkey, regexp_replace(p_name, 'widget', 'gadget') AS p_name "
+            "FROM part",
+        "gsub":
+            "SELECT p_partkey, regexp_replace(p_type, '[aeiou]', '_', 'g') AS p_type "
+            "FROM part",
+        "format_values":
+            "SELECT printf('%d', l_orderkey) AS l_orderkey, "
+            "printf('%d', l_linenumber) AS l_linenumber, "
+            "printf('%.2f', l_quantity) AS l_quantity FROM lineitem",
+        "summary":
+            "WITH "
+            "q AS (SELECT list_sort(list(l_quantity)) l, count(*) n FROM lineitem), "
+            "d AS (SELECT list_sort(list(l_discount)) l, count(*) n FROM lineitem) "
+            "SELECT 'l_quantity' AS field_name, count(l_quantity) AS count, "
+            "count(*) - count(l_quantity) AS null_count, "
+            "min(l_quantity) AS min, max(l_quantity) AS max, "
+            "ROUND(sum(l_quantity), 2) AS sum, ROUND(avg(l_quantity), 6) AS mean, "
+            "ROUND(stddev_samp(l_quantity), 6) AS stddev, "
+            "(SELECT l[1+least(cast(floor(25*n/100.0) as int), n-1)] FROM q) AS p25, "
+            "(SELECT l[1+least(cast(floor(50*n/100.0) as int), n-1)] FROM q) AS median, "
+            "(SELECT l[1+least(cast(floor(75*n/100.0) as int), n-1)] FROM q) AS p75, "
+            "ROUND((SELECT l[1+least(cast(floor(75*n/100.0) as int), n-1)] FROM q) - "
+            "(SELECT l[1+least(cast(floor(25*n/100.0) as int), n-1)] FROM q), 6) AS iqr "
+            "FROM lineitem UNION ALL "
+            "SELECT 'l_discount', count(l_discount), count(*) - count(l_discount), "
+            "min(l_discount), max(l_discount), ROUND(sum(l_discount), 2), "
+            "ROUND(avg(l_discount), 6), ROUND(stddev_samp(l_discount), 6), "
+            "(SELECT l[1+least(cast(floor(25*n/100.0) as int), n-1)] FROM d), "
+            "(SELECT l[1+least(cast(floor(50*n/100.0) as int), n-1)] FROM d), "
+            "(SELECT l[1+least(cast(floor(75*n/100.0) as int), n-1)] FROM d), "
+            "ROUND((SELECT l[1+least(cast(floor(75*n/100.0) as int), n-1)] FROM d) - "
+            "(SELECT l[1+least(cast(floor(25*n/100.0) as int), n-1)] FROM d), 6) "
+            "FROM lineitem",
+        "uniq_all":
+            "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "count_distinct_unlashed":
+            "SELECT 'l_returnflag' AS field, l_returnflag AS value, count(*) AS count "
+            "FROM lineitem GROUP BY l_returnflag UNION ALL "
+            "SELECT 'l_linestatus', l_linestatus, count(*) FROM lineitem "
+            "GROUP BY l_linestatus",
+        "histogram_auto":
+            "WITH mm AS (SELECT min(l_quantity) lo, max(l_quantity) hi FROM lineitem), "
+            "bins AS (SELECT CAST(range AS BIGINT) b FROM range(0, 8)), "
+            "c AS (SELECT least(cast(floor((l_quantity - mm.lo) * 8.0 / (mm.hi - mm.lo)) "
+            "as BIGINT), 7) b, count(*) n FROM lineitem, mm GROUP BY 1) "
+            "SELECT mm.lo + bins.b * (mm.hi - mm.lo) / 8.0 AS bin_lo, "
+            "mm.lo + (bins.b + 1) * (mm.hi - mm.lo) / 8.0 AS bin_hi, "
+            "COALESCE(c.n, 0) AS l_quantity_count "
+            "FROM bins CROSS JOIN mm LEFT JOIN c ON bins.b = c.b",
+        "top_full_records":
+            "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+            "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC) <= 2",
+        "cumfrac":
+            "WITH s AS (SELECT o_orderpriority, sum(o_totalprice) grp_sum FROM orders "
+            "GROUP BY o_orderpriority) "
+            "SELECT o_orderpriority, ROUND(grp_sum, 2) AS grp_sum, "
+            "ROUND(sum(grp_sum) OVER (ORDER BY "
+            "grp_sum DESC, o_orderpriority ROWS UNBOUNDED PRECEDING) / "
+            "(SELECT sum(grp_sum) FROM s), 6) AS grp_sum_cumfrac FROM s",
+        "stats2_linreg":
+            "SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 4) "
+            "AS l_quantity_l_extendedprice_m, "
+            "ROUND(regr_intercept(l_extendedprice, l_quantity), 4) "
+            "AS l_quantity_l_extendedprice_b, "
+            "CAST(count(*) AS BIGINT) AS l_quantity_l_extendedprice_n, "
+            "ROUND(covar_samp(l_quantity, l_extendedprice), 4) "
+            "AS l_quantity_l_extendedprice_cov FROM lineitem",
+        "sort_within_records":
+            "SELECT r_name, r_regionkey FROM region",
+        "reorder":
+            "SELECT n_name, n_nationkey, n_regionkey FROM nation",
+        "split_write":
+            "SELECT o_orderpriority, count(*) AS count FROM orders "
+            "GROUP BY o_orderpriority",
+        "tee":
+            "SELECT s_nationkey, count(*) AS count FROM supplier GROUP BY s_nationkey",
     }

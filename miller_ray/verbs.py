@@ -757,3 +757,380 @@ def skip_trivial_records(ds):
         return t.filter(mask)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# field-order / shape verbs  (label.go, reorder.go, template.go, ...)
+# ---------------------------------------------------------------------------
+
+def label(ds, names: list[str]):
+    """Verb ``label`` (label.go): positionally rename the first n fields."""
+
+    def f(t: pa.Table) -> pa.Table:
+        new = list(t.column_names)
+        new[: len(names)] = names
+        return t.rename_columns(new)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def reorder(ds, fields: list[str], put_at_end: bool = False):
+    """Verb ``reorder -f [-e]`` (reorder.go): move fields to front/back."""
+
+    def f(t: pa.Table) -> pa.Table:
+        rest = [c for c in t.column_names if c not in fields]
+        order = rest + fields if put_at_end else fields + rest
+        return t.select(order)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sort_within_records(ds, reverse: bool = False):
+    """Verb ``sort-within-records`` (sort_within_records.go): sort field
+    names lexically within each record (columnar: reorder columns)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.select(sorted(t.column_names, reverse=reverse))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def regularize(ds):
+    """Verb ``regularize`` (regularize.go): canonical key order for same
+    key-sets. Under a fixed Arrow schema every record already shares one
+    key order — identity, kept for API parity."""
+    return ds
+
+
+def template(ds, fields: list[str], fill=None):
+    """Verb ``template -f`` (template.go): force field set & order; absent
+    fields are added filled with ``fill`` (Miller: VOID), extras dropped."""
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in fields:
+            if c in t.column_names:
+                cols[c] = t[c]
+            else:
+                cols[c] = pa.nulls(t.num_rows, pa.string()) if fill is None else \
+                    pa.array([fill] * t.num_rows)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grep_verb(ds, pattern: str, invert: bool = False, ignore_case: bool = False):
+    """Verb ``grep`` (grep.go): regex match against the whole record
+    formatted as DKVP (``k=v,k=v,...``), vectorized via Arrow string
+    kernels (binary_join_element_wise -> match_substring_regex)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        pieces = []
+        for c in t.column_names:
+            s = pc.cast(t[c], pa.string())
+            pieces.append(pc.binary_join_element_wise(
+                pa.array([c] * t.num_rows), pc.fill_null(s, ""), "="))
+        rec = pc.binary_join_element_wise(*pieces, ",") if len(pieces) > 1 else pieces[0]
+        m = pc.match_substring_regex(rec, pattern, ignore_case=ignore_case)
+        return t.filter(pc.invert(m) if invert else m)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# nest / reshape / repeat  (nest.go, reshape.go, repeat.go)
+# ---------------------------------------------------------------------------
+
+def nest_explode(ds, field: str, sep: str = ";"):
+    """Verb ``nest --explode --values --across-records`` (nest.go): split
+    ``field`` on ``sep`` and emit one record per element. Vectorized:
+    split_pattern -> list flatten with parent-row take."""
+
+    def f(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.cast(t[field], pa.string()), sep)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        base = t.drop_columns([field]).take(parents)
+        return base.append_column(field, flat)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def nest_implode(ds, field: str, group_by: list[str], sep: str = ";"):
+    """Verb ``nest --implode --values --across-records`` (nest.go): join
+    the field's values across records of the same group with ``sep``.
+    Deterministic order: value-sorted (Miller: stream order)."""
+
+    def implode(df: pd.DataFrame) -> pd.DataFrame:
+        vals = sep.join(sorted(df[field].astype(str)))
+        out = df.iloc[[0]][group_by].copy()
+        out[field] = vals
+        return out
+
+    return ds.groupby(group_by).map_groups(implode, batch_format="pandas")
+
+
+def reshape_wide_to_long(ds, fields: list[str], key_name: str = "key",
+                         value_name: str = "value"):
+    """Verb ``reshape -i f1,f2 -o key,value`` (reshape.go): wide->long,
+    one output record per (record, field). Streaming flat transform."""
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = [c for c in t.column_names if c not in fields]
+        n = t.num_rows
+        parts = []
+        for fld in fields:
+            cols = {c: t[c] for c in keep}
+            cols[key_name] = pa.array([fld] * n)
+            cols[value_name] = pc.cast(t[fld], pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def reshape_long_to_wide(ds, key_field: str, value_field: str,
+                         group_by: list[str], key_values: list[str] | None = None):
+    """Verb ``reshape -s key,value`` (reshape.go, non-streaming half):
+    long->wide. Vectorized two-phase: per-batch partial pivot (each
+    (group, key) cell filled at most once globally), then a grouped
+    first-non-null merge — no per-group Python calls."""
+    if key_values is None:
+        key_values = sorted(ds.select_columns([key_field]).unique(key_field))
+    key_values = [str(k) for k in key_values]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.pivot_table(index=group_by, columns=key_field, values=value_field,
+                           aggfunc="max")
+        w = w.reindex(columns=key_values)
+        w.columns = [str(c) for c in w.columns]
+        return w.reset_index()
+
+    from ray.data.aggregate import Max
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return parts.groupby(group_by).aggregate(
+        *[Max(k, alias_name=k, ignore_nulls=True) for k in key_values])
+
+
+def repeat(ds, n: int = 1, by_field: str | None = None):
+    """Verb ``repeat -n / -f`` (repeat.go): emit each record n times
+    (or per-record count from ``by_field``)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if by_field is not None:
+            counts = t[by_field].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            counts = np.full(t.num_rows, n, dtype=np.int64)
+        idx = np.repeat(np.arange(t.num_rows), np.maximum(counts, 0))
+        return t.take(pa.array(idx))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bootstrap(ds, seed: int = 42):
+    """Verb ``bootstrap`` (bootstrap.go): resample n records with
+    replacement. Distributed contract: per-block resample of block-size
+    records (deterministic seed per block content) — in expectation the
+    same bootstrap distribution without a global shuffle."""
+    from miller_ray.hashing import hash64
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        block_seed = int(hash64(t[t.column_names[0]], seed=seed)[:16].sum()
+                         % np.uint64(2**31))
+        rng = np.random.default_rng(block_seed)
+        idx = rng.integers(0, t.num_rows, size=t.num_rows)
+        return t.take(pa.array(np.sort(idx)))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# value formatting  (sec2gmtdate.go, subs.go ssub, format_values.go)
+# ---------------------------------------------------------------------------
+
+def sec2gmtdate(ds, fields: list[str]):
+    """Verb ``sec2gmtdate`` (sec2gmtdate.go): epoch seconds -> UTC date."""
+
+    def conv(t: pa.Table) -> pa.Table:
+        for f in fields:
+            ts = pc.cast(pc.cast(t[f], pa.int64()), pa.timestamp("s"))
+            t = t.set_column(t.column_names.index(f), f,
+                             pc.strftime(ts, format="%Y-%m-%d"))
+        return t
+
+    return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ssub(ds, fields: list[str], literal: str, replacement: str):
+    """Verb ``ssub`` (subs.go): literal (non-regex) substitution of the
+    FIRST occurrence per value."""
+    import re
+
+    pattern = re.escape(literal)
+
+    def conv(t: pa.Table) -> pa.Table:
+        for f in fields:
+            s = pc.replace_substring_regex(pc.cast(t[f], pa.string()),
+                                           pattern=pattern,
+                                           replacement=replacement,
+                                           max_replacements=1)
+            t = t.set_column(t.column_names.index(f), f, s)
+        return t
+
+    return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gsub(ds, fields: list[str], pattern: str, replacement: str):
+    """Verb ``gsub`` (subs.go): regex substitution of ALL occurrences."""
+    return sub(ds, fields, pattern, replacement, all_matches=True)
+
+
+def format_values(ds, float_format: str = "%.6f", int_format: str = "%d"):
+    """Verb ``format-values -f/-i`` (format_values.go:199): printf-format
+    numeric values by detected type (C-level np.char.mod, no Python loop
+    per row)."""
+
+    def conv(t: pa.Table) -> pa.Table:
+        for i, c in enumerate(t.column_names):
+            col = t[c]
+            if pa.types.is_floating(col.type):
+                arr = np.char.mod(float_format, col.to_numpy(zero_copy_only=False))
+                t = t.set_column(i, c, pa.array(arr))
+            elif pa.types.is_integer(col.type):
+                arr = np.char.mod(int_format, col.to_numpy(zero_copy_only=False))
+                t = t.set_column(i, c, pa.array(arr))
+        return t
+
+    return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# summary / uniq -a / count-distinct -u / histogram --auto (summary.go, ...)
+# ---------------------------------------------------------------------------
+
+def summary(ds, fields: list[str]) -> pd.DataFrame:
+    """Verb ``summary`` (summary.go:71): transposed per-column profile.
+    Composed from the same mergeable kernels as stats1 (one pass for
+    moments + one small percentile shuffle); output one row per field."""
+    moments = grouped_stats(ds, [], fields,
+                            ["count", "null_count", "sum", "mean", "min", "max",
+                             "var", "stddev"])
+    pcts = pd.concat([grouped_percentiles(ds, [], f, [25, 50, 75]) for f in fields],
+                     axis=1)
+    rows = []
+    for f in fields:
+        rows.append({
+            "field_name": f,
+            "count": int(moments[f"{f}_count"].iloc[0]),
+            "null_count": int(moments[f"{f}_null_count"].iloc[0]),
+            "min": float(moments[f"{f}_min"].iloc[0]),
+            "max": float(moments[f"{f}_max"].iloc[0]),
+            "sum": float(moments[f"{f}_sum"].iloc[0]),
+            "mean": float(moments[f"{f}_mean"].iloc[0]),
+            "stddev": float(moments[f"{f}_stddev"].iloc[0]),
+            "p25": float(pcts[f"{f}_p25"].iloc[0]),
+            "median": float(pcts[f"{f}_p50"].iloc[0]),
+            "p75": float(pcts[f"{f}_p75"].iloc[0]),
+        })
+        rows[-1]["iqr"] = rows[-1]["p75"] - rows[-1]["p25"]
+    return pd.DataFrame(rows)
+
+
+def uniq_all(ds) -> pd.DataFrame:
+    """Verb ``uniq -a`` (uniq.go:392-475): distinct whole records.
+    Exact dedup = groupby over every column (hash shuffle keyed by the
+    full record)."""
+    cols = ds.schema().names
+    return count(ds, group_by=cols).drop(columns=["count"])
+
+
+def count_distinct_unlashed(ds, fields: list[str]) -> pd.DataFrame:
+    """Verb ``count-distinct -u`` (uniq.go:65-160): per-field (unlashed)
+    value counts — output (field, value, count) rows."""
+    frames = []
+    for f in fields:
+        vc = count(ds.select_columns([f]), group_by=[f])
+        frames.append(pd.DataFrame({
+            "field": f, "value": vc[f].astype(str), "count": vc["count"]}))
+    return pd.concat(frames, ignore_index=True)
+
+
+def histogram_auto(ds, fields: list[str], nbins: int = 20) -> pd.DataFrame:
+    """Verb ``histogram --auto`` (histogram.go): lo/hi from the data.
+    Miller buffers all records; here it is a tiny min/max pre-pass then
+    the ordinary mergeable binned count — two streaming passes, no
+    buffer-all."""
+    mm = grouped_stats(ds, [], fields, ["min", "max"])
+    lo = min(float(mm[f"{f}_min"].iloc[0]) for f in fields)
+    hi = max(float(mm[f"{f}_max"].iloc[0]) for f in fields)
+    return histogram(ds, fields, lo=lo, hi=hi, nbins=nbins)
+
+
+# ---------------------------------------------------------------------------
+# tee / split sinks  (tee.go, split.go)
+# ---------------------------------------------------------------------------
+
+def tee(ds, path: str):
+    """Verb ``tee`` (tee.go): write the stream to a sink mid-chain and
+    pass records through. Ray-native: write partitioned parquet, return
+    the (already materialized) dataset for further stages."""
+    mat = ds.materialize()
+    mat.write_parquet(path)
+    return mat
+
+
+def split_write(ds, out_dir: str, by: str | None = None, n: int | None = None):
+    """Verb ``split -g key | -n cap`` (split.go:21-25): write records to
+    multiple files. ``-g`` -> hive-partitioned parquet by key (one
+    directory per distinct value — the resumable-output layout);
+    ``-n`` -> repartition to ceil(rows/n) files."""
+    if by is not None:
+        ds.write_parquet(out_dir, partition_cols=[by])
+    elif n is not None:
+        total = ds.count()
+        ds.repartition(max(1, -(-total // n))).write_parquet(out_dir)
+    else:
+        ds.write_parquet(out_dir)
+    return out_dir
+
+
+def top_full_records(ds, field: str, n: int = 1,
+                     group_by: list[str] | None = None) -> pd.DataFrame:
+    """Verb ``top -a`` (top.go): full records of the top-n by value per
+    group (single value-field form). Bounded per-block top-k then a tiny
+    driver merge — no global sort."""
+    group_by = group_by or []
+
+    def per_block(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if group_by:
+            g = df.sort_values(field, ascending=False).groupby(group_by, sort=False).head(n)
+        else:
+            g = df.nlargest(n, field)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pdf = ds.map_batches(per_block, batch_format="pyarrow").to_pandas()
+    if group_by:
+        return (pdf.sort_values(field, ascending=False)
+                   .groupby(group_by, sort=False).head(n).reset_index(drop=True))
+    return pdf.nlargest(n, field).reset_index(drop=True)
+
+
+def cumulative_fraction(ds, field: str, group_by: list[str] | None = None) -> pd.DataFrame:
+    """Verb ``fraction -c`` (fraction.go): cumulative fraction of the
+    column total, in descending value order (Miller: stream order —
+    distributed needs a declared order). Returns the (small) grouped
+    result; for record-streams compose fraction + step rsum instead."""
+    group_by = group_by or []
+    pdf = ds.to_pandas()
+    if group_by:
+        pdf = pdf.sort_values(group_by + [field], ascending=[True] * len(group_by) + [False])
+        g = pdf.groupby(group_by, sort=False)[field]
+        pdf[f"{field}_cumfrac"] = g.cumsum() / g.transform("sum")
+    else:
+        pdf = pdf.sort_values(field, ascending=False)
+        pdf[f"{field}_cumfrac"] = pdf[field].cumsum() / pdf[field].sum()
+    return pdf.reset_index(drop=True)
