@@ -104,9 +104,12 @@ def _partial_fn_by_path(specs: list[SketchSpec]):
         for gi, p in enumerate(uniques):
             sub = data.take(pa.array(np.flatnonzero(codes == gi)))
             out["path"].append(p)
+            sub_cache: dict = {}
             for spec in specs:
+                from miller_ray.engine.udaf import apply_spec
+
                 sk = spec.factory()
-                sk.update_batch(spec.extract(sub))
+                apply_spec(sk, spec, sub, sub_cache)
                 out[spec.name].append(sk.to_bytes())
         out["rows"] = [int((codes == gi).sum()) for gi in range(len(uniques))]
         return pa.table(out)

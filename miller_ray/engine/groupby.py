@@ -92,7 +92,10 @@ def _partial_builder(group_by: list[str], fields: list[str], moments: dict[str, 
         aggs.append(([], "count_all"))
         work = pa.table(cols)
         out = work.group_by(keys).aggregate(aggs)
-        return out
+        # canonical column order: Table.group_by emits aggregate columns
+        # in hash order, which varies per block and breaks downstream
+        # schema unification
+        return out.select(sorted(out.column_names))
 
     return partial
 
@@ -140,8 +143,20 @@ def grouped_stats(ds, group_by: list[str], fields: list[str], accs: list[str]) -
             if src not in agg_cols:
                 agg_cols.append(src)
     agg_cols.append("count_all")
-    merged = parts.groupby(keys).aggregate(*[_ray_agg_for(c) for c in agg_cols])
-    pdf = merged.to_pandas()  # small: one row per group
+    # partials are O(blocks x groups): fold small fan-in on the driver
+    # (a Ray shuffle on a few hundred rows is pure fixed overhead); the
+    # distributed merge below is the scale path for high-cardinality keys
+    parts = parts.materialize()
+    if parts.count() <= 100_000:
+        ppdf = parts.to_pandas()
+        spec = {}
+        for c in agg_cols:
+            spec[c] = "min" if c.endswith("_min") else (
+                "max" if c.endswith("_max") else "sum")
+        pdf = ppdf.groupby(keys, sort=False, dropna=False).agg(spec).reset_index()
+    else:
+        merged = parts.groupby(keys).aggregate(*[_ray_agg_for(c) for c in agg_cols])
+        pdf = merged.to_pandas()  # small: one row per group
 
     out = pdf[[k for k in keys if k != _DUMMY]].copy()
 

@@ -46,29 +46,66 @@ class SketchSpec:
     name: str
     factory: Callable[[], Any]
     extract: Callable[[pa.Table], Any]
+    update: Callable[[Any, pa.Table, dict], None] | None = None
+
+    @staticmethod
+    def custom(name: str, factory: Callable[[], Any],
+               update: Callable[[Any, pa.Table, dict], None]) -> "SketchSpec":
+        """Spec with a custom per-batch update hook ``update(sketch,
+        batch, cache)`` — lets several sketches share one pass over the
+        data via the per-batch cache (e.g. one token bincount feeding
+        both CMS heavy-hitters and the value histogram)."""
+        return SketchSpec(name, factory, lambda t, cache=None: None, update)
 
     @staticmethod
     def column(name: str, factory: Callable[[], Any], col: str) -> "SketchSpec":
-        return SketchSpec(name, factory, lambda t, c=col: t[c])
+        return SketchSpec(name, factory, lambda t, cache=None, c=col: t[c])
 
     @staticmethod
     def flat_list_column(name: str, factory: Callable[[], Any], col: str) -> "SketchSpec":
-        """Feed the flattened values of a list<...> column (zero-copy)."""
+        """Feed the flattened values of a list<...> column (zero-copy).
 
-        def ex(t: pa.Table, c=col):
+        When several specs flatten the same column (CMS heavy-hitters +
+        KLL over token values), the per-batch ``cache`` dict dedups the
+        flatten — list columns are the dominant bytes in a tokens table,
+        so flattening once halves the batch's memory traffic."""
+
+        def ex(t: pa.Table, cache=None, c=col):
+            key = ("flat", c)
+            if cache is not None and key in cache:
+                return cache[key]
             chunked = t[c]
             arrs = [chunk.flatten() for chunk in chunked.chunks]
-            return pa.concat_arrays(arrs) if arrs else pa.array([], type=pa.int64())
+            flat = pa.concat_arrays(arrs) if arrs else pa.array([], type=pa.int64())
+            # hand sketches a numpy view at NATIVE width: every downstream
+            # np.asarray is then a no-op instead of a fresh 10M-element copy
+            out = flat.to_numpy(zero_copy_only=False)
+            if cache is not None:
+                cache[key] = out
+            return out
 
         return SketchSpec(name, factory, ex)
+
+
+def apply_spec(sk, spec: "SketchSpec", t: pa.Table, cache: dict) -> None:
+    """Feed one batch into one sketch, honoring custom update hooks."""
+    if spec.update is not None:
+        spec.update(sk, t, cache)
+        return
+    try:
+        vals = spec.extract(t, cache)
+    except TypeError:  # user-supplied extract without cache param
+        vals = spec.extract(t)
+    sk.update_batch(vals)
 
 
 def _partial_fn(specs: list[SketchSpec]):
     def build(t: pa.Table) -> pa.Table:
         row: dict[str, list] = {}
+        cache: dict = {}
         for spec in specs:
             sk = spec.factory()
-            sk.update_batch(spec.extract(t))
+            apply_spec(sk, spec, t, cache)
             row[spec.name] = [sk.to_bytes()]
         return pa.table(row)
 
@@ -91,7 +128,7 @@ def _merge_fn(specs: list[SketchSpec]):
     return merge
 
 
-def build_sketches(ds, specs: list[SketchSpec], batch_size: int | None = 131072,
+def build_sketches(ds, specs: list[SketchSpec], batch_size: int | None = None,
                    merge_fanin: int = 64) -> dict[str, Any]:
     """Build all specs in ONE pass over ds; returns {name: merged sketch}."""
     parts = ds.map_batches(_partial_fn(specs), batch_format="pyarrow",
@@ -103,7 +140,7 @@ def build_sketches(ds, specs: list[SketchSpec], batch_size: int | None = 131072,
     # action would re-execute the whole build pass.
     parts = parts.materialize()
     n = parts.count()
-    while n > 4 * merge_fanin:
+    while n > merge_fanin:
         parts = parts.repartition(max(1, n // merge_fanin)).map_batches(
             merge, batch_format="pyarrow", batch_size=merge_fanin).materialize()
         n = parts.count()
@@ -122,7 +159,7 @@ def build_sketches(ds, specs: list[SketchSpec], batch_size: int | None = 131072,
 
 
 def build_grouped_sketches(ds, group_by: list[str], specs: list[SketchSpec],
-                           batch_size: int | None = 131072,
+                           batch_size: int | None = None,
                            n_salts: int = 16) -> pd.DataFrame:
     """Per-group sketches with two-level salted merge.
 
@@ -154,9 +191,10 @@ def build_grouped_sketches(ds, group_by: list[str], specs: list[SketchSpec],
             else:
                 for k, v in zip(group_by, kv):
                     out_cols[k].append(v)
+            sub_cache: dict = {}
             for spec in specs:
                 sk = spec.factory()
-                sk.update_batch(spec.extract(sub))
+                apply_spec(sk, spec, sub, sub_cache)
                 out_cols[spec.name].append(sk.to_bytes())
         # deterministic salt from the first blob's content
         first = specs[0].name
@@ -166,9 +204,28 @@ def build_grouped_sketches(ds, group_by: list[str], specs: list[SketchSpec],
         return pa.table(out_cols)
 
     parts = ds.map_batches(build, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=batch_size)
+                           zero_copy_batch=True, batch_size=batch_size).materialize()
 
     classes = {s.name: type(s.factory()) for s in specs}
+
+    # Small fan-in: fold the KB-sized partials on the driver — two Ray
+    # shuffle stages on a few hundred blob rows is pure fixed overhead.
+    # The salted two-level distributed merge below is the scale path
+    # (millions of partials / thousands of groups).
+    if parts.count() <= 5000:
+        pdf = parts.to_pandas()
+        rows = []
+        for key_vals, grp in pdf.groupby(group_by, sort=False):
+            if len(group_by) == 1:
+                key_vals = (key_vals,) if not isinstance(key_vals, tuple) else key_vals
+            row = dict(zip(group_by, key_vals))
+            for name, cls in classes.items():
+                acc = cls.from_bytes(grp[name].iloc[0])
+                for b in grp[name].iloc[1:]:
+                    acc.merge(cls.from_bytes(b))
+                row[name] = acc
+            rows.append(row)
+        return pd.DataFrame(rows)
 
     def merge_group(df: pd.DataFrame) -> pd.DataFrame:
         row = {k: [df[k].iloc[0]] for k in group_by}

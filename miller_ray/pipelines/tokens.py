@@ -20,15 +20,43 @@ import ray.data as rd
 
 from miller_ray.engine.udaf import SketchSpec, build_grouped_sketches, build_sketches
 from miller_ray.schema import sf_to_tokens_rows, tokens_parquet_path
-from miller_ray.sketches import BloomFilter, HeavyHitters, HyperLogLog, KLL, TDigest
+from miller_ray.sketches import (BloomFilter, BoundedIntHist, HeavyHitters,
+                                 HyperLogLog, KLL, TDigest)
+from miller_ray.schema import VOCAB_SIZE
 
 
 def read_tokens(sf_dir: str, n_rows: int | None = None):
     """Tokens Dataset for a testdata sf dir (deterministic synthetic,
-    cached as multi-row-group Parquet under /tmp)."""
+    cached as a multi-file Parquet dataset under /tmp).
+
+    One read task per file: each file is one shard (~3k rows) and one
+    partial-sketch unit; letting Ray over-split just multiplies
+    scheduling overhead and partial-state blobs without adding real
+    parallelism."""
+    import os
+
     n = n_rows or sf_to_tokens_rows(sf_dir)
     path = tokens_parquet_path(n)
-    return rd.read_parquet(path)
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return rd.read_parquet(path, override_num_blocks=max(1, n_files))
+
+
+def _token_counts(t, cache) -> np.ndarray:
+    """ONE bincount pass over the batch's flattened tokens, shared via
+    the per-batch cache by every token-frequency sketch. Token ids are
+    bounded ([0, vocab)), so this dense count vector is a sufficient
+    statistic for CMS heavy-hitters AND value quantiles — the token
+    stream is scanned exactly once per batch."""
+    key = ("bincount", "tokens")
+    if key not in cache:
+        chunked = t["tokens"]
+        arrs = [c.flatten() for c in chunked.chunks]
+        flat = pa.concat_arrays(arrs).to_numpy(zero_copy_only=False) \
+            if arrs else np.zeros(0, dtype=np.int32)
+        from miller_ray.sketches.base import bincount_chunked
+
+        cache[key] = bincount_chunked(flat, minlength=VOCAB_SIZE)
+    return cache[key]
 
 
 def default_specs(hll_p: int = 14, hh_k: int = 50, kll_k: int = 200,
@@ -36,10 +64,17 @@ def default_specs(hll_p: int = 14, hh_k: int = 50, kll_k: int = 200,
     return [
         SketchSpec.column("hll_doc_id", lambda: HyperLogLog(p=hll_p), "doc_id"),
         SketchSpec.column("hll_source", lambda: HyperLogLog(p=hll_p), "source"),
-        SketchSpec.flat_list_column("hh_tokens", lambda: HeavyHitters(k=hh_k, eps=1e-4, delta=1e-3), "tokens"),
+        SketchSpec.custom("hh_tokens",
+                          lambda: HeavyHitters(k=hh_k, eps=1e-4, delta=1e-3),
+                          lambda sk, t, cache: sk.update_from_counts(_token_counts(t, cache))),
         SketchSpec.column("kll_n_tok", lambda: KLL(k=kll_k), "n_tok"),
         SketchSpec.column("td_n_tok", lambda: TDigest(td_compression), "n_tok"),
-        SketchSpec.flat_list_column("kll_token_values", lambda: KLL(k=kll_k), "tokens"),
+        # token VALUES live in [0, vocab): the exact bounded-int histogram
+        # replaces a KLL here — it rides the shared bincount instead of
+        # an O(n log n) sort, the flagship's bandwidth hot spot
+        SketchSpec.custom("hist_token_values",
+                          lambda: BoundedIntHist(domain=VOCAB_SIZE),
+                          lambda sk, t, cache: sk.update_counts(_token_counts(t, cache))),
         SketchSpec.column("bloom_doc_id", lambda: BloomFilter(capacity=bloom_capacity, fpp=0.01), "doc_id"),
     ]
 
@@ -61,7 +96,7 @@ def sketch_summary(ds) -> pd.DataFrame:
     for p in (50, 90, 99):
         rows.append(("kll_n_tok", f"p{p}", sk["kll_n_tok"].quantile(p)))
         rows.append(("td_n_tok", f"p{p}", sk["td_n_tok"].quantile(p)))
-        rows.append(("kll_token_values", f"p{p}", sk["kll_token_values"].quantile(p)))
+        rows.append(("hist_token_values", f"p{p}", sk["hist_token_values"].quantile(p)))
     rows.append(("bloom_doc_id", "estimated_fpp", sk["bloom_doc_id"].estimated_fpp()))
     return pd.DataFrame(rows, columns=["sketch", "stat", "value"])
 

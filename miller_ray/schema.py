@@ -74,42 +74,52 @@ def generate_tokens_table(n_rows: int, seed: int = 42, dup_fraction: float = 0.0
 
 
 def tokens_parquet_path(n_rows: int, seed: int = 42, dup_fraction: float = 0.0) -> str:
-    """Generate-once-and-cache a tokens Parquet file under /tmp.
+    """Generate-once-and-cache a tokens Parquet DATASET (directory of
+    files) under /tmp.
 
-    Written in chunks with bounded row groups so Ray's parquet reader
-    splits it into multiple blocks (parallel read even from one file).
+    Written as many small files (≥1 per expected CPU at bench scale) so
+    Ray's parquet reader gets enough independent blocks to parallelize —
+    the 100 TB layout in miniature (one file ≈ one shard). A single file
+    with a handful of row groups serializes the whole scan.
     """
-    tag = f"tokens_n{n_rows}_s{seed}_d{int(dup_fraction * 1000)}"
-    path = os.path.join(_CACHE_ROOT, tag + ".parquet")
-    if os.path.exists(path):
+    tag = f"tokens_n{n_rows}_s{seed}_d{int(dup_fraction * 1000)}_v2"
+    path = os.path.join(_CACHE_ROOT, tag)
+    done_marker = path + ".done"  # sibling file: keeps the dir parquet-only
+    if os.path.exists(done_marker):
         return path
-    os.makedirs(_CACHE_ROOT, exist_ok=True)
-    tmp = path + ".tmp"
-    chunk = 100_000
-    writer = None
-    try:
-        for start in range(0, n_rows, chunk):
-            n = min(chunk, n_rows - start)
-            # chunk-local seed keeps memory bounded and is deterministic
-            t = generate_tokens_table(n, seed=seed + start, dup_fraction=dup_fraction)
-            if start and dup_fraction == 0.0:
-                # re-key doc_ids so they stay globally unique; with
-                # dup_fraction > 0 chunk-local ids repeat ACROSS chunks,
-                # giving cross-partition duplicates (what dedup tests need)
-                ids = np.char.add("doc-", np.char.zfill(
-                    (np.arange(n) + start).astype(str), 12))
-                t = t.set_column(0, "doc_id", pa.array(ids.tolist(), type=pa.string()))
-            if writer is None:
-                writer = pq.ParquetWriter(tmp, t.schema)
-            writer.write_table(t, row_group_size=25_000)
-    finally:
-        if writer is not None:
-            writer.close()
-    os.replace(tmp, path)
+    os.makedirs(path, exist_ok=True)
+    # ~64 files at bench scale; files stay ≥3125 rows so tiny scales
+    # don't produce hundreds of 100-row files
+    file_rows = max(3125, -(-n_rows // 64))
+    fidx = 0
+    for start in range(0, n_rows, file_rows):
+        n = min(file_rows, n_rows - start)
+        # chunk-local seed keeps memory bounded and is deterministic
+        t = generate_tokens_table(n, seed=seed + start, dup_fraction=dup_fraction)
+        if start and dup_fraction == 0.0:
+            # re-key doc_ids so they stay globally unique; with
+            # dup_fraction > 0 chunk-local ids repeat ACROSS chunks,
+            # giving cross-partition duplicates (what dedup tests need)
+            ids = np.char.add("doc-", np.char.zfill(
+                (np.arange(n) + start).astype(str), 12))
+            t = t.set_column(0, "doc_id", pa.array(ids.tolist(), type=pa.string()))
+        fp = os.path.join(path, f"part-{fidx:05d}.parquet")
+        # uncompressed + non-dict: scan-side decode is a memcpy, so the
+        # bench measures sketch-build throughput, not snappy decode
+        pq.write_table(t, fp + ".tmp", row_group_size=file_rows,
+                       compression="none", use_dictionary=False)
+        os.replace(fp + ".tmp", fp)
+        fidx += 1
+    with open(done_marker, "w") as f:
+        f.write(str(fidx))
     return path
 
 
 def sf_to_tokens_rows(sf_dir: str) -> int:
-    """Map a testdata sf dir to a deterministic tokens-table size."""
+    """Map a testdata sf dir to a deterministic tokens-table size.
+    $GRAFT_TOKENS_ROWS overrides (bench --scaling uses a larger table)."""
+    env = os.environ.get("GRAFT_TOKENS_ROWS")
+    if env:
+        return int(env)
     base = os.path.basename(sf_dir.rstrip("/"))
     return {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}.get(base, 20_000)

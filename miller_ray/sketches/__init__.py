@@ -13,9 +13,11 @@ from miller_ray.sketches.cms import CountMinSketch, HeavyHitters
 from miller_ray.sketches.kll import KLL
 from miller_ray.sketches.tdigest import TDigest
 from miller_ray.sketches.bloom import BloomFilter
+from miller_ray.sketches.inthist import BoundedIntHist
 from miller_ray.sketches.minhash import MinHash, simhash64
 
 __all__ = [
+    "BoundedIntHist",
     "Sketch",
     "HyperLogLog",
     "CountMinSketch",

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from miller_ray.hashing import hash_pair
-from miller_ray.sketches.base import pack_arrays, unpack_arrays
+from miller_ray.sketches.base import bincount_chunked, pack_arrays, unpack_arrays
 
 _TAG = b"CMS1"
 
@@ -142,7 +142,9 @@ class HeavyHitters:
             self.cand_counts = self.cand_counts[order]
 
     def update_batch(self, values, weights: np.ndarray | None = None) -> None:
-        vals = np.asarray(values, dtype=np.int64)
+        vals = np.asarray(values)  # keep native int width — no 2x copy
+        if vals.dtype.kind not in "iu":
+            vals = vals.astype(np.int64)
         if vals.size == 0:
             return
         if weights is None:
@@ -151,7 +153,7 @@ class HeavyHitters:
             if 0 <= vmin and vmax < (1 << 22):
                 # small-domain ints (token ids): O(n) bincount beats the
                 # O(n log n) sort inside np.unique
-                full = np.bincount(vals)
+                full = bincount_chunked(vals, minlength=0)
                 uniq = np.flatnonzero(full)
                 cnt = full[uniq].astype(np.int64)
                 uniq = uniq.astype(np.int64)
@@ -165,6 +167,21 @@ class HeavyHitters:
         # one unique pass serves both the CMS (hash #distinct values, not
         # #items) and the exact candidate fold below
         self.cms.update_batch(uniq, weights=cnt)
+        self._fold_candidates(uniq, cnt)
+        self._truncate()
+
+    def update_from_counts(self, counts: np.ndarray) -> None:
+        """Ingest a precomputed dense count vector (index = value) — lets
+        several sketches share ONE bincount pass over a token stream."""
+        uniq = np.flatnonzero(counts).astype(np.int64)
+        if uniq.size == 0:
+            return
+        cnt = counts[uniq].astype(np.int64)
+        self.cms.update_batch(uniq, weights=cnt)
+        self._fold_candidates(uniq, cnt)
+        self._truncate()
+
+    def _fold_candidates(self, uniq: np.ndarray, cnt: np.ndarray) -> None:
         # fold into the running candidate map
         allv = np.concatenate([self.cand_values, uniq])
         allc = np.concatenate([self.cand_counts, cnt])
@@ -197,12 +214,9 @@ class HeavyHitters:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "HeavyHitters":
-        # pack_arrays is length-prefixed, so find the CMS tail by parsing
-        scalars, arrays = unpack_arrays(data, _HH_TAG)
-        # re-serialize len: 4 + 4 + 8*2 + 4 + sum(1+len(dtype)+8+nbytes)
-        off = 4 + 4 + 8 * 2 + 4
-        for a in arrays:
-            off += 1 + len(a.dtype.str) + 8 + a.nbytes
+        from miller_ray.sketches.base import unpack_arrays_ex
+
+        scalars, arrays, off = unpack_arrays_ex(data, _HH_TAG)
         obj = cls(k=int(scalars[0]), slack=int(scalars[1]))
         obj.cand_values = arrays[0].astype(np.int64)
         obj.cand_counts = arrays[1].astype(np.int64)

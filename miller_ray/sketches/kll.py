@@ -76,14 +76,21 @@ class KLL:
 
     # -- updates ---------------------------------------------------------
     def update_batch(self, values) -> None:
-        v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        raw = np.asarray(values)
+        if raw.dtype.kind in "iu":
+            # integer fast path: sort at native width (int32 tokens move
+            # half the bytes of float64), no NaN scan needed
+            v = raw
+        else:
+            v = raw.astype(np.float64, copy=False)
+            v = v[~np.isnan(v)]
         if v.size == 0:
             return
         self.n += v.size
         cap0 = max(self.k, 8)
         if v.size <= 2 * cap0:
-            self.levels[0] = np.concatenate([self.levels[0], v])
+            self.levels[0] = np.concatenate([self.levels[0],
+                                             v.astype(np.float64, copy=False)])
             if self._size() > self._total_capacity():
                 self._compress()
             return

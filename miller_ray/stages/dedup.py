@@ -50,6 +50,42 @@ def exact_dedup(ds, content_cols: list[str], id_col: str,
     return hashed.groupby("__h").map_groups(first_per_group, batch_format="pandas")
 
 
+def _keep_multi_member_buckets(ds, keys: list[str]):
+    """Filter an exploded bucket Dataset down to buckets with >= 2
+    members. Singleton buckets (the overwhelming majority under any
+    realistic dup rate) cannot produce candidate pairs, and per-group
+    map_groups pays a Python call PER BUCKET — pruning first makes the
+    pair stage proportional to the duplicate count, not the corpus.
+
+    Count via per-block partial aggregation (small shuffle), filter
+    count>=2 vectorized, broadcast the surviving key set with ray.put."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select(keys).group_by(keys).aggregate([([], "count_all")])
+
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby(keys).aggregate(Sum("count_all", alias_name="n"))
+    multi = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(keys),
+        batch_format="pyarrow").to_pandas()
+    if multi.empty:
+        return ds.limit(0)
+    wanted = set(map(tuple, multi.itertuples(index=False, name=None)))
+    ref = ray.put(wanted)
+
+    def keep(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        cols = [np.asarray(t[k]) for k in keys]
+        mask = np.fromiter((tuple(c[i] for c in cols) in w
+                            for i in range(t.num_rows)), bool, t.num_rows)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _word_shingles(t: pa.Table, text_col: str, n: int = 3):
     """(flat shingle hashes, offsets) for each doc in the batch."""
     words = pc.split_pattern_regex(pc.cast(t[text_col], pa.string()), pattern=r"\s+")
@@ -135,6 +171,7 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 out_j.append(float(agree[j]))
         return pd.DataFrame({"a": out_a, "b": out_b, "est_j": out_j})
 
+    exploded = _keep_multi_member_buckets(exploded, ["band", "bh"])
     edge_df = exploded.groupby(["band", "bh"]).map_groups(
         pairs, batch_format="pandas").to_pandas()
     edge_df = edge_df.drop_duplicates(["a", "b"])
@@ -208,9 +245,10 @@ def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 out_h.append(int(d[j]))
         return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
 
-    edges = fps.map_batches(explode, batch_format="pyarrow") \
-               .groupby(["band", "key"]).map_groups(pairs, batch_format="pandas") \
-               .to_pandas()
+    exploded = _keep_multi_member_buckets(
+        fps.map_batches(explode, batch_format="pyarrow"), ["band", "key"])
+    edges = exploded.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas") \
+                    .to_pandas()
     return edges.drop_duplicates(["a", "b"]).reset_index(drop=True)
 
 

@@ -42,12 +42,22 @@ def count(ds, group_by: list[str] | None = None, output_name: str = "count") -> 
         return pd.DataFrame({output_name: [ds.count()]})
     # pre-aggregate per block, then merge: one row per (block, group)
     def partial(t: pa.Table) -> pa.Table:
-        return t.group_by(group_by).aggregate([([], "count_all")])
+        out = t.group_by(group_by).aggregate([([], "count_all")])
+        return out.select(sorted(out.column_names))
 
-    from ray.data.aggregate import Sum
+    parts = ds.select_columns(group_by).map_batches(
+        partial, batch_format="pyarrow").materialize()
+    # small fan-in -> driver fold (a distributed shuffle on a few MB of
+    # partials is pure overhead); high-cardinality keys take the Ray path
+    if parts.count() <= 2_000_000:
+        pdf = parts.to_pandas()
+        out = (pdf.groupby(group_by, sort=False, dropna=False)["count_all"]
+                  .sum().reset_index().rename(columns={"count_all": output_name}))
+    else:
+        from ray.data.aggregate import Sum
 
-    parts = ds.select_columns(group_by).map_batches(partial, batch_format="pyarrow")
-    out = parts.groupby(group_by).aggregate(Sum("count_all", alias_name=output_name)).to_pandas()
+        out = parts.groupby(group_by).aggregate(
+            Sum("count_all", alias_name=output_name)).to_pandas()
     out[output_name] = out[output_name].astype(np.int64)
     return out
 
