@@ -26,7 +26,7 @@ def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      emb_col: str = "embedding", id_col: str = "vec_id",
-                     concurrency: int = 4) -> pd.DataFrame:
+                     concurrency=(1, 4)) -> pd.DataFrame:
     """Exact cosine top-k for each query row. Output columns:
     (query_id, rank, vec_id) — rank 1-based by (similarity desc, vec_id
     asc); similarity itself is omitted so results are float-free.

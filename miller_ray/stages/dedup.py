@@ -106,7 +106,7 @@ def _word_shingles(t: pa.Table, text_col: str, n: int = 3):
 
 def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
                        k: int = 128, shingle_n: int = 3, seed: int = 0,
-                       concurrency: int = 4):
+                       concurrency=(1, 4)):
     """Dataset of (id, sig: list<uint64>) — actor pool holds the MinHash
     permutation table (k x 2 uint64) across batches."""
 
@@ -194,7 +194,7 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
-                         concurrency: int = 4):
+                         concurrency=(1, 4)):
     """(id, simhash: int64) fingerprints, vectorized per batch."""
 
     def f(t: pa.Table) -> pa.Table:

@@ -63,7 +63,7 @@ class ImageFeatureExtractor:
         return pa.table({"media_id": t["media_id"], "features": feat_col})
 
 
-def extract_image_features(ds, concurrency: int = 4, batch_size: int = 128):
+def extract_image_features(ds, concurrency=(1, 4), batch_size: int = 128):
     """Feature extraction over a media table — small batches (binary
     payloads), actor pool, Arrow in/out."""
     return ds.map_batches(ImageFeatureExtractor, batch_format="pyarrow",

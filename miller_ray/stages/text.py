@@ -89,7 +89,7 @@ class QualityScorer:
         return t
 
 
-def quality_score(ds, concurrency: int = 4):
+def quality_score(ds, concurrency=(1, 4)):
     return ds.map_batches(QualityScorer, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=concurrency)
 
@@ -133,4 +133,4 @@ def lang_id(ds, text_col: str = "text", out_col: str = "lang_pred"):
             df[out_col] = preds
             return df
 
-    return ds.map_batches(Scorer, batch_format="pandas", concurrency=2)
+    return ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 2))

@@ -617,7 +617,7 @@ def _broadcast_join(ds, small_df: pd.DataFrame, on: list[str], how: str = "left"
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             return df.merge(self.small, on=on, how=how)
 
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=4)
+    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 4))
 
 
 def join(ds, right, on: list[str], how: str = "inner",
