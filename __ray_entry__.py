@@ -561,6 +561,51 @@ def q_bloom_membership(sf_dir: str):
     })
 
 
+def q_fill_down(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+    # null out values on odd event_ids, then carry forward per user
+    ds = verbs.put(ds, value=lambda t: pc.if_else(
+        pc.equal(pc.bit_wise_and(t["event_id"], 1), 0),
+        t["value"], pa.nulls(t.num_rows, pa.float64())))
+    r = verbs.fill_down(ds, ["value"], ["user_id"], "event_id")
+    out = r.to_pandas()[["event_id", "value"]]
+    return _round(out.fillna({"value": -1.0}), {"value": 6})
+
+
+def q_step_shift(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+    r = verbs.step(ds, ["value"], ["shift_lag", "shift_lead"], ["user_id"], "event_id")
+    out = r.select_columns(["event_id", "value_shift_lag", "value_shift_lead"]).to_pandas()
+    return _round(out.fillna(-1.0), {"value_shift_lag": 6, "value_shift_lead": 6})
+
+
+def q_step_ewma(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+    r = verbs.step(ds, ["value"], ["ewma"], ["user_id"], "event_id")
+    return _round(r.select_columns(["event_id", "value_ewma"]).to_pandas(),
+                  {"value_ewma": 6})
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from miller_ray.stages import dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.simhash_near_pairs(ds, max_hamming=3)
+    if pairs.empty:
+        return pairs.assign(jaccard=[])
+    r = dedup.ngram_jaccard(ds, pairs.head(20))
+    return _round(r, {"jaccard": 6})
+
+
 def q_checkpointed_sketch(sf_dir: str):
     """Resumable sketch build with per-partition lineage manifests
     (north rule): run once over a 4-file shard layout, report the merged
@@ -715,6 +760,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_grouped": q_sketch_grouped,
         "bloom_membership": q_bloom_membership,
         "checkpointed_sketch": q_checkpointed_sketch,
+        "fill_down": q_fill_down,
+        "step_shift": q_step_shift,
+        "step_ewma": q_step_ewma,
+        "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "sample_reservoir": q_sample_reservoir,
@@ -972,4 +1021,13 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority",
         "tee":
             "SELECT s_nationkey, count(*) AS count FROM supplier GROUP BY s_nationkey",
+        "fill_down":
+            "SELECT event_id, ROUND(COALESCE(last_value(CASE WHEN event_id % 2 = 0 "
+            "THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY "
+            "event_id ROWS UNBOUNDED PRECEDING), -1.0), 6) AS value FROM events",
+        "step_shift":
+            "SELECT event_id, "
+            "ROUND(COALESCE(lag(value) OVER w, -1.0), 6) AS value_shift_lag, "
+            "ROUND(COALESCE(lead(value) OVER w, -1.0), 6) AS value_shift_lead "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)",
     }

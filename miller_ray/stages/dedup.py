@@ -194,8 +194,9 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
-                         concurrency=(1, 4)):
-    """(id, simhash: int64) fingerprints, vectorized per batch."""
+                         concurrency=None):
+    """(id, simhash: int64) fingerprints, vectorized per batch.
+    Stateless fn -> task pool (concurrency tuple is actor-only)."""
 
     def f(t: pa.Table) -> pa.Table:
         words = pc.split_pattern_regex(pc.cast(t[text_col], pa.string()), pattern=r"\s+")

@@ -518,15 +518,19 @@ def fill_down(ds, fields: list[str], group_by: list[str], order_by: str):
 
 
 def step(ds, fields: list[str], steppers: list[str], group_by: list[str],
-         order_by: str):
-    """Verb ``step -a delta,shift,rsum,counter`` (step.go:631-712):
-    per-group successive-record functions over an explicit order column."""
+         order_by: str, ewma_alpha: float = 0.5):
+    """Verb ``step -a delta,shift,rsum,counter,ewma`` (step.go:631-712):
+    per-group successive-record functions over an explicit order column.
+    ``ewma`` uses Miller's recursive form with smoothing ``ewma_alpha``
+    (step.go ewma stepper; ``-d`` flag)."""
 
     def apply(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(order_by)
         for f in fields:
             for s in steppers:
-                if s == "delta":
+                if s == "ewma":
+                    df[f"{f}_ewma"] = df[f].ewm(alpha=ewma_alpha, adjust=False).mean()
+                elif s == "delta":
                     df[f"{f}_delta"] = df[f].diff().fillna(0)
                 elif s == "shift" or s == "shift_lag":
                     df[f"{f}_{s}"] = df[f].shift(1)
