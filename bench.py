@@ -61,6 +61,9 @@ def _init_ray(num_cpus: int) -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.print_on_execution_start = False
+    # one block per ~170MB input shard: a partial sketch per shard, not
+    # per Ray-split sub-block (4x fewer blobs through the merge)
+    ctx.target_max_block_size = 512 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------

@@ -141,7 +141,10 @@ def build_sketches(ds, specs: list[SketchSpec], batch_size: int | None = None,
     parts = parts.materialize()
     n = parts.count()
     while n > merge_fanin:
-        parts = parts.repartition(max(1, n // merge_fanin)).map_batches(
+        # partials are single-row blocks; batch_size bundles merge_fanin
+        # consecutive blocks per merge task — same tree level as an
+        # explicit repartition without shuffling the blobs twice
+        parts = parts.map_batches(
             merge, batch_format="pyarrow", batch_size=merge_fanin).materialize()
         n = parts.count()
     rows = parts.take_all()
