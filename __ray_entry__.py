@@ -561,6 +561,22 @@ def q_bloom_membership(sf_dir: str):
     })
 
 
+def q_dsl_functions(sf_dir: str):
+    """Composed Miller DSL built-ins (functions.py, SURVEY §2.8)."""
+    from miller_ray import functions as F
+
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_retailprice"])
+    for spec in [("strlen", "p_name", "name_len"),
+                 ("toupper", "p_brand", "brand_uc"),
+                 ("sqrt", "p_retailprice", "price_sqrt"),
+                 ("md5", "p_name", "name_md5"),
+                 ("sub", "p_name", "name_sub", " ", "_")]:
+        ds = ds.map_batches(F.put_fn(*spec), batch_format="pyarrow")
+    out = ds.select_columns(
+        ["p_partkey", "name_len", "brand_uc", "price_sqrt", "name_md5", "name_sub"])
+    return _round(out.to_pandas(), {"price_sqrt": 6})
+
+
 def q_fill_down(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -760,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_grouped": q_sketch_grouped,
         "bloom_membership": q_bloom_membership,
         "checkpointed_sketch": q_checkpointed_sketch,
+        "dsl_functions": q_dsl_functions,
         "fill_down": q_fill_down,
         "step_shift": q_step_shift,
         "step_ewma": q_step_ewma,
@@ -1021,6 +1038,11 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority",
         "tee":
             "SELECT s_nationkey, count(*) AS count FROM supplier GROUP BY s_nationkey",
+        "dsl_functions":
+            "SELECT p_partkey, CAST(length(p_name) AS BIGINT) AS name_len, "
+            "upper(p_brand) AS brand_uc, ROUND(sqrt(p_retailprice), 6) AS price_sqrt, "
+            "md5(p_name) AS name_md5, "
+            "regexp_replace(p_name, ' ', '_') AS name_sub FROM part",
         "fill_down":
             "SELECT event_id, ROUND(COALESCE(last_value(CASE WHEN event_id % 2 = 0 "
             "THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY "

@@ -1,0 +1,325 @@
+"""Miller DSL built-in function library, vectorized (SURVEY.md §2.8).
+
+The reference registers 265 named built-ins
+(``pkg/dsl/cst/builtin_function_manager.go``) implemented as ``BIF_*``
+functions in ``pkg/bifs/``. Here each supported function is a
+vectorized kernel ``Array/ChunkedArray -> Array`` built on
+``pyarrow.compute`` (numpy where Arrow lacks a kernel) — usable inside
+any ``map_batches`` stage via :func:`apply` / :func:`put_fn`, the
+engine's analogue of the DSL's per-record expression evaluation.
+
+Naming follows Miller exactly (``toupper``, ``strlen``, ``sec2gmt``,
+``md5``...). Semantics notes per function cite the reference file.
+Functions are registered in ``REGISTRY``; ``supported()`` lists names.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+REGISTRY: dict[str, Callable] = {}
+
+
+def bif(name):
+    def deco(fn):
+        REGISTRY[name] = fn
+        fn.__name__ = name
+        return fn
+
+    return deco
+
+
+def supported() -> list[str]:
+    return sorted(REGISTRY)
+
+
+def apply(name: str, *args):
+    """Apply a registered Miller function to Arrow array / scalar args."""
+    return REGISTRY[name](*args)
+
+
+def put_fn(name: str, col: str, out: str | None = None, *extra):
+    """Batch fn for ``verbs.put``-style use: table -> table with
+    ``out`` (default: overwrite ``col``) = fn(col, *extra)."""
+    out = out or col
+
+    def f(t: pa.Table) -> pa.Table:
+        arr = REGISTRY[name](t[col], *extra)
+        if out in t.column_names:
+            return t.set_column(t.column_names.index(out), out, arr)
+        return t.append_column(out, arr)
+
+    return f
+
+
+def _s(x):
+    return pc.cast(x, pa.string())
+
+
+def _f(x):
+    return pc.cast(x, pa.float64())
+
+
+# --- strings (pkg/bifs/strings.go) -----------------------------------------
+
+bif("strlen")(lambda x: pc.utf8_length(_s(x)))
+bif("toupper")(lambda x: pc.utf8_upper(_s(x)))
+bif("tolower")(lambda x: pc.utf8_lower(_s(x)))
+bif("capitalize")(lambda x: pc.utf8_capitalize(_s(x)))
+bif("lstrip")(lambda x: pc.utf8_ltrim_whitespace(_s(x)))
+bif("rstrip")(lambda x: pc.utf8_rtrim_whitespace(_s(x)))
+bif("strip")(lambda x: pc.utf8_trim_whitespace(_s(x)))
+bif("clean_whitespace")(lambda x: pc.replace_substring_regex(
+    pc.utf8_trim_whitespace(_s(x)), pattern=r"\s+", replacement=" "))
+bif("collapse_whitespace")(lambda x: pc.replace_substring_regex(
+    _s(x), pattern=r"\s+", replacement=" "))
+bif("truncate")(lambda x, n: pc.utf8_slice_codeunits(_s(x), 0, n))
+bif("leafcount")(lambda x: pa.array(np.ones(len(x), dtype=np.int64)))
+
+
+@bif("substr")
+def _substr(x, lo, hi):
+    """Miller 1-up inclusive substr (bifs/strings.go substr, 0-up variant
+    substr0 also provided)."""
+    return pc.utf8_slice_codeunits(_s(x), lo - 1, hi)
+
+
+bif("substr0")(lambda x, lo, hi: pc.utf8_slice_codeunits(_s(x), lo, hi + 1))
+bif("ssub")(lambda x, a, b: pc.replace_substring(_s(x), pattern=a, replacement=b,
+                                                 max_replacements=1))
+bif("sub")(lambda x, a, b: pc.replace_substring_regex(_s(x), pattern=a, replacement=b,
+                                                      max_replacements=1))
+bif("gsub")(lambda x, a, b: pc.replace_substring_regex(_s(x), pattern=a, replacement=b))
+bif("matches")(lambda x, p: pc.match_substring_regex(_s(x), p))
+bif("contains")(lambda x, p: pc.match_substring(_s(x), p))
+bif("index")(lambda x, p: pc.add(pc.find_substring(_s(x), p), 1))  # 1-up; 0 if absent
+bif("starts_with")(lambda x, p: pc.starts_with(_s(x), p))
+bif("ends_with")(lambda x, p: pc.ends_with(_s(x), p))
+bif("splitax")(lambda x, sep: pc.split_pattern(_s(x), sep))
+bif("joink")(lambda x, sep: pc.binary_join(x, sep))
+bif("joinv")(lambda x, sep: pc.binary_join(x, sep))
+bif("format_values")(lambda x, fmt: pa.array(np.char.mod(fmt, np.asarray(x))))
+
+
+@bif("fmtnum")
+def _fmtnum(x, fmt):
+    """printf-format a numeric column (bifs/mathlib.go fmtnum)."""
+    return pa.array(np.char.mod(fmt, np.asarray(_f(x))))
+
+
+@bif("strrev")
+def _strrev(x):
+    return pc.utf8_reverse(_s(x))
+
+
+@bif("unformat")
+def _unformat(x):
+    return pc.cast(_s(x), pa.float64())
+
+
+# --- arithmetic / math (pkg/bifs/arithmetic.go, mathlib.go) ----------------
+
+bif("abs")(lambda x: pc.abs(x))
+bif("ceiling")(lambda x: pc.ceil(_f(x)))
+bif("floor")(lambda x: pc.floor(_f(x)))
+bif("round")(lambda x: pc.round(_f(x), 0))
+bif("roundm")(lambda x, m: pc.multiply(pc.round(pc.divide(_f(x), m), 0), m))
+bif("sgn")(lambda x: pc.sign(x))
+bif("exp")(lambda x: pc.exp(_f(x)))
+bif("expm1")(lambda x: pa.array(np.expm1(np.asarray(_f(x)))))
+bif("log")(lambda x: pc.ln(_f(x)))
+bif("log10")(lambda x: pc.log10(_f(x)))
+bif("log1p")(lambda x: pc.log1p(_f(x)))
+bif("pow")(lambda x, y: pc.power(_f(x), y))
+bif("sqrt")(lambda x: pc.sqrt(_f(x)))
+bif("cbrt")(lambda x: pa.array(np.cbrt(np.asarray(_f(x)))))
+bif("sin")(lambda x: pc.sin(_f(x)))
+bif("cos")(lambda x: pc.cos(_f(x)))
+bif("tan")(lambda x: pc.tan(_f(x)))
+bif("asin")(lambda x: pc.asin(_f(x)))
+bif("acos")(lambda x: pc.acos(_f(x)))
+bif("atan")(lambda x: pc.atan(_f(x)))
+bif("atan2")(lambda y, x: pc.atan2(_f(y), _f(x)))
+for _n, _np in [("sinh", np.sinh), ("cosh", np.cosh), ("tanh", np.tanh),
+                ("asinh", np.arcsinh), ("acosh", np.arccosh), ("atanh", np.arctanh)]:
+    bif(_n)(lambda x, _np=_np: pa.array(_np(np.asarray(_f(x)))))
+bif("invqnorm")(lambda x: pa.array(_invqnorm(np.asarray(_f(x)))))
+bif("qnorm")(lambda x: pa.array(_qnorm(np.asarray(_f(x)))))
+bif("min")(lambda *xs: pc.min_element_wise(*xs))
+bif("max")(lambda *xs: pc.max_element_wise(*xs))
+bif("int")(lambda x: pc.cast(pc.trunc(_f(x)), pa.int64()))
+bif("float")(lambda x: _f(x))
+bif("string")(lambda x: _s(x))
+bif("boolean")(lambda x: pc.cast(x, pa.bool_()))
+bif("hexfmt")(lambda x: pa.array(["0x%x" % v for v in np.asarray(x)]))
+bif("bitcount")(lambda x: pa.array(np.array(
+    [bin(int(v) & 0xFFFFFFFFFFFFFFFF).count("1") for v in np.asarray(x)],
+    dtype=np.int64)))
+bif("madd")(lambda a, b, m: pc.cast(pa.array(
+    (np.asarray(a, dtype=np.int64) + np.asarray(b)) % np.int64(m)), pa.int64()))
+bif("urand_range_like")(lambda x: (_ for _ in ()).throw(
+    NotImplementedError("random functions are not deterministic; use "
+                        "miller_ray.hashing for seeded per-row values")))
+
+
+def _qnorm(x):
+    """Standard normal CDF via erf (bifs/mathlib.go qnorm)."""
+    from math import sqrt
+
+    try:
+        from scipy.special import erf  # pragma: no cover
+        return 0.5 * (1 + erf(x / sqrt(2)))
+    except ImportError:
+        import math
+
+        return np.vectorize(lambda v: 0.5 * (1 + math.erf(v / math.sqrt(2))))(x)
+
+
+def _invqnorm(p):
+    """Acklam's inverse-normal approximation (reference implements the
+    same algorithm, bifs/mathlib.go invqnorm)."""
+    p = np.asarray(p, dtype=np.float64)
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+    out = np.full_like(p, np.nan)
+    plow, phigh = 0.02425, 1 - 0.02425
+    lo = (p > 0) & (p < plow)
+    q = np.sqrt(-2 * np.log(p[lo]))
+    out[lo] = ((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5])
+               / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    mid = (p >= plow) & (p <= phigh)
+    q = p[mid] - 0.5
+    r = q * q
+    out[mid] = ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q
+                / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1))
+    hi = (p > phigh) & (p < 1)
+    q = np.sqrt(-2 * np.log(1 - p[hi]))
+    out[hi] = -((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5])
+                / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    return out
+
+
+# --- datetime (pkg/bifs/datetime.go) ---------------------------------------
+
+bif("sec2gmt")(lambda x: pc.strftime(pc.cast(pc.cast(x, pa.int64()), pa.timestamp("s")),
+                                     format="%Y-%m-%dT%H:%M:%SZ"))
+bif("sec2gmtdate")(lambda x: pc.strftime(pc.cast(pc.cast(x, pa.int64()), pa.timestamp("s")),
+                                         format="%Y-%m-%d"))
+bif("gmt2sec")(lambda x: pc.cast(pc.cast(
+    pc.strptime(_s(x), format="%Y-%m-%dT%H:%M:%SZ", unit="s"), pa.int64()), pa.int64()))
+bif("strftime")(lambda x, fmt: pc.strftime(
+    pc.cast(pc.cast(x, pa.int64()), pa.timestamp("s")), format=fmt))
+bif("strptime")(lambda x, fmt: pc.cast(pc.cast(
+    pc.strptime(_s(x), format=fmt, unit="s"), pa.int64()), pa.int64()))
+bif("dhms2sec")(lambda x: pa.array(np.array([_dhms2sec(v) for v in np.asarray(_s(x))],
+                                            dtype=np.int64)))
+
+
+def _dhms2sec(s: str) -> int:
+    import re
+
+    m = re.fullmatch(r"(?:(\d+)d)?(?:(\d+)h)?(?:(\d+)m)?(?:(\d+)s)?", s)
+    if not m:
+        return 0
+    d, h, mi, se = (int(g) if g else 0 for g in m.groups())
+    return ((d * 24 + h) * 60 + mi) * 60 + se
+
+
+@bif("sec2dhms")
+def _sec2dhms(x):
+    vals = np.asarray(x, dtype=np.int64)
+    out = []
+    for v in vals:
+        d, r = divmod(int(v), 86400)
+        h, r = divmod(r, 3600)
+        m, s = divmod(r, 60)
+        out.append(f"{d}d{h:02d}h{m:02d}m{s:02d}s" if d else
+                   (f"{h}h{m:02d}m{s:02d}s" if h else
+                    (f"{m}m{s:02d}s" if m else f"{s}s")))
+    return pa.array(out)
+
+
+# --- hashing (pkg/bifs/hashing.go:25-45) -----------------------------------
+
+def _digest(algo):
+    def h(x):
+        return pa.array([getattr(hashlib, algo)(
+            ("" if v is None else str(v)).encode()).hexdigest()
+            for v in _s(x).to_pylist()])
+
+    return h
+
+
+bif("md5")(_digest("md5"))
+bif("sha1")(_digest("sha1"))
+bif("sha256")(_digest("sha256"))
+bif("sha512")(_digest("sha512"))
+
+
+@bif("crc32")
+def _crc32(x):
+    import zlib
+
+    return pa.array(np.array([zlib.crc32(str(v).encode())
+                              for v in _s(x).to_pylist()], dtype=np.int64))
+
+
+# --- base64 / hex (pkg/bifs/base64.go) -------------------------------------
+
+@bif("base64_encode")
+def _b64e(x):
+    import base64
+
+    return pa.array([base64.b64encode(str(v).encode()).decode()
+                     for v in _s(x).to_pylist()])
+
+
+@bif("base64_decode")
+def _b64d(x):
+    import base64
+
+    return pa.array([base64.b64decode(v).decode()
+                     for v in _s(x).to_pylist()])
+
+
+# --- types (pkg/bifs/types.go) ---------------------------------------------
+
+bif("is_null")(lambda x: pc.is_null(x))
+bif("is_not_null")(lambda x: pc.is_valid(x))
+bif("is_empty")(lambda x: pc.equal(_s(x), ""))
+bif("is_not_empty")(lambda x: pc.not_equal(_s(x), ""))
+# number-shaped per Miller's scanner incl. hex/octal/binary int forms
+# (pkg/mlrval/mlrval_infer.go:110-125)
+_NUM_RE = (r"^[+-]?((\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"
+           r"|0[xX][0-9a-fA-F]+|0[bB][01]+|0[oO][0-7]+)$")
+bif("is_numeric")(lambda x: pc.match_substring_regex(_s(x), _NUM_RE))
+
+
+@bif("typeof")
+def _typeof(x):
+    t = x.type if hasattr(x, "type") else pa.array(x).type
+    if pa.types.is_integer(t):
+        name = "int"
+    elif pa.types.is_floating(t):
+        name = "float"
+    elif pa.types.is_boolean(t):
+        name = "boolean"
+    elif pa.types.is_string(t):
+        name = "string"
+    elif pa.types.is_list(t) or pa.types.is_fixed_size_list(t):
+        name = "array"
+    else:
+        name = "map"
+    n = len(x)
+    return pa.array([name] * n)
