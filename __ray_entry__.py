@@ -561,6 +561,32 @@ def q_bloom_membership(sf_dir: str):
     })
 
 
+def q_stats1_windowed(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+    r = verbs.stats1_windowed(ds, ["mean", "sum", "min"], ["value"],
+                              ["user_id"], "event_id", window=5)
+    out = r.select_columns(["event_id", "value_mean_w5", "value_sum_w5",
+                            "value_min_w5"]).to_pandas()
+    return _round(out, {"value_mean_w5": 6, "value_sum_w5": 6, "value_min_w5": 6})
+
+
+def q_cut_regex(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+    return verbs.cut_regex(ds, r"^l_(orderkey|linenumber|quantity)$")
+
+
+def q_rename_regex(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    return verbs.rename_regex(ds, r"^r_(.*)$", r"region_\1")
+
+
 def q_dsl_functions(sf_dir: str):
     """Composed Miller DSL built-ins (functions.py, SURVEY §2.8)."""
     from miller_ray import functions as F
@@ -777,6 +803,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": q_bloom_membership,
         "checkpointed_sketch": q_checkpointed_sketch,
         "dsl_functions": q_dsl_functions,
+        "stats1_windowed": q_stats1_windowed,
+        "cut_regex": q_cut_regex,
+        "rename_regex": q_rename_regex,
         "fill_down": q_fill_down,
         "step_shift": q_step_shift,
         "step_ewma": q_step_ewma,
@@ -1038,6 +1067,17 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority",
         "tee":
             "SELECT s_nationkey, count(*) AS count FROM supplier GROUP BY s_nationkey",
+        "stats1_windowed":
+            "SELECT event_id, "
+            "ROUND(avg(value) OVER w, 6) AS value_mean_w5, "
+            "ROUND(sum(value) OVER w, 6) AS value_sum_w5, "
+            "ROUND(min(value) OVER w, 6) AS value_min_w5 "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)",
+        "cut_regex":
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+        "rename_regex":
+            "SELECT r_regionkey AS region_regionkey, r_name AS region_name FROM region",
         "dsl_functions":
             "SELECT p_partkey, CAST(length(p_name) AS BIGINT) AS name_len, "
             "upper(p_brand) AS brand_uc, ROUND(sqrt(p_retailprice), 6) AS price_sqrt, "

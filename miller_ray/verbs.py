@@ -1148,3 +1148,52 @@ def cumulative_fraction(ds, field: str, group_by: list[str] | None = None) -> pd
         pdf = pdf.sort_values(field, ascending=False)
         pdf[f"{field}_cumfrac"] = pdf[field].cumsum() / pdf[field].sum()
     return pdf.reset_index(drop=True)
+
+
+def stats1_windowed(ds, accs: list[str], fields: list[str], group_by: list[str],
+                    order_by: str, window: int):
+    """Verb ``stats1 -w n`` (stats1.go:478-550): per-group trailing
+    window of the last n records, re-emitting per record. Miller keeps a
+    ring buffer per group; here it is a per-group pandas rolling over an
+    explicit order column (stream order is not stable distributed).
+    Supported accs: count, sum, mean, min, max, var, stddev."""
+    roll_fns = {"count": "count", "sum": "sum", "mean": "mean", "min": "min",
+                "max": "max", "var": "var", "stddev": "std"}
+    bad = [a for a in accs if a not in roll_fns]
+    if bad:
+        raise ValueError(f"unsupported windowed accumulators: {bad}")
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by)
+        for f in fields:
+            r = df[f].rolling(window, min_periods=1)
+            for a in accs:
+                df[f"{f}_{a}_w{window}"] = getattr(r, roll_fns[a])()
+        return df
+
+    return ds.groupby(group_by).map_groups(apply, batch_format="pandas")
+
+
+def cut_regex(ds, pattern: str, complement: bool = False):
+    """Verb ``cut -r -f regex`` (cut.go): select fields whose NAME
+    matches the regex (``-x`` complement)."""
+    import re
+
+    rx = re.compile(pattern)
+    names = ds.schema().names
+    keep = [c for c in names if bool(rx.search(c)) != complement]
+    return ds.select_columns(keep)
+
+
+def rename_regex(ds, pattern: str, replacement: str):
+    """Verb ``rename -r`` (rename.go): regex-rename fields with
+    backreference support (\\1 -> Python group refs)."""
+    import re
+
+    names = ds.schema().names
+    mapping = {}
+    for c in names:
+        new = re.sub(pattern, replacement, c)
+        if new != c:
+            mapping[c] = new
+    return ds.rename_columns(mapping) if mapping else ds
