@@ -561,6 +561,28 @@ def q_bloom_membership(sf_dir: str):
     })
 
 
+def q_json_flatten(sf_dir: str):
+    """json-parse then flatten: props JSON string -> props.k column."""
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "props"])
+    ds = verbs.json_parse(ds, ["props"])
+    ds = verbs.flatten(ds)
+    out = ds.to_pandas()
+    out.columns = ["event_id", "props_k"]
+    return out
+
+
+def q_json_roundtrip(sf_dir: str):
+    """json-parse -> unflatten(identity) -> json-stringify round-trip."""
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "props"])
+    parsed = verbs.json_parse(ds, ["props"])
+    restrung = verbs.json_stringify(parsed, ["props"])
+    return restrung.to_pandas()
+
+
 def q_stats1_windowed(sf_dir: str):
     from miller_ray import verbs
 
@@ -804,6 +826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checkpointed_sketch": q_checkpointed_sketch,
         "dsl_functions": q_dsl_functions,
         "stats1_windowed": q_stats1_windowed,
+        "json_flatten": q_json_flatten,
+        "json_roundtrip": q_json_roundtrip,
         "cut_regex": q_cut_regex,
         "rename_regex": q_rename_regex,
         "fill_down": q_fill_down,
@@ -1067,6 +1091,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority",
         "tee":
             "SELECT s_nationkey, count(*) AS count FROM supplier GROUP BY s_nationkey",
+        "json_flatten":
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS props_k "
+            "FROM events",
+        "json_roundtrip":
+            "SELECT event_id, json_object('k', CAST(json_extract(props, '$.k') "
+            "AS BIGINT))::VARCHAR AS props FROM events",
         "stats1_windowed":
             "SELECT event_id, "
             "ROUND(avg(value) OVER w, 6) AS value_mean_w5, "

@@ -614,14 +614,12 @@ def _broadcast_join(ds, small_df: pd.DataFrame, on: list[str], how: str = "left"
 
     ref = ray.put(small_df)
 
-    class Joiner:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # ray.get of a shared ref is zero-copy from the node's object
+        # store; plain tasks avoid actor-pool startup latency per query
+        return df.merge(ray.get(ref), on=on, how=how)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df.merge(self.small, on=on, how=how)
-
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(join_batch, batch_format="pandas")
 
 
 def join(ds, right, on: list[str], how: str = "inner",
@@ -1197,3 +1195,68 @@ def rename_regex(ds, pattern: str, replacement: str):
         if new != c:
             mapping[c] = new
     return ds.rename_columns(mapping) if mapping else ds
+
+
+def json_parse(ds, fields: list[str]):
+    """Verb ``json-parse -f`` (json_parse.go): parse JSON-encoded string
+    fields into struct columns. Per-row parse (no Arrow JSON kernel);
+    keep off the hot path or pre-flatten at ingest for scale."""
+    import json
+
+    def f(t: pa.Table) -> pa.Table:
+        for c in fields:
+            vals = [None if v is None else json.loads(v)
+                    for v in t[c].to_pylist()]
+            t = t.set_column(t.column_names.index(c), c, pa.array(vals))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def json_stringify(ds, fields: list[str]):
+    """Verb ``json-stringify -f`` (json_stringify.go): struct/list
+    columns -> compact JSON strings."""
+    import json
+
+    def f(t: pa.Table) -> pa.Table:
+        for c in fields:
+            vals = [None if v is None else json.dumps(v, separators=(",", ":"))
+                    for v in t[c].to_pylist()]
+            t = t.set_column(t.column_names.index(c), c,
+                             pa.array(vals, type=pa.string()))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def flatten(ds, sep: str = "."):
+    """Verb ``flatten`` (flatten.go): struct columns -> ``a.b``-style
+    dotted top-level columns (Arrow Table.flatten is zero-copy)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        while any(pa.types.is_struct(t[c].type) for c in t.column_names):
+            t = t.flatten()
+        if sep != ".":
+            t = t.rename_columns([c.replace(".", sep) for c in t.column_names])
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unflatten(ds, sep: str = "."):
+    """Verb ``unflatten`` (unflatten.go): dotted columns -> one struct
+    column per top-level prefix."""
+
+    def f(t: pa.Table) -> pa.Table:
+        groups: dict[str, list[str]] = {}
+        for c in t.column_names:
+            if sep in c:
+                groups.setdefault(c.split(sep, 1)[0], []).append(c)
+        for prefix, cols in groups.items():
+            arrays = [t[c].combine_chunks() for c in cols]
+            names = [c.split(sep, 1)[1] for c in cols]
+            struct = pa.StructArray.from_arrays(arrays, names=names)
+            t = t.drop_columns(cols).append_column(prefix, struct)
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
