@@ -561,6 +561,69 @@ def q_bloom_membership(sf_dir: str):
     })
 
 
+def q_cat_n(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    r = verbs.cat_n(ds, "o_orderkey", group_by=["o_orderpriority"])
+    return r.select_columns(["o_orderkey", "n"])
+
+
+def q_remove_empty_columns(sf_dir: str):
+    import pyarrow as pa
+
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    ds = verbs.put(ds, all_empty=lambda t: pa.array([""] * t.num_rows))
+    return verbs.remove_empty_columns(ds)
+
+
+def q_least_frequent(sf_dir: str):
+    from miller_ray import verbs
+
+    return verbs.least_frequent(_t(sf_dir, "lineitem", ["l_shipdate"]),
+                                ["l_shipdate"], n=3)
+
+
+def q_tail_by(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    return verbs.tail_by(ds, 2, "o_orderkey", ["o_orderpriority"])
+
+
+def q_step_slwin(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+    r = verbs.step_slwin(ds, ["value"], 2, 2, ["user_id"], "event_id")
+    return _round(r.select_columns(["event_id", "value_slwin_2_2"]).to_pandas(),
+                  {"value_slwin_2_2": 6})
+
+
+def q_decimate(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    kept = verbs.decimate(ds, n=10)
+    return pd.DataFrame({"kept": [kept.count()]})
+
+
+def q_shuffle(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    return pd.DataFrame({"rows": [verbs.shuffle(ds).count()]})
+
+
+def q_bootstrap(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "orders", ["o_orderkey"])
+    return pd.DataFrame({"rows": [verbs.bootstrap(ds).count()]})
+
+
 def q_json_flatten(sf_dir: str):
     """json-parse then flatten: props JSON string -> props.k column."""
     from miller_ray import verbs
@@ -827,6 +890,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_functions": q_dsl_functions,
         "stats1_windowed": q_stats1_windowed,
         "json_flatten": q_json_flatten,
+        "cat_n": q_cat_n,
+        "remove_empty_columns": q_remove_empty_columns,
+        "least_frequent": q_least_frequent,
+        "tail_by": q_tail_by,
+        "step_slwin": q_step_slwin,
+        "decimate": q_decimate,
+        "shuffle": q_shuffle,
+        "bootstrap": q_bootstrap,
         "json_roundtrip": q_json_roundtrip,
         "cut_regex": q_cut_regex,
         "rename_regex": q_rename_regex,
@@ -1094,6 +1165,22 @@ def oracle_sql() -> dict[str, str]:
         "json_flatten":
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS props_k "
             "FROM events",
+        "cat_n":
+            "SELECT o_orderkey, CAST(rank() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_orderkey) AS BIGINT) AS n FROM orders",
+        "remove_empty_columns":
+            "SELECT n_nationkey, n_name FROM nation",
+        "least_frequent":
+            "SELECT l_shipdate, count(*) AS count FROM lineitem "
+            "GROUP BY l_shipdate ORDER BY count ASC, l_shipdate LIMIT 3",
+        "tail_by":
+            "SELECT o_orderkey, o_orderpriority FROM orders QUALIFY "
+            "row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_orderkey DESC) <= 2",
+        "step_slwin":
+            "SELECT event_id, ROUND(avg(value) OVER (PARTITION BY user_id "
+            "ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) "
+            "AS value_slwin_2_2 FROM events",
         "json_roundtrip":
             "SELECT event_id, json_object('k', CAST(json_extract(props, '$.k') "
             "AS BIGINT))::VARCHAR AS props FROM events",

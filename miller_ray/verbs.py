@@ -1260,3 +1260,67 @@ def unflatten(ds, sep: str = "."):
         return t
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cat_n(ds, order_by: str, output_name: str = "n", group_by: list[str] | None = None):
+    """Verb ``cat -n [-g]`` (cat.go): prepend a record counter. Miller
+    numbers in stream order; distributed numbering needs an explicit
+    unique order column — n == rank of ``order_by`` (competition rank ==
+    row number when the order key is unique)."""
+    return rank(ds, order_by, group_by=group_by, output_name=output_name)
+
+
+def remove_empty_columns(ds):
+    """Verb ``remove-empty-columns`` (remove_empty_columns.go): drop
+    fields that are null/empty in EVERY record. Two-pass like Miller,
+    but pass 1 is a tiny per-block any-non-empty reduction."""
+
+    def probe(t: pa.Table) -> pa.Table:
+        row = {}
+        for c in t.column_names:
+            col = t[c]
+            m = pc.is_valid(col)
+            if pa.types.is_string(col.type):
+                m = pc.and_(m, pc.not_equal(pc.fill_null(col, ""), ""))
+            row[c] = [bool(pc.any(m).as_py())]
+        return pa.table(row)
+
+    flags = ds.map_batches(probe, batch_format="pyarrow").to_pandas().any()
+    keep = [c for c in ds.schema().names if flags.get(c, False)]
+    return ds.select_columns(keep)
+
+
+def least_frequent(ds, fields: list[str], n: int = 1,
+                   output_name: str = "count") -> pd.DataFrame:
+    """Verb ``least-frequent`` (most_or_least_frequent.go:39)."""
+    return most_frequent(ds, fields, n=n, descending=False, output_name=output_name)
+
+
+def tail_by(ds, n: int, order_by: str, group_by: list[str]):
+    """Verb ``tail -n -g`` with a declared order: last n records per
+    group by ``order_by`` (tail.go keeps a ring buffer in stream order)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_by).tail(n)
+
+    return ds.groupby(group_by).map_groups(f, batch_format="pandas")
+
+
+def step_slwin(ds, fields: list[str], m: int, n: int, group_by: list[str],
+               order_by: str):
+    """Stepper ``slwin_m_n`` (step.go:631-712 STEPPER_LOOKUP_TABLE):
+    mean over a centered window of m records back / n forward, shrunk at
+    group edges — cumsum-vectorized per group."""
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by).reset_index(drop=True)
+        N = len(df)
+        idx = np.arange(N)
+        lo = np.maximum(idx - m, 0)
+        hi = np.minimum(idx + n, N - 1)
+        for f in fields:
+            s = np.concatenate([[0.0], np.cumsum(df[f].to_numpy(dtype=np.float64))])
+            df[f"{f}_slwin_{m}_{n}"] = (s[hi + 1] - s[lo]) / (hi - lo + 1)
+        return df
+
+    return ds.groupby(group_by).map_groups(apply, batch_format="pandas")
