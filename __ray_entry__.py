@@ -804,6 +804,58 @@ def q_quality_scores(sf_dir: str):
     return _round(r, {"stop_ratio_mean": 6, "mean_word_len_mean": 6})
 
 
+def q_ann_lsh_top10(sf_dir: str):
+    """LSH-bucketed ANN (scale path): recall vs the brute-force truth."""
+    import duckdb
+
+    from miller_ray.stages import ann
+
+    con = duckdb.connect()
+    q = con.execute(
+        f"select embedding from '{sf_dir}/embeddings.parquet' where vec_id < 4 order by vec_id"
+    ).df()["embedding"]
+    con.close()
+    queries_m = np.stack(q.to_numpy()).astype(np.float64)
+    exact = ann.brute_force_topk(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                                 queries_m, k=10)
+    approx = ann.lsh_bucketed_topk(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                                   queries_m, k=10)
+    rows = []
+    for qid in sorted(exact["query_id"].unique()):
+        e = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        rows.append({"query_id": int(qid),
+                     "recall_pct": int(100 * len(e & a) / max(len(e), 1)),
+                     "returned": len(a)})
+    return pd.DataFrame(rows)
+
+
+def q_lang_id(sf_dir: str):
+    """n-gram language-ID heuristic vs the labeled lang column."""
+    from miller_ray.stages import text
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    pred = text.lang_id(ds).to_pandas()
+    agg = (pred.assign(hit=(pred["lang"] == pred["lang_pred"]).astype(int))
+               .groupby("lang", sort=True)["hit"].agg(["count", "sum"]).reset_index())
+    agg.columns = ["lang", "n", "n_correct"]
+    return agg
+
+
+def q_multimodal_av(sf_dir: str):
+    """Audio features + video frame sampling (stubbed decode, real
+    Ray plumbing): deterministic row counts."""
+    import ray.data as rd
+
+    from miller_ray.stages import multimodal
+
+    media = rd.from_arrow(multimodal.make_fake_media_table(100))
+    audio = multimodal.extract_audio_features(media)
+    frames = multimodal.sample_video_frames(media, every_n=10)
+    return pd.DataFrame({"audio_rows": [audio.count()],
+                         "frame_rows": [frames.count()]})
+
+
 def q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -910,6 +962,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_reservoir": q_sample_reservoir,
         "quality_scores": q_quality_scores,
         "multimodal_features": q_multimodal_features,
+        "ann_lsh_top10": q_ann_lsh_top10,
+        "lang_id": q_lang_id,
+        "multimodal_av": q_multimodal_av,
     }
 
 

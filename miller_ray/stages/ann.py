@@ -69,13 +69,19 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     return top[["query_id", "rank", id_col]]
 
 
-def lsh_bucketed_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 12,
+def lsh_bucketed_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
                       emb_col: str = "embedding", id_col: str = "vec_id",
-                      seed: int = 0, probe_hamming: int = 1) -> pd.DataFrame:
+                      seed: int = 0, probe_hamming: int = 2) -> pd.DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets; scan only the
     buckets within ``probe_hamming`` of each query's signature. At scale
     the bucketed corpus is a partitioned Parquet layout keyed by
-    signature prefix; here buckets are a grouped Dataset."""
+    signature prefix; here buckets are a grouped Dataset.
+
+    Recall depends on corpus structure: hyperplane LSH prunes by cosine
+    locality, so clustered real-world embeddings retain high recall at
+    small scan fractions, while UNIFORM random vectors (the synthetic
+    testdata) have weakly-separated top-k and any pruning costs recall —
+    report scan fraction alongside recall when evaluating."""
     import ray
 
     d = queries.shape[1]
@@ -104,5 +110,6 @@ def lsh_bucketed_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 12,
             mask = np.array([int(s) in self.probe for s in sig])
             return t.filter(pa.array(mask))
 
-    candidates = ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True)
+    candidates = ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True,
+                                concurrency=(1, 4))
     return brute_force_topk(candidates, queries, k=k, emb_col=emb_col, id_col=id_col)

@@ -85,3 +85,66 @@ def make_fake_media_table(n: int, seed: int = 42) -> pa.Table:
         "height": pa.array(rng.integers(64, 1024, size=n).astype(np.int32)),
         "duration_ms": pa.nulls(n, pa.int32()),
     })
+
+
+class AudioFeatureExtractor:
+    """Audio decode is STUBBED (no audio libs in this container): the
+    real pipeline would libsndfile/ffmpeg-decode ``payload`` then compute
+    e.g. log-mel energies. The Ray-side plumbing (schema, actor pool,
+    batch sizing) is real; the fake features are deterministic in the
+    payload bytes so tests are stable."""
+
+    def __init__(self, use_fake: bool = True, n_mels: int = 16):
+        if not use_fake:
+            raise NotImplementedError("audio decode requires soundfile/ffmpeg "
+                                      "(not in this container)")
+        self.n_mels = n_mels
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from miller_ray.hashing import hash64
+
+        h = hash64(t["payload"], seed=31)
+        rng_vals = np.stack([
+            (h >> np.uint64(i * 4)).astype(np.float64) % 1000 / 1000.0
+            for i in range(self.n_mels)], axis=1)
+        feat = pa.FixedSizeListArray.from_arrays(
+            pa.array(rng_vals.reshape(-1)), self.n_mels)
+        return pa.table({"media_id": t["media_id"], "audio_features": feat})
+
+
+def extract_audio_features(ds, concurrency=(1, 4), batch_size: int = 64):
+    return ds.map_batches(AudioFeatureExtractor, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency,
+                          batch_size=batch_size)
+
+
+def sample_video_frames(ds, every_n: int = 10, concurrency=(1, 4),
+                        batch_size: int = 32):
+    """Frame sampling is STUBBED at the decode step (no video libs): the
+    fake emits one "frame" row per sampled index, deterministic in the
+    payload — the flat_map row-explosion shape, small batches for large
+    binary payloads, and output schema are the real scale design."""
+
+    class FrameSampler:
+        def __init__(self):
+            self.every_n = every_n
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from miller_ray.hashing import hash64
+
+            n_frames = (hash64(t["payload"], seed=37) % np.uint64(100)).astype(np.int64) + 1
+            sampled = np.maximum(n_frames // self.every_n, 1)
+            media_idx = np.repeat(np.arange(t.num_rows), sampled)
+            frame_no = np.concatenate([np.arange(s) * self.every_n for s in sampled]) \
+                if t.num_rows else np.zeros(0, dtype=np.int64)
+            ids = t["media_id"].take(pa.array(media_idx))
+            return pa.table({"media_id": ids,
+                             "frame_no": pa.array(frame_no.astype(np.int64))})
+
+    return ds.map_batches(FrameSampler, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency,
+                          batch_size=batch_size)
