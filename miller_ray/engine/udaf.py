@@ -129,7 +129,7 @@ def _merge_fn(specs: list[SketchSpec]):
 
 
 def build_sketches(ds, specs: list[SketchSpec], batch_size: int | None = None,
-                   merge_fanin: int = 64) -> dict[str, Any]:
+                   merge_fanin: int = 16) -> dict[str, Any]:
     """Build all specs in ONE pass over ds; returns {name: merged sketch}."""
     parts = ds.map_batches(_partial_fn(specs), batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=batch_size)
