@@ -42,12 +42,42 @@ def exact_dedup(ds, content_cols: list[str], id_col: str,
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
 
-    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
-        idx = df.groupby(content_cols, sort=False)[id_col].transform(keep)
-        out = df[df[id_col] == idx].drop(columns="__h")
-        return out
+    # Stage 1: winner id per content hash — vectorized per-block partial
+    # (local min/max per hash) then a small merge; NEVER a per-group
+    # Python call (a map_groups here would pay one call per distinct
+    # hash — the whole corpus).
+    def local_winner(t: pa.Table) -> pa.Table:
+        out = t.select(["__h", id_col]).group_by(["__h"]).aggregate([(id_col, keep)])
+        return out.select(sorted(out.column_names))
 
-    return hashed.groupby("__h").map_groups(first_per_group, batch_format="pandas")
+    parts = hashed.map_batches(local_winner, batch_format="pyarrow").materialize()
+    agg_col = f"{id_col}_{keep}"
+    if parts.count() <= 2_000_000:
+        pdf = parts.to_pandas()
+        winners = (pdf.groupby("__h", sort=False)[agg_col]
+                      .agg(keep).reset_index())
+    else:
+        from ray.data.aggregate import Max, Min
+
+        agg = Min(agg_col, alias_name=agg_col) if keep == "min" else             Max(agg_col, alias_name=agg_col)
+        winners = parts.groupby("__h").aggregate(agg).to_pandas()
+    # Stage 2: semi-join rows on (hash, winner id). Broadcast here (one
+    # ray.put, winners ~= #distinct contents); at 100 TB swap for a
+    # shuffle join on (__h, id) — same semantics.
+    import ray
+
+    wset_ref = ray.put(set(zip(winners["__h"].to_numpy(),
+                               winners[agg_col].to_numpy())))
+
+    def keep_winners(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(wset_ref)
+        mask = [(h, i) in w for h, i in zip(df["__h"], df[id_col])]
+        out = df[mask].drop(columns="__h")
+        # same-hash same-id different-content collisions are broken by
+        # exact content equality within the surviving rows
+        return out.drop_duplicates(subset=content_cols)
+
+    return hashed.map_batches(keep_winners, batch_format="pandas")
 
 
 def _keep_multi_member_buckets(ds, keys: list[str]):
