@@ -1,0 +1,52 @@
+"""Dedup stage correctness on constructed duplicates."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from miller_ray.stages import dedup
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def test_exact_dedup_keeps_min_id(rd):
+    t = pa.table({"id": [5, 3, 1, 2, 4, 6], "txt": ["a", "a", "a", "b", "b", "c"]})
+    out = dedup.exact_dedup(rd.from_arrow(t), ["txt"], "id").to_pandas()
+    assert sorted(out["id"]) == [1, 2, 6]
+
+
+def test_exact_dedup_no_dups_is_identity(rd):
+    t = pa.table({"id": [1, 2, 3], "txt": ["x", "y", "z"]})
+    out = dedup.exact_dedup(rd.from_arrow(t), ["txt"], "id").to_pandas()
+    assert sorted(out["id"]) == [1, 2, 3]
+
+
+def test_minhash_finds_planted_near_dups(rd):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark woods to hide from every single hunter")
+    near = base.replace("dark", "cold")  # one-word edit: high Jaccard
+    distinct = ("completely different content about distributed sketching "
+                "algorithms over parquet token tables with ray data pipelines "
+                "and mergeable state for approximate aggregation at scale")
+    docs = pa.table({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": [base, near, distinct, "tiny text here now"],
+    })
+    out = dedup.minhash_dedup(rd.from_arrow(docs), threshold=0.5)
+    clusters = dict(zip(out["doc_id"], out["rep"]))
+    assert clusters.get("a") == "a" and clusters.get("b") == "a"
+    assert "c" not in clusters and "d" not in clusters
+
+
+def test_simhash_pairs_on_planted_dups(rd):
+    base = " ".join(f"token{i}" for i in range(60))
+    near = base.replace("token30", "token99")
+    docs = pa.table({"doc_id": [1, 2, 3],
+                     "text": [base, near, "one unrelated short doc entirely"]})
+    pairs = dedup.simhash_near_pairs(rd.from_arrow(docs), max_hamming=6)
+    assert {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])} == {(1, 2)}
