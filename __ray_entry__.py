@@ -862,7 +862,7 @@ def q_multimodal_features(sf_dir: str):
     from miller_ray.stages import multimodal
 
     media = rd.from_arrow(multimodal.make_fake_media_table(200))
-    feats = multimodal.extract_image_features(media, concurrency=2)
+    feats = multimodal.extract_image_features(media, concurrency=(1, 2))
     return feats.to_pandas().assign(
         f0=lambda d: d["features"].map(lambda v: round(float(v[0]), 6))
     )[["media_id", "f0"]]
