@@ -1324,3 +1324,34 @@ def step_slwin(ds, fields: list[str], m: int, n: int, group_by: list[str],
         return df
 
     return ds.groupby(group_by).map_groups(apply, batch_format="pandas")
+
+
+def merge_fields_collapse(ds, accs: list[str], substrings: list[str],
+                          keep_inputs: bool = False):
+    """Verb ``merge-fields -c substr1,substr2`` (merge_fields.go:15-30):
+    group fields whose NAME contains a substring; one stats group per
+    substring, output named by the collapsed stem."""
+    names = ds.schema().names
+    out = ds
+    for sub_ in substrings:
+        hit = [c for c in names if sub_ in c]
+        if hit:
+            out = merge_fields(out, accs, hit, sub_.strip("_"),
+                               keep_inputs=keep_inputs)
+    return out
+
+
+def stats1_regex(ds, accs: list[str], field_regex: str,
+                 group_by: list[str] | None = None, exclude: bool = False,
+                 **kw) -> pd.DataFrame:
+    """Verb ``stats1 --fr/--fx regex`` (stats1.go --fr/--fx flags):
+    value fields selected by regex over column names."""
+    import re
+
+    rx = re.compile(field_regex)
+    gb = set(group_by or [])
+    fields = [c for c in ds.schema().names
+              if c not in gb and bool(rx.search(c)) != exclude]
+    if not fields:
+        raise ValueError(f"no fields match {field_regex!r}")
+    return stats1(ds, accs, fields, group_by=group_by, **kw)

@@ -1,0 +1,81 @@
+"""In-memory unit tests for verbs without dedicated driver queries
+(SURVEY.md §5: the reference pins these with golden files; we pin the
+same observable semantics on tiny tables)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from miller_ray import verbs
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def test_having_fields(rd):
+    t = pa.table({"a": [1, None, 3], "b": ["x", "y", None]})
+    out = verbs.having_fields(rd.from_arrow(t), ["a", "b"]).to_pandas()
+    assert out["a"].tolist() == [1]
+
+
+def test_sparsify_unsparsify_roundtrip(rd):
+    t = pa.table({"s": ["", "x", ""], "n": [1, 2, 3]})
+    sp = verbs.sparsify(rd.from_arrow(t)).to_pandas()
+    assert sp["s"].isna().tolist() == [True, False, True]
+    un = verbs.unsparsify(verbs.sparsify(rd.from_arrow(t)), fill="-").to_pandas()
+    assert un["s"].tolist() == ["-", "x", "-"]
+
+
+def test_skip_trivial_records(rd):
+    t = pa.table({"a": ["", None, "x"], "b": ["", "", "y"]})
+    out = verbs.skip_trivial_records(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 1 and out["a"].iloc[0] == "x"
+
+
+def test_clean_whitespace(rd):
+    t = pa.table({"s": ["  a   b  ", "c\t\td"]})
+    out = verbs.clean_whitespace(rd.from_arrow(t), ["s"]).to_pandas()
+    assert out["s"].tolist() == ["a b", "c d"]
+
+
+def test_merge_fields_collapse(rd):
+    t = pa.table({"in_a": [1.0, 2.0], "in_b": [3.0, 4.0], "other": [9.0, 9.0]})
+    out = verbs.merge_fields_collapse(rd.from_arrow(t), ["sum"], ["in_"]).to_pandas()
+    assert out["in_sum"].tolist() == [4.0, 6.0]
+    assert "other" in out.columns and "in_a" not in out.columns
+
+
+def test_stats1_regex(rd):
+    t = pa.table({"g": ["x", "x", "y"], "v_1": [1.0, 2.0, 3.0], "v_2": [4.0, 5.0, 6.0],
+                  "skip_me": [0.0, 0.0, 0.0]})
+    out = verbs.stats1_regex(rd.from_arrow(t), ["sum"], r"^v_", group_by=["g"])
+    row = out.set_index("g").loc["x"]
+    assert row["v_1_sum"] == 3.0 and row["v_2_sum"] == 9.0
+    assert "skip_me_sum" not in out.columns
+
+
+def test_decimate_fraction(rd):
+    t = pa.table({"k": [f"id{i}" for i in range(2000)]})
+    out = verbs.decimate(rd.from_arrow(t), n=10)
+    kept = out.count()
+    assert 120 <= kept <= 280  # ~1/10 by hash, binomial spread
+
+
+def test_top_ties_deterministic(rd):
+    t = pa.table({"v": [5.0, 5.0, 5.0, 1.0]})
+    a = verbs.top(rd.from_arrow(t), "v", n=2)
+    b = verbs.top(rd.from_arrow(t), "v", n=2)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["v_top"].tolist() == [5.0, 5.0]
+
+
+def test_histogram_edges(rd):
+    # x == hi joins last bin; outside [lo, hi] dropped (histogram.go)
+    t = pa.table({"x": [0.0, 4.999, 5.0, 10.0, -0.1, 10.1]})
+    out = verbs.histogram(rd.from_arrow(t), ["x"], lo=0.0, hi=10.0, nbins=2)
+    assert out["x_count"].tolist() == [2, 2]
