@@ -164,10 +164,14 @@ def run_scaling(sf_dir: str, low: int | None = None, high: int | None = None) ->
     high = high or int(os.environ.get("GRAFT_SCALING_HIGH", "8"))
     rows = int(os.environ.get("GRAFT_SCALING_ROWS", "4000000"))
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    budget_s = int(os.environ.get("GRAFT_SCALING_BUDGET_S", "480"))
+    t_start = time.monotonic()
     results = {}
     for cpus in (low, high):
         best = None
-        for _ in range(reps):
+        for rep in range(reps):
+            if best is not None and time.monotonic() - t_start > budget_s:
+                break  # soft budget: keep at least one run per leg
             # best-of-N fresh processes: this sandbox is a VM on a shared
             # host, and neighbor interference inflates individual runs by
             # 1.5-2x; the minimum is the closest to machine capability
