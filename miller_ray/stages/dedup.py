@@ -103,35 +103,70 @@ def _keep_multi_member_buckets(ds, keys: list[str]):
         batch_format="pyarrow").to_pandas()
     if multi.empty:
         return ds.limit(0)
-    wanted = set(map(tuple, multi.itertuples(index=False, name=None)))
-    ref = ray.put(wanted)
+    packed_wanted = None
+    for k in keys:
+        c = multi[k].to_numpy().astype(np.int64)
+        packed_wanted = c if packed_wanted is None else \
+            (packed_wanted * np.int64(1000003)) ^ c
+    ref = ray.put(np.sort(packed_wanted))
 
     def keep(t: pa.Table) -> pa.Table:
         w = ray.get(ref)
-        cols = [np.asarray(t[k]) for k in keys]
-        mask = np.fromiter((tuple(c[i] for c in cols) in w
-                            for i in range(t.num_rows)), bool, t.num_rows)
+        # pack the (small-int, hash) key into one int64 and np.isin
+        # against the sorted wanted array — no per-row Python
+        cols = [np.asarray(t[k], dtype=np.int64) for k in keys]
+        packed = cols[0]
+        for c in cols[1:]:
+            packed = (packed * np.int64(1000003)) ^ c
+        mask = np.isin(packed, w)
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _word_shingles(t: pa.Table, text_col: str, n: int = 3):
-    """(flat shingle hashes, offsets) for each doc in the batch."""
+    """(flat shingle hashes, offsets) for each doc in the batch.
+
+    Fully vectorized: ONE rolling n-gram combine over the batch's flat
+    word-hash array, then boundary masking drops shingles that would
+    cross documents (identical values to a per-doc shingle_hashes loop
+    — the rolling combine only reads forward within the window)."""
+    from miller_ray.hashing import splitmix64
+
     words = pc.split_pattern_regex(pc.cast(t[text_col], pa.string()), pattern=r"\s+")
     flat_words = pc.list_flatten(words)
-    word_h = hash64(flat_words, seed=23)
+    word_h = np.asarray(hash64(flat_words, seed=23), dtype=np.uint64)
     lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = np.zeros(t.num_rows + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
-    sh_list = []
-    sh_offsets = [0]
-    for i in range(t.num_rows):
-        sh = shingle_hashes(word_h[offsets[i]:offsets[i + 1]], n=n)
-        sh_list.append(sh)
-        sh_offsets.append(sh_offsets[-1] + sh.size)
-    flat = np.concatenate(sh_list) if sh_list else np.zeros(0, dtype=np.uint64)
-    return flat, np.array(sh_offsets, dtype=np.int64)
+    L = word_h.size
+    if L == 0:
+        return np.zeros(0, dtype=np.uint64), offsets.copy()
+
+    # global rolling combine (acc[p] = shingle starting at word p)
+    if L >= n:
+        acc = word_h[: L - n + 1].copy()
+        with np.errstate(over="ignore"):
+            for i in range(1, n):
+                acc = splitmix64(acc ^ word_h[i : L - n + 1 + i], seed=11 + i)
+    else:
+        acc = np.zeros(0, dtype=np.uint64)
+
+    pos = np.arange(L)
+    lens_rep = np.repeat(lens, lens)
+    starts_rep = np.repeat(offsets[:-1], lens)
+    rel = pos - starts_rep
+    is_short = lens_rep < n                      # short docs: 1 shingle/word
+    mask_long = (~is_short) & (rel <= lens_rep - n)
+    vals = np.empty(L, dtype=np.uint64)
+    vals[mask_long] = acc[pos[mask_long]]
+    vals[is_short] = splitmix64(word_h[is_short], seed=5)
+    keep = mask_long | is_short
+    flat = vals[keep]
+    sh_counts = np.where(lens >= n, lens - n + 1, lens)
+    sh_offsets = np.zeros(t.num_rows + 1, dtype=np.int64)
+    np.cumsum(sh_counts, out=sh_offsets[1:])
+    return flat, sh_offsets
 
 
 def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
