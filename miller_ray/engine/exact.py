@@ -21,6 +21,30 @@ from __future__ import annotations
 import numpy as np
 
 
+def miller_sorted(values) -> np.ndarray:
+    """Sort under Miller's mixed-type total order: numbers sort
+    numerically and BELOW strings ("1 < abc", "7 < true";
+    pkg/mlrval/mlrval_type.go:82-84, mlrval_cmp.go disposition
+    matrices). Nulls are dropped (absent values are skipped by
+    accumulators)."""
+    nums, strs = [], []
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, (int, np.integer)):
+            nums.append(v)
+        elif isinstance(v, (float, np.floating)):
+            if not np.isnan(v):
+                nums.append(v)
+        elif isinstance(v, bool):
+            strs.append(str(v).lower())
+        else:
+            strs.append(str(v))
+    if strs:
+        return np.array(sorted(nums) + sorted(strs), dtype=object)
+    return np.sort(np.asarray(nums, dtype=np.float64))
+
+
 def percentile_type1(sorted_values: np.ndarray, p: float):
     """Miller non-interpolated percentile: sorted[int(p*n/100)], clamped."""
     n = sorted_values.size

@@ -220,7 +220,11 @@ def grouped_percentiles(ds, group_by: list[str], field: str, ps: list[float],
     pfn = exact.percentile_interpolated if interpolated else exact.percentile_type1
 
     def per_group(df: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(df[field].dropna().to_numpy(dtype=np.float64))
+        raw = df[field].dropna()
+        if raw.dtype == object:
+            vals = exact.miller_sorted(raw.tolist())
+        else:
+            vals = np.sort(raw.to_numpy(dtype=np.float64))
         out = {}
         for k in group_by:
             out[k] = [df[k].iloc[0]]
@@ -240,11 +244,14 @@ def grouped_percentiles(ds, group_by: list[str], field: str, ps: list[float],
         return res.to_pandas()
     # global: single logical group — aggregate per block then merge sorted
     # (small data path; the scale path for global percentiles is the sketch)
-    vals = np.sort(np.concatenate(
-        [b[field].to_numpy(zero_copy_only=False)
-         for b in sub.iter_batches(batch_format="pyarrow", batch_size=65536)]
-        or [np.zeros(0)]))
-    vals = vals[~np.isnan(vals.astype(np.float64))]
+    chunks = [b[field].to_numpy(zero_copy_only=False)
+              for b in sub.iter_batches(batch_format="pyarrow", batch_size=65536)]
+    allv = np.concatenate(chunks) if chunks else np.zeros(0)
+    if allv.dtype == object:
+        vals = exact.miller_sorted(allv.tolist())
+    else:
+        vals = np.sort(allv.astype(np.float64))
+        vals = vals[~np.isnan(vals)]
     out = {}
     for p in ps:
         pname = f"{field}_p{int(p) if float(p).is_integer() else p}"

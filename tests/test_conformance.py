@@ -1,0 +1,33 @@
+"""Reference conformance: replay johnkerl/miller's own golden test
+corpus through this engine (miller_ray.conformance harness). The
+north-star goal — "matches the reference's results on its own test
+inputs" — is asserted here: ZERO failures across the supported verb
+suites; unsupported constructs are explicitly skipped and counted."""
+
+import pytest
+
+from miller_ray import conformance as C
+
+SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
+          "verb-sort", "verb-top", "verb-histogram", "verb-fill-empty",
+          "verb-rename", "verb-label", "verb-stats1", "verb-head", "verb-tail",
+          "verb-cat", "verb-grep", "verb-having-fields", "verb-decimate",
+          "verb-fraction", "verb-tac", "verb-seqgen", "verb-nothing",
+          "verb-group-by", "verb-regularize"]
+
+
+@pytest.mark.parametrize("suite", SUITES)
+def test_suite_has_zero_failures(ray_session, suite):
+    r = C.run_suite(suite)
+    assert r["fail"] == 0, r["failures"]
+
+
+def test_overall_coverage(ray_session):
+    tot = {"pass": 0, "fail": 0, "skip": 0}
+    for suite in SUITES:
+        r = C.run_suite(suite)
+        for k in tot:
+            tot[k] += r[k]
+    assert tot["fail"] == 0
+    # supported coverage must not silently shrink
+    assert tot["pass"] >= 150, tot
