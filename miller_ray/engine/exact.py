@@ -152,3 +152,34 @@ def finalize_linreg_ols(n, sumx, sumx2, sumxy, sumy):
         m = (n * sumxy - sumx * sumy) / d
         b = (-sumx * sumxy + sumx2 * sumy) / d
     return np.where(n < 2, np.nan, m), np.where(n < 2, np.nan, b)
+
+
+def finalize_linreg_pca(n, sumx, sumx2, sumy, sumy2, sumxy):
+    """PCA (total least squares) line fit from moment sums, following
+    the reference's formulation (pkg/lib/stats.go GetCovMatrix /
+    GetLinearRegressionPCA): sample covariance matrix -> principal
+    eigenvector -> m = v1/v0, b = ybar - m*xbar,
+    quality = 1 - |lambda2|/|lambda1|. Vectorized over groups."""
+    n = np.asarray(n, dtype=np.float64)
+    sumx, sumy = np.asarray(sumx, float), np.asarray(sumy, float)
+    sumx2, sumy2 = np.asarray(sumx2, float), np.asarray(sumy2, float)
+    sumxy = np.asarray(sumxy, float)
+    denom = n - 1
+    q00 = (sumx2 - sumx * sumx / n) / denom
+    q01 = (sumxy - sumx * sumy / n) / denom
+    q11 = (sumy2 - sumy * sumy / n) / denom
+    # eigenvalues of [[q00, q01], [q01, q11]]
+    tr = q00 + q11
+    det = q00 * q11 - q01 * q01
+    disc = np.sqrt(np.maximum(tr * tr / 4 - det, 0.0))
+    l1 = tr / 2 + disc   # |l1| >= |l2| for PSD cov
+    l2 = tr / 2 - disc
+    # principal eigenvector for l1: (q01, l1 - q00) (or (l1-q11, q01))
+    v0 = np.where(np.abs(q01) > 1e-300, q01, l1 - q11)
+    v1 = np.where(np.abs(q01) > 1e-300, l1 - q00, q01)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = v1 / v0
+        quality = np.where(np.abs(l1) == 0, 0.0,
+                           1.0 - np.abs(l2) / np.abs(l1))
+    b = sumy / n - m * (sumx / n)
+    return m, b, quality

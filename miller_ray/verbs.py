@@ -202,6 +202,13 @@ def stats2(ds, accs: list[str], field_pairs: list[tuple[str, str]],
                 out[prefix + "m"] = mm
                 out[prefix + "b"] = bb
                 out[prefix + "n"] = n.astype(np.int64)
+            elif a == "linreg-pca":
+                mm, bb, qq = exact.finalize_linreg_pca(n, sumx, sumx2,
+                                                       sumy, sumy2, sumxy)
+                out[prefix + "pca_m"] = mm
+                out[prefix + "pca_b"] = bb
+                out[prefix + "pca_n"] = n.astype(np.int64)
+                out[prefix + "pca_quality"] = qq
             else:
                 raise ValueError(f"unsupported stats2 accumulator: {a}")
         frames.append(out)
@@ -348,7 +355,7 @@ def fraction(ds, fields: list[str], group_by: list[str] | None = None,
 
 
 def merge_fields(ds, accs: list[str], in_fields: list[str], out_name: str,
-                 keep_inputs: bool = False):
+                 keep_inputs: bool = False, interpolated: bool = False):
     """Verb ``merge-fields -a accs -f fields -o name`` (merge_fields.go:
     15-30): stats1 accumulators horizontally across fields within each
     record — a vectorized row-wise reduce, no shuffle at all."""
@@ -358,6 +365,7 @@ def merge_fields(ds, accs: list[str], in_fields: list[str], out_name: str,
                                for f in in_fields])
         if not keep_inputs:
             t = t.drop_columns([f for f in in_fields if f in t.column_names])
+        srt = None
         for a in accs:
             if a == "min":
                 vals = np.nanmin(mat, axis=1)
@@ -369,6 +377,26 @@ def merge_fields(ds, accs: list[str], in_fields: list[str], out_name: str,
                 vals = np.nanmean(mat, axis=1)
             elif a == "count":
                 vals = (~np.isnan(mat)).sum(axis=1).astype(np.int64)
+            elif a == "median" or (a.startswith("p") and
+                                   a[1:].replace(".", "").isdigit()):
+                # row-wise Miller R-type-1 percentile (NaNs sort last and
+                # are excluded via per-row valid count)
+                if srt is None:
+                    srt = np.sort(mat, axis=1)
+                    cnt = (~np.isnan(mat)).sum(axis=1)
+                pp = 50.0 if a == "median" else float(a[1:])
+                if interpolated:
+                    # R type-7 along each row (merge_fields.go -i)
+                    findex = pp / 100.0 * np.maximum(cnt - 1, 0)
+                    lo = findex.astype(np.int64)
+                    hi = np.minimum(lo + 1, np.maximum(cnt - 1, 0))
+                    frac = findex - lo
+                    r_ = np.arange(mat.shape[0])
+                    vals = srt[r_, lo] * (1 - frac) + srt[r_, hi] * frac
+                else:
+                    idx = np.minimum((pp * cnt / 100.0).astype(np.int64),
+                                     np.maximum(cnt - 1, 0))
+                    vals = srt[np.arange(mat.shape[0]), idx]
             else:
                 raise ValueError(f"merge-fields acc not supported: {a}")
             t = t.append_column(f"{out_name}_{a}", pa.array(vals))
@@ -1327,17 +1355,22 @@ def step_slwin(ds, fields: list[str], m: int, n: int, group_by: list[str],
 
 
 def merge_fields_collapse(ds, accs: list[str], substrings: list[str],
-                          keep_inputs: bool = False):
-    """Verb ``merge-fields -c substr1,substr2`` (merge_fields.go:15-30):
-    group fields whose NAME contains a substring; one stats group per
-    substring, output named by the collapsed stem."""
+                          keep_inputs: bool = False, interpolated: bool = False):
+    """Verb ``merge-fields -c substr1,substr2`` (merge_fields.go:21):
+    fields with the same name AFTER REMOVING the substrings are
+    accumulated together; output basename = the collapsed stem (e.g.
+    ``a_in`` + ``a_out`` with ``-c _in,_out`` -> group ``a``)."""
     names = ds.schema().names
+    groups: dict[str, list[str]] = {}
+    for c in names:
+        for sub_ in substrings:
+            if sub_ in c:
+                groups.setdefault(c.replace(sub_, ""), []).append(c)
+                break
     out = ds
-    for sub_ in substrings:
-        hit = [c for c in names if sub_ in c]
-        if hit:
-            out = merge_fields(out, accs, hit, sub_.strip("_"),
-                               keep_inputs=keep_inputs)
+    for stem, hit in groups.items():
+        out = merge_fields(out, accs, hit, stem, keep_inputs=keep_inputs,
+                           interpolated=interpolated)
     return out
 
 

@@ -13,7 +13,8 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "verb-rename", "verb-label", "verb-stats1", "verb-head", "verb-tail",
           "verb-cat", "verb-grep", "verb-having-fields", "verb-decimate",
           "verb-fraction", "verb-tac", "verb-seqgen", "verb-nothing",
-          "verb-group-by", "verb-regularize"]
+          "verb-group-by", "verb-regularize", "verb-stats2",
+          "verb-merge-fields", "verb-fill-down", "verb-sort-within-records"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
@@ -30,4 +31,4 @@ def test_overall_coverage(ray_session):
             tot[k] += r[k]
     assert tot["fail"] == 0
     # supported coverage must not silently shrink
-    assert tot["pass"] >= 150, tot
+    assert tot["pass"] >= 170, tot

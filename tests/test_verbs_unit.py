@@ -44,10 +44,13 @@ def test_clean_whitespace(rd):
 
 
 def test_merge_fields_collapse(rd):
-    t = pa.table({"in_a": [1.0, 2.0], "in_b": [3.0, 4.0], "other": [9.0, 9.0]})
-    out = verbs.merge_fields_collapse(rd.from_arrow(t), ["sum"], ["in_"]).to_pandas()
-    assert out["in_sum"].tolist() == [4.0, 6.0]
-    assert "other" in out.columns and "in_a" not in out.columns
+    # Miller -c: fields with the same name AFTER removing the substring
+    # collapse together (merge_fields.go:21): a_in + a_out -> group "a"
+    t = pa.table({"a_in": [1.0, 2.0], "a_out": [3.0, 4.0], "other": [9.0, 9.0]})
+    out = verbs.merge_fields_collapse(rd.from_arrow(t), ["sum"],
+                                      ["_in", "_out"]).to_pandas()
+    assert out["a_sum"].tolist() == [4.0, 6.0]
+    assert "other" in out.columns and "a_in" not in out.columns
 
 
 def test_stats1_regex(rd):
