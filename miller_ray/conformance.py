@@ -118,7 +118,9 @@ def parse_pprint(text: str) -> list[dict]:
                 hdr = block[0].split()
                 for row in block[1:]:
                     vals = row.split()
-                    recs.append(dict(zip(hdr, vals)))
+                    # pprint renders VOID/absent as "-"
+                    recs.append({k: ("" if v == "-" else v)
+                                 for k, v in zip(hdr, vals)})
             block = []
         else:
             block.append(line)
@@ -214,7 +216,9 @@ def parse_cmd(cmd: str) -> Case:
     while j < len(rest):
         t = rest[j]
         if t == "then":
-            return Case(verb, args, files, ifmt, ofmt, unsupported="then-chain")
+            args.append("__THEN__")
+            j += 1
+            continue
         m_att = re.fullmatch(r"-n(\d+)", t)
         if m_att:
             args.extend(["-n", m_att.group(1)])
@@ -613,10 +617,18 @@ def execute(case: Case, df: pd.DataFrame):
             return out, False
         if _has(a, "-r"):
             raise Unsupported("merge-fields -r")
-        fields = _flagvals(a, "-f").split(",")
+        req = _flagvals(a, "-f").split(",")
+        fields = [c for c in req if c in work.columns]
+        if not fields:
+            # Miller still emits the accumulators: sum/count are 0,
+            # order statistics are VOID
+            oname = _flagvals(a, "-o", "out")
+            for acc in accs:
+                if acc in ("sum", "count"):
+                    work[f"{oname}_{acc}"] = 0
+            return work, False
         for c in fields:
-            if c in work.columns:
-                work[c] = pd.to_numeric(work[c], errors="coerce")
+            work[c] = pd.to_numeric(work[c], errors="coerce")
         oname = _flagvals(a, "-o", "out")
         out = verbs.merge_fields(_ds(work), accs, fields, oname,
                                  keep_inputs=keep,
@@ -772,6 +784,60 @@ def execute(case: Case, df: pd.DataFrame):
             pos = pd.Series(np.arange(len(work)), index=work.index)
         sel = (pos % n == 0) if keep_first else (pos % n == n - 1)
         return work[sel].drop(columns=["__row__", "__file__", "__filenum__"], errors="ignore"), True
+
+    if v == "step":
+        steppers = _flagvals(a, "-a").split(",")
+        supported = {"delta", "shift", "shift_lag", "shift_lead", "rsum",
+                     "rprod", "counter", "ratio", "from-first"}
+        for st_ in steppers:
+            if st_ not in supported:
+                raise Unsupported(f"stepper {st_}")
+        fields = _flagvals(a, "-f").split(",")
+        g = _flagvals(a, "-g")
+        gb0 = g.split(",") if g else None
+        work = df.copy()
+        usable = [f for f in fields if f in work.columns]
+        for f in usable:
+            work[f] = pd.to_numeric(work[f], errors="coerce")
+        if gb0:
+            base = work.dropna(subset=gb0)
+            passthrough = work[~work.index.isin(base.index)]
+            gb = gb0
+        else:
+            work["__g0"] = 0
+            base, passthrough, gb = work, work.iloc[0:0], ["__g0"]
+        # Miller het semantics (verb-step/0005): adjacency steppers
+        # (shift/delta/ratio/from-first) RESET after a record lacking the
+        # field, while running accumulators (rsum/rprod/counter) continue
+        # over all present values. Two passes per field.
+        RESETTING = {"shift", "shift_lag", "shift_lead", "delta", "ratio",
+                     "from-first"}
+        out = base.copy()
+        for f in usable:
+            marked = base.sort_values("__row__").copy()
+            # a gap resets only within ITS group's record stream
+            marked["__run"] = marked.groupby(gb, sort=False)[f].transform(
+                lambda s_: s_.isna().cumsum())
+            sub = marked.dropna(subset=[f])
+            if sub.empty:
+                continue
+            passes = []
+            reset_steppers = [x for x in steppers if x in RESETTING]
+            cont_steppers = [x for x in steppers if x not in RESETTING]
+            if reset_steppers:
+                passes.append(verbs.step(_ds(sub), [f], reset_steppers,
+                                         gb + ["__run"], "__row__").to_pandas())
+            if cont_steppers:
+                passes.append(verbs.step(_ds(sub), [f], cont_steppers,
+                                         gb, "__row__").to_pandas())
+            for one in passes:
+                one = one.set_index("__row__")
+                for c in one.columns:
+                    if c.startswith(f + "_"):
+                        out.loc[out["__row__"].isin(one.index), c] = \
+                            out.loc[out["__row__"].isin(one.index), "__row__"].map(one[c])
+        out = pd.concat([out, passthrough], ignore_index=True).sort_values("__row__")
+        return out.drop(columns=["__g0"], errors="ignore"), True
 
     raise Unsupported(f"verb {v} args {a}")
 
@@ -977,7 +1043,24 @@ def run_case(case_dir: str) -> tuple[str, str]:
         return "skip", case.unsupported
     try:
         df = load_df(case)
-        ours, ordered = execute(case, df)
+        input_df = df
+        # split then-chain segments: [verb args...] __THEN__ [verb args...]
+        segments = [[case.verb]]
+        for tok in case.args:
+            if tok == "__THEN__":
+                segments.append([])
+            else:
+                segments[-1].append(tok)
+        ordered = True
+        for seg in segments:
+            if not seg:
+                raise Unsupported("empty then segment")
+            sub_case = Case(seg[0], seg[1:], case.files, case.ifmt, case.ofmt)
+            ours, seg_ordered = execute(sub_case, df)
+            ordered = ordered and seg_ordered
+            df = ours.copy()
+            df["__row__"] = np.arange(len(df))
+        ordered = ordered if len(segments) == 1 else (ordered and seg_ordered)
     except Unsupported as e:
         return "skip", str(e)
     except Exception as e:  # noqa: BLE001 — conformance harness reports
@@ -992,8 +1075,8 @@ def run_case(case_dir: str) -> tuple[str, str]:
                                            " ".join(case.args)):
         g = _flagvals(case.args, "-g")
         gb = g.split(",") if g else None
-        our_recs = _freqify_modes(our_recs, df, gb)
-        expected = _freqify_modes(expected, df, gb)
+        our_recs = _freqify_modes(our_recs, input_df, gb)
+        expected = _freqify_modes(expected, input_df, gb)
     ok, msg = compare_recs(our_recs, expected, ordered)
     return ("pass", msg) if ok else ("fail", f"{cmd}: {msg}")
 

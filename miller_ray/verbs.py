@@ -566,6 +566,8 @@ def step(ds, fields: list[str], steppers: list[str], group_by: list[str],
                     df[f"{f}_shift_lead"] = df[f].shift(-1)
                 elif s == "rsum":
                     df[f"{f}_rsum"] = df[f].cumsum()
+                elif s == "rprod":
+                    df[f"{f}_rprod"] = df[f].cumprod()
                 elif s == "counter":
                     df[f"{f}_counter"] = np.arange(1, len(df) + 1, dtype=np.int64)
                 elif s == "ratio":

@@ -14,7 +14,8 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "verb-cat", "verb-grep", "verb-having-fields", "verb-decimate",
           "verb-fraction", "verb-tac", "verb-seqgen", "verb-nothing",
           "verb-group-by", "verb-regularize", "verb-stats2",
-          "verb-merge-fields", "verb-fill-down", "verb-sort-within-records"]
+          "verb-merge-fields", "verb-fill-down", "verb-sort-within-records",
+          "verb-step"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
@@ -31,4 +32,4 @@ def test_overall_coverage(ray_session):
             tot[k] += r[k]
     assert tot["fail"] == 0
     # supported coverage must not silently shrink
-    assert tot["pass"] >= 170, tot
+    assert tot["pass"] >= 190, tot
