@@ -209,6 +209,27 @@ def q_filter_project(sf_dir: str):
         t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))
 
 
+def q_put_expr(sf_dir: str):
+    """put -e with a Miller DSL expression string (dsl.py parser)."""
+    from miller_ray import dsl
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"])
+    return dsl.put_expr(ds,
+                        '$revenue = $l_extendedprice * (1 - $l_discount); '
+                        '$charge = $revenue * (1 + $l_tax); '
+                        '$tag = $l_discount > 0.05 ? "hi" : "lo"')
+
+
+def q_filter_expr(sf_dir: str):
+    """filter -e with a Miller DSL predicate string (dsl.py parser)."""
+    from miller_ray import dsl
+
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_retailprice"])
+    return dsl.filter_expr(
+        ds, '$p_retailprice >= 1200 && $p_name =~ "widget" || $p_brand == "Brand#13"')
+
+
 def q_rank(sf_dir: str):
     from miller_ray import verbs
 
@@ -430,7 +451,8 @@ def q_top_full_records(sf_dir: str):
 
     return verbs.top_full_records(_t(sf_dir, "orders",
                                      ["o_orderkey", "o_orderpriority", "o_totalprice"]),
-                                  "o_totalprice", n=2, group_by=["o_orderpriority"])
+                                  "o_totalprice", n=2, group_by=["o_orderpriority"],
+                                  tiebreak="o_orderkey")
 
 
 def q_cumfrac(sf_dir: str):
@@ -899,6 +921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_segment_revenue": q_join_segment_revenue,
         "sort_head": q_sort_head,
         "filter_project": q_filter_project,
+        "put_expr": q_put_expr,
+        "filter_expr": q_filter_expr,
         "rank": q_rank,
         "count_similar": q_count_similar,
         "step_delta": q_step_delta,
@@ -1071,6 +1095,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, "
             "l_extendedprice * (1.0 - l_discount) AS revenue "
             "FROM lineitem WHERE l_quantity > 45.0",
+        "put_expr":
+            "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax, "
+            "l_extendedprice * (1 - l_discount) AS revenue, "
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge, "
+            "CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS tag "
+            "FROM lineitem",
+        "filter_expr":
+            "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part "
+            "WHERE (p_retailprice >= 1200 AND regexp_matches(p_name, 'widget')) "
+            "OR p_brand = 'Brand#13'",
         "rank":
             "SELECT l_orderkey, l_linenumber, CAST(rank() OVER "
             "(PARTITION BY l_returnflag ORDER BY l_quantity) AS BIGINT) AS l_quantity_rank "
@@ -1192,7 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "top_full_records":
             "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
             "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
-            "ORDER BY o_totalprice DESC) <= 2",
+            "ORDER BY o_totalprice DESC, o_orderkey) <= 2",
         "cumfrac":
             "WITH s AS (SELECT o_orderpriority, sum(o_totalprice) grp_sum FROM orders "
             "GROUP BY o_orderpriority) "

@@ -1,0 +1,601 @@
+"""Miller DSL expression subset for ``put -e`` / ``filter -e``, compiled
+to vectorized Arrow kernels.
+
+The reference implements a full language (GOYACC grammar in
+``pkg/parsing``, CST in ``pkg/dsl/cst``, entry ``put_or_filter.go:23``);
+this module covers the expression core that accounts for the vast
+majority of real ``put``/``filter`` one-liners:
+
+- statements: ``$name = expr``; ``unset $name``; ``filter expr``; a bare
+  boolean expression (the filter predicate form); ``;``-separated.
+- expressions: ``? :`` ternary, ``?? `` absent-coalesce, ``|| &&``,
+  ``=~ !~`` regex match, ``== != < <= > >=``, ``.`` string concat,
+  ``+ - * / // % **`` with Miller's dot-operators ``.+ .- .* ./``
+  (int-preserving variants), unary ``- + !``, parentheses,
+  ``$field`` / ``${field name}`` references, int (decimal/hex/binary),
+  float and ``"string"`` literals (with ``\\`` escapes), ``true/false``,
+  ``M_PI``/``M_E``, and calls to every function in
+  ``miller_ray.functions.REGISTRY``.
+
+Each statement compiles to a closure over (pa.Table, env) where env
+carries intra-program assignments, so ``$y = $x * 2; $z = $y + 1`` works
+per batch with zero Python-per-row cost.
+
+Deliberate divergences (documented, consistent with SURVEY §1.6):
+- ``/`` returns int when both operands are int columns and every
+  element divides evenly (Miller decides per value, bifs/arithmetic.go
+  BIF_divide); otherwise float64.
+- 64-bit int overflow wraps instead of auto-promoting to float
+  (``bifs/arithmetic.go`` overflow-to-float).
+- out-of-stream variables (@vars), begin/end blocks, user-defined
+  functions and higher-order functions are not supported and raise
+  ``DslError`` at parse time.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from miller_ray.functions import REGISTRY
+
+
+class DslError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<comment>\#[^\n]*)
+  | (?P<float>(\d+\.\d*|\.\d+)([eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+  | (?P<int>0[xX][0-9a-fA-F]+|0[bB][01]+|\d+)
+  | (?P<string>"(\\.|[^"\\])*")
+  | (?P<field>\$(\{[^}]*\}|[A-Za-z_][A-Za-z0-9_]*|\*))
+  | (?P<oosvar>@(\{[^}]*\}|[A-Za-z_][A-Za-z0-9_]*|\*))
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>\*\*|\.\+|\.-|\.\*|\./|//|<=|>=|==|!=|=~|!~|&&|\|\||\?\?\??|[-+*/%<>=!?:;,().])
+""", re.VERBOSE)
+
+_ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", ".=", "%=", "//=", "**="}
+
+
+def _lex(src: str) -> list[tuple[str, str]]:
+    out = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise DslError(f"DSL lex error at {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        out.append((kind, m.group()))
+    # fuse compound assignment ops (lexer emits e.g. '+' '=' separately)
+    fused = []
+    i = 0
+    while i < len(out):
+        k, v = out[i]
+        if (k == "op" and i + 1 < len(out) and out[i + 1] == ("op", "=")
+                and v + "=" in _ASSIGN_OPS):
+            fused.append(("op", v + "="))
+            i += 2
+        else:
+            fused.append((k, v))
+            i += 1
+    return fused
+
+
+# ---------------------------------------------------------------------------
+# AST = nested tuples; compile directly to closures
+# ---------------------------------------------------------------------------
+
+Value = object  # pa.Array | pa.ChunkedArray | python scalar
+Expr = Callable[[pa.Table, dict], Value]
+
+
+def _field_name(tok: str) -> str:
+    body = tok[1:]
+    return body[1:-1] if body.startswith("{") else body
+
+
+def _is_arr(v) -> bool:
+    return isinstance(v, (pa.Array, pa.ChunkedArray))
+
+
+def _is_int(v) -> bool:
+    if _is_arr(v):
+        return pa.types.is_integer(v.type)
+    return isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+
+
+def _is_str(v) -> bool:
+    if _is_arr(v):
+        return pa.types.is_string(v.type) or pa.types.is_large_string(v.type)
+    return isinstance(v, str)
+
+
+def _to_str(v):
+    if _is_arr(v):
+        return pc.cast(v, pa.string())
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and float(v).is_integer():
+        return str(v)
+    return str(v)
+
+
+def _np(v):
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    if _is_arr(v):
+        return v.to_numpy(zero_copy_only=False)
+    return v
+
+
+def _unscalar(v):
+    """pyarrow kernels on two Python scalars return pa.Scalar — fold
+    those back to Python values so scalar subexpressions stay scalars."""
+    return v.as_py() if isinstance(v, pa.Scalar) else v
+
+
+def _arith(op: str, a: Value, b: Value) -> Value:
+    return _unscalar(_arith_raw(op, _unscalar(a), _unscalar(b)))
+
+
+def _arith_raw(op: str, a: Value, b: Value) -> Value:
+    both_int = _is_int(a) and _is_int(b)
+    if op in ("+", ".+"):
+        return pc.add(a, b)
+    if op in ("-", ".-"):
+        return pc.subtract(a, b)
+    if op in ("*", ".*"):
+        return pc.multiply(a, b)
+    if op == "./":
+        return pc.divide(a, b)  # int division, truncating (bifs dot-ops)
+    if op == "/":
+        if both_int:
+            # Miller: int/int stays int when evenly divisible
+            # (per-column decision here; reference decides per value)
+            fa = pc.cast(a, pa.float64()) if _is_arr(a) else float(a)
+            fb = pc.cast(b, pa.float64()) if _is_arr(b) else float(b)
+            out = pc.divide(fa, fb)
+            arr = _np(out)
+            if _is_arr(out) and np.all(np.mod(arr[~np.isnan(arr)], 1) == 0):
+                return pc.cast(out, pa.int64())
+            if not _is_arr(out) and float(out) == int(out):
+                return int(out)
+            return out
+        fa = pc.cast(a, pa.float64()) if _is_arr(a) else float(a)
+        fb = pc.cast(b, pa.float64()) if _is_arr(b) else float(b)
+        return pc.divide(fa, fb)
+    if op == "//":
+        out = pc.floor(pc.divide(pc.cast(a, pa.float64()) if _is_arr(a) else float(a),
+                                 pc.cast(b, pa.float64()) if _is_arr(b) else float(b)))
+        return pc.cast(out, pa.int64()) if both_int else out
+    if op == "%":
+        # sign follows the divisor (Go BIF_modulus adjusts, matching
+        # Python/numpy semantics)
+        na, nb = _np(a), _np(b)
+        out = np.mod(na, nb)
+        return pa.array(out) if isinstance(out, np.ndarray) else out
+    if op == "**":
+        if both_int:
+            return pc.power(a, b)
+        return pc.power(pc.cast(a, pa.float64()) if _is_arr(a) else float(a),
+                        pc.cast(b, pa.float64()) if _is_arr(b) else float(b))
+    raise DslError(f"unknown arithmetic op {op}")
+
+
+def _compare(op: str, a: Value, b: Value) -> Value:
+    a, b = _unscalar(a), _unscalar(b)
+    fn = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+          "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
+    if _is_str(a) != _is_str(b):
+        a, b = _to_str(a), _to_str(b)
+    return _unscalar(fn(a, b))
+
+
+def _unify_types(a: Value, b: Value) -> tuple[Value, Value]:
+    """Make both branches of a ternary type-compatible for if_else."""
+    if _is_str(a) or _is_str(b):
+        return _to_str(a), _to_str(b)
+    a_f = _is_arr(a) and pa.types.is_floating(a.type) or isinstance(a, float)
+    b_f = _is_arr(b) and pa.types.is_floating(b.type) or isinstance(b, float)
+    if a_f != b_f:
+        a = pc.cast(a, pa.float64()) if _is_arr(a) else float(a)
+        b = pc.cast(b, pa.float64()) if _is_arr(b) else float(b)
+    return a, b
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, val: str):
+        k, v = self.next()
+        if v != val:
+            raise DslError(f"expected {val!r}, got {v!r}")
+
+    # precedence climbing ---------------------------------------------------
+    def expr(self) -> Expr:
+        return self.ternary()
+
+    def ternary(self) -> Expr:
+        cond = self.coalesce()
+        if self.peek() == ("op", "?"):
+            self.next()
+            a = self.ternary()
+            self.expect(":")
+            b = self.ternary()
+
+            def f(t, env, cond=cond, a=a, b=b):
+                c, x, y = cond(t, env), a(t, env), b(t, env)
+                x, y = _unify_types(x, y)
+                if not _is_arr(c):
+                    return x if c else y
+                return pc.if_else(c, x, y)
+            return f
+        return cond
+
+    def coalesce(self) -> Expr:
+        left = self.or_()
+        while self.peek()[1] in ("??", "???"):
+            self.next()
+            right = self.or_()
+
+            def f(t, env, left=left, right=right):
+                a = left(t, env)
+                if not _is_arr(a):
+                    return a if a is not None else right(t, env)
+                b = right(t, env)
+                a2, b2 = _unify_types(a, b)
+                return pc.coalesce(a2, b2)
+            left = f
+        return left
+
+    def or_(self) -> Expr:
+        left = self.and_()
+        while self.peek() == ("op", "||"):
+            self.next()
+            right = self.and_()
+
+            def f(t, env, left=left, right=right):
+                a, b = left(t, env), right(t, env)
+                if not _is_arr(a) and not _is_arr(b):
+                    return bool(a) or bool(b)
+                return pc.or_kleene(a, b)
+            left = f
+        return left
+
+    def and_(self) -> Expr:
+        left = self.match_()
+        while self.peek() == ("op", "&&"):
+            self.next()
+            right = self.match_()
+
+            def f(t, env, left=left, right=right):
+                a, b = left(t, env), right(t, env)
+                if not _is_arr(a) and not _is_arr(b):
+                    return bool(a) and bool(b)
+                return pc.and_kleene(a, b)
+            left = f
+        return left
+
+    def match_(self) -> Expr:
+        left = self.comparison()
+        while self.peek()[1] in ("=~", "!~"):
+            _, op = self.next()
+            right = self.comparison()
+
+            def f(t, env, left=left, right=right, op=op):
+                a = left(t, env)
+                pat = right(t, env)
+                if _is_arr(pat):
+                    raise DslError("=~ pattern must be a literal")
+                m = pc.match_substring_regex(pc.cast(a, pa.string()), str(pat))
+                return pc.invert(m) if op == "!~" else m
+            left = f
+        return left
+
+    def comparison(self) -> Expr:
+        left = self.concat()
+        while self.peek()[1] in ("==", "!=", "<", "<=", ">", ">="):
+            _, op = self.next()
+            right = self.concat()
+
+            def f(t, env, left=left, right=right, op=op):
+                return _compare(op, left(t, env), right(t, env))
+            left = f
+        return left
+
+    def concat(self) -> Expr:
+        left = self.additive()
+        while self.peek() == ("op", "."):
+            self.next()
+            right = self.additive()
+
+            def f(t, env, left=left, right=right):
+                a, b = _to_str(left(t, env)), _to_str(right(t, env))
+                if _is_arr(a) and _is_arr(b):
+                    return pc.binary_join_element_wise(a, b, "")
+                if _is_arr(a):
+                    return pc.binary_join_element_wise(
+                        a, pa.array([b] * len(a)), "")
+                if _is_arr(b):
+                    return pc.binary_join_element_wise(
+                        pa.array([a] * len(b)), b, "")
+                return a + b
+            left = f
+        return left
+
+    def additive(self) -> Expr:
+        left = self.multiplicative()
+        while self.peek()[1] in ("+", "-", ".+", ".-"):
+            _, op = self.next()
+            right = self.multiplicative()
+
+            def f(t, env, left=left, right=right, op=op):
+                return _arith(op, left(t, env), right(t, env))
+            left = f
+        return left
+
+    def multiplicative(self) -> Expr:
+        left = self.unary()
+        while self.peek()[1] in ("*", "/", "//", "%", ".*", "./"):
+            _, op = self.next()
+            right = self.unary()
+
+            def f(t, env, left=left, right=right, op=op):
+                return _arith(op, left(t, env), right(t, env))
+            left = f
+        return left
+
+    def unary(self) -> Expr:
+        k, v = self.peek()
+        if v == "-":
+            self.next()
+            operand = self.unary()
+
+            def f(t, env, operand=operand):
+                x = operand(t, env)
+                return pc.negate(x) if _is_arr(x) else -x
+            return f
+        if v == "+":
+            self.next()
+            return self.unary()
+        if v == "!":
+            self.next()
+            operand = self.unary()
+
+            def f(t, env, operand=operand):
+                x = operand(t, env)
+                return pc.invert(x) if _is_arr(x) else (not x)
+            return f
+        return self.power()
+
+    def power(self) -> Expr:
+        base = self.primary()
+        if self.peek() == ("op", "**"):
+            self.next()
+            exp = self.unary()  # right-assoc
+
+            def f(t, env, base=base, exp=exp):
+                return _arith("**", base(t, env), exp(t, env))
+            return f
+        return base
+
+    def primary(self) -> Expr:
+        k, v = self.next()
+        if k == "int":
+            val = int(v, 0)
+            return lambda t, env: val
+        if k == "float":
+            val = float(v)
+            return lambda t, env: val
+        if k == "string":
+            val = v[1:-1].encode().decode("unicode_escape")
+            return lambda t, env: val
+        if k == "field":
+            name = _field_name(v)
+            if name == "*":
+                raise DslError("$* is not supported (fixed Arrow schema)")
+
+            def f(t, env, name=name):
+                if name in env:
+                    return env[name]
+                if name not in t.column_names:
+                    raise DslError(f"field ${name} not in schema")
+                return t[name]
+            return f
+        if k == "oosvar":
+            raise DslError("@oosvars are not supported (no cross-record "
+                           "state in a distributed batch transform)")
+        if k == "ident":
+            if v == "true":
+                return lambda t, env: True
+            if v == "false":
+                return lambda t, env: False
+            if v == "M_PI":
+                return lambda t, env: float(np.pi)
+            if v == "M_E":
+                return lambda t, env: float(np.e)
+            if self.peek() == ("op", "("):
+                return self.call(v)
+            raise DslError(f"unknown identifier {v!r} (NR/FNR/FILENAME and "
+                           "@oosvars are not supported)")
+        if v == "(":
+            e = self.expr()
+            self.expect(")")
+            return e
+        raise DslError(f"unexpected token {v!r}")
+
+    def call(self, name: str) -> Expr:
+        if name not in REGISTRY:
+            raise DslError(f"unknown function {name!r} "
+                           f"(supported: miller_ray.functions.supported())")
+        self.expect("(")
+        args: list[Expr] = []
+        if self.peek() != ("op", ")"):
+            args.append(self.expr())
+            while self.peek() == ("op", ","):
+                self.next()
+                args.append(self.expr())
+        self.expect(")")
+        fn = REGISTRY[name]
+
+        def f(t, env, fn=fn, args=args):
+            vals = [_unscalar(a(t, env)) for a in args]
+            return _unscalar(fn(*vals))
+        return f
+
+
+# ---------------------------------------------------------------------------
+# statements / programs
+# ---------------------------------------------------------------------------
+
+class Program:
+    """Compiled DSL program: ordered statements over a batch + env."""
+
+    def __init__(self, statements: list[tuple]):
+        self.statements = statements
+
+    def run(self, t: pa.Table) -> tuple[pa.Table, Value | None]:
+        """Apply all statements; returns (table, last filter mask or None)."""
+        env: dict[str, Value] = {}
+        mask = None
+        for kind, *rest in self.statements:
+            if kind == "assign":
+                name, op, expr = rest
+                val = _unscalar(expr(t, env))
+                if op != "=":
+                    cur = env.get(name, t[name] if name in t.column_names
+                                  else None)
+                    if cur is None:
+                        raise DslError(f"${name} read before assignment")
+                    base_op = op[:-1]
+                    val = (_concat_vals(cur, val) if base_op == "."
+                           else _arith(base_op, cur, val))
+                env[name] = _materialize(val, t.num_rows)
+            elif kind == "unset":
+                (name,) = rest
+                env[name] = None
+            elif kind == "filter":
+                (expr,) = rest
+                mask = expr(t, env)
+        out = t
+        for name, val in env.items():
+            if val is None:
+                if name in out.column_names:
+                    out = out.drop_columns([name])
+                continue
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name), name, val)
+            else:
+                out = out.append_column(name, val)
+        return out, mask
+
+
+def _concat_vals(a, b):
+    a, b = _to_str(a), _to_str(b)
+    if _is_arr(a) and _is_arr(b):
+        return pc.binary_join_element_wise(a, b, "")
+    if _is_arr(a):
+        return pc.binary_join_element_wise(a, pa.array([b] * len(a)), "")
+    return a + b
+
+
+def _materialize(v: Value, n: int):
+    """Broadcast scalars to column length for table insertion."""
+    if _is_arr(v):
+        return v if not isinstance(v, pa.ChunkedArray) else v.combine_chunks()
+    if isinstance(v, bool):
+        return pa.array([v] * n, type=pa.bool_())
+    if isinstance(v, (int, np.integer)):
+        return pa.array([int(v)] * n, type=pa.int64())
+    if isinstance(v, (float, np.floating)):
+        return pa.array([float(v)] * n, type=pa.float64())
+    return pa.array([v] * n)
+
+
+def compile_program(src: str) -> Program:
+    """Parse a ';'-separated statement list into a Program."""
+    toks = _lex(src)
+    p = _Parser(toks)
+    stmts: list[tuple] = []
+    while p.peek()[0] != "eof":
+        if p.peek() == ("op", ";"):
+            p.next()
+            continue
+        k, v = p.peek()
+        if k == "ident" and v == "unset":
+            p.next()
+            fk, fv = p.next()
+            if fk != "field":
+                raise DslError("unset expects a $field")
+            stmts.append(("unset", _field_name(fv)))
+        elif k == "ident" and v == "filter":
+            p.next()
+            stmts.append(("filter", p.expr()))
+        elif k == "field" and p.toks[p.i + 1: p.i + 2] and \
+                p.toks[p.i + 1][0] == "op" and p.toks[p.i + 1][1] in _ASSIGN_OPS:
+            _, ftok = p.next()
+            _, op = p.next()
+            stmts.append(("assign", _field_name(ftok), op, p.expr()))
+        else:
+            stmts.append(("filter", p.expr()))
+        if p.peek() == ("op", ";"):
+            p.next()
+    return Program(stmts)
+
+
+def put_expr(ds, src: str):
+    """Verb ``put -e 'src'`` (put_or_filter.go:23): run DSL statements
+    per record, vectorized per batch."""
+    prog = compile_program(src)
+
+    def f(t: pa.Table) -> pa.Table:
+        out, mask = prog.run(t)
+        if mask is not None:  # embedded `filter` statement
+            if not _is_arr(mask):
+                return out if mask else out.slice(0, 0)
+            out = out.filter(mask)
+        return out
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_expr(ds, src: str, exclude: bool = False):
+    """Verb ``filter -e 'src'`` (put_or_filter.go): keep records where
+    the (final bare) expression is true; ``-x`` inverts."""
+    prog = compile_program(src)
+
+    def f(t: pa.Table) -> pa.Table:
+        out, mask = prog.run(t)
+        if mask is None:
+            raise DslError("filter program has no predicate expression")
+        if not _is_arr(mask):
+            keep = bool(mask) != exclude
+            return out if keep else out.slice(0, 0)
+        if exclude:
+            mask = pc.invert(mask)
+        return out.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -218,7 +218,9 @@ def build_grouped_sketches(ds, group_by: list[str], specs: list[SketchSpec],
     if parts.count() <= 5000:
         pdf = parts.to_pandas()
         rows = []
-        for key_vals, grp in pdf.groupby(group_by, sort=False):
+        # dropna=False: null group keys are groups too (matches the
+        # distributed salted path and verbs.count's driver fold)
+        for key_vals, grp in pdf.groupby(group_by, sort=False, dropna=False):
             if len(group_by) == 1:
                 key_vals = (key_vals,) if not isinstance(key_vals, tuple) else key_vals
             row = dict(zip(group_by, key_vals))

@@ -97,7 +97,13 @@ bif("sub")(lambda x, a, b: pc.replace_substring_regex(_s(x), pattern=a, replacem
 bif("gsub")(lambda x, a, b: pc.replace_substring_regex(_s(x), pattern=a, replacement=b))
 bif("matches")(lambda x, p: pc.match_substring_regex(_s(x), p))
 bif("contains")(lambda x, p: pc.match_substring(_s(x), p))
-bif("index")(lambda x, p: pc.add(pc.find_substring(_s(x), p), 1))  # 1-up; 0 if absent
+# 1-up position; -1 when absent (BIF_index, pkg/bifs/strings.go — note:
+# byte offsets here vs the reference's UTF-8 codepoint offsets; they
+# agree on ASCII, documented divergence for multi-byte text)
+bif("index")(lambda x, p: pc.if_else(
+    pc.equal(pc.find_substring(_s(x), p), -1),
+    pa.scalar(-1, type=pa.int32()),
+    pc.add(pc.find_substring(_s(x), p), 1)))
 bif("starts_with")(lambda x, p: pc.starts_with(_s(x), p))
 bif("ends_with")(lambda x, p: pc.ends_with(_s(x), p))
 bif("splitax")(lambda x, sep: pc.split_pattern(_s(x), sep))

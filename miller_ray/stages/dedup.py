@@ -52,27 +52,44 @@ def exact_dedup(ds, content_cols: list[str], id_col: str,
 
     parts = hashed.map_batches(local_winner, batch_format="pyarrow").materialize()
     agg_col = f"{id_col}_{keep}"
-    if parts.count() <= 2_000_000:
-        pdf = parts.to_pandas()
-        winners = (pdf.groupby("__h", sort=False)[agg_col]
-                      .agg(keep).reset_index())
-    else:
+    n_parts = parts.count()
+    if n_parts > 2_000_000:
+        # Stage 2, scale path: winners stay distributed; semi-join rows
+        # against them with a hash-partitioned shuffle join on
+        # (__h, id) — nothing corpus-sized ever lands on one node.
         from ray.data.aggregate import Max, Min
 
-        agg = Min(agg_col, alias_name=agg_col) if keep == "min" else             Max(agg_col, alias_name=agg_col)
-        winners = parts.groupby("__h").aggregate(agg).to_pandas()
-    # Stage 2: semi-join rows on (hash, winner id). Broadcast here (one
-    # ray.put, winners ~= #distinct contents); at 100 TB swap for a
-    # shuffle join on (__h, id) — same semantics.
+        agg = Min(agg_col, alias_name=agg_col) if keep == "min" else \
+            Max(agg_col, alias_name=agg_col)
+        winners_ds = (parts.groupby("__h").aggregate(agg)
+                           .rename_columns({agg_col: id_col}))
+        joined = hashed.join(winners_ds, join_type="inner",
+                             num_partitions=max(32, n_parts // 1_000_000),
+                             on=("__h", id_col))
+        return joined.map_batches(
+            lambda df: df.drop(columns="__h").drop_duplicates(subset=content_cols),
+            batch_format="pandas")
+
+    pdf = parts.to_pandas()
+    winners = (pdf.groupby("__h", sort=False)[agg_col]
+                  .agg(keep).reset_index())
+    # Stage 2, broadcast path: pack (content hash, id hash) into one
+    # uint64 per winner and semi-join via np.isin against the sorted
+    # packed array — vectorized, 8 bytes/winner, no per-row Python
+    # tuple membership. (Same pattern as _keep_multi_member_buckets.)
     import ray
 
-    wset_ref = ray.put(set(zip(winners["__h"].to_numpy(),
-                               winners[agg_col].to_numpy())))
+    def _pack(h: np.ndarray, idv) -> np.ndarray:
+        return (np.asarray(h, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ) ^ hash64(idv, seed=31)
+
+    wpacked = np.sort(_pack(winners["__h"].to_numpy(), winners[agg_col].to_numpy()))
+    wref = ray.put(wpacked)
 
     def keep_winners(df: pd.DataFrame) -> pd.DataFrame:
-        w = ray.get(wset_ref)
-        mask = [(h, i) in w for h, i in zip(df["__h"], df[id_col])]
-        out = df[mask].drop(columns="__h")
+        w = ray.get(wref)
+        packed = _pack(df["__h"].to_numpy(), df[id_col].to_numpy())
+        out = df[np.isin(packed, w)].drop(columns="__h")
         # same-hash same-id different-content collisions are broken by
         # exact content equality within the surviving rows
         return out.drop_duplicates(subset=content_cols)
@@ -196,12 +213,17 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     """Near-dup groups via MinHash-LSH. Returns (id, rep) for every doc
     in a near-dup cluster of size >= 2, rep = min id in the cluster.
 
-    Pipeline: signatures -> explode to (band, band_hash, id) rows ->
-    groupby band bucket -> candidate pairs -> estimated-Jaccard filter
-    (signature agreement, no second text pass) -> union-find on the
-    surviving edges (driver; edges << corpus)."""
+    Pipeline: signatures (actor pool, materialized ONCE — the expensive
+    re-sign never repeats) -> light (id, band, band_hash) bucket rows,
+    NO signature payload (16x smaller than exploding sig per band) ->
+    multi-member-bucket pruning -> fetch signatures for candidate ids
+    only (broadcast id set; candidates << corpus) -> per-bucket pair
+    scoring by signature agreement -> union-find on surviving edges."""
+    import ray
+
     mh = MinHash(k=k, seed=seed)
-    sig_ds = minhash_signatures(ds, text_col, id_col, k=k, shingle_n=shingle_n, seed=seed)
+    sig_ds = minhash_signatures(ds, text_col, id_col, k=k, shingle_n=shingle_n,
+                                seed=seed).materialize()
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -214,31 +236,40 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             id_col: pa.array(ids),
             "band": pa.array(band_id),
             "bh": pa.array(bh.reshape(-1).view(np.int64)),
-            "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.repeat(sigs, bands, axis=0).reshape(-1).view(np.int64)), k),
         })
 
-    exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
+    buckets = sig_ds.map_batches(explode, batch_format="pyarrow")
+    survivors = _keep_multi_member_buckets(buckets, ["band", "bh"]).to_pandas()
+    if survivors.empty:
+        return pd.DataFrame(columns=[id_col, "rep"])
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_j": []})
-        df = df.sort_values(id_col).drop_duplicates(id_col)
-        ids = df[id_col].to_numpy()
-        sigs = np.stack([np.asarray(s, dtype=np.int64).view(np.uint64) for s in df["sig"]])
-        out_a, out_b, out_j = [], [], []
+    wanted_ref = ray.put(set(survivors[id_col]))
+
+    def fetch_sigs(t: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        mask = pd.Series(np.asarray(t[id_col])).isin(w).to_numpy()
+        return t.filter(pa.array(mask))
+
+    sig_rows = sig_ds.map_batches(fetch_sigs, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+    sig_mat = np.stack([np.asarray(s, dtype=np.int64).view(np.uint64)
+                        for s in sig_rows["sig"]]) if len(sig_rows) else \
+        np.zeros((0, k), dtype=np.uint64)
+    sig_idx = {i: j for j, i in enumerate(sig_rows[id_col])}
+
+    out_a, out_b, out_j = [], [], []
+    for _, grp in survivors.groupby(["band", "bh"], sort=False):
+        ids = np.sort(grp[id_col].unique())
+        if ids.size < 2:
+            continue
+        rows = sig_mat[[sig_idx[i] for i in ids]]
         for i in range(len(ids)):
-            agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            hit = np.flatnonzero(agree >= threshold)
-            for j in hit:
+            agree = (rows[i + 1:] == rows[i]).mean(axis=1)
+            for j in np.flatnonzero(agree >= threshold):
                 out_a.append(ids[i])
                 out_b.append(ids[i + 1 + j])
                 out_j.append(float(agree[j]))
-        return pd.DataFrame({"a": out_a, "b": out_b, "est_j": out_j})
-
-    exploded = _keep_multi_member_buckets(exploded, ["band", "bh"])
-    edge_df = exploded.groupby(["band", "bh"]).map_groups(
-        pairs, batch_format="pandas").to_pandas()
+    edge_df = pd.DataFrame({"a": out_a, "b": out_b, "est_j": out_j})
     edge_df = edge_df.drop_duplicates(["a", "b"])
 
     # union-find over surviving edges (tiny)

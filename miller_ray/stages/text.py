@@ -117,20 +117,44 @@ def lang_id(ds, text_col: str = "text", out_col: str = "lang_pred"):
     }
 
     class Scorer:
+        """Vectorized: one flat word array per batch, one is_in per
+        language, reduceat per doc — no per-row Python (the same
+        pattern as QualityScorer's stopword ratio)."""
+
         def __init__(self):
-            self.markers = {k: set(v) for k, v in markers.items()}
+            self.langs = sorted(markers)
+            self.value_sets = {k: pa.array(markers[k]) for k in self.langs}
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            preds = []
-            for s in df[text_col]:
-                words = set(s.lower().split()[:200])
-                best, best_n = "unknown", 0
-                for lang in sorted(self.markers):
-                    n = len(words & self.markers[lang])
-                    if n > best_n:
-                        best, best_n = lang, n
-                preds.append(best)
-            df[out_col] = preds
-            return df
+        def __call__(self, t: pa.Table) -> pa.Table:
+            words = pc.list_slice(
+                pc.split_pattern_regex(
+                    pc.utf8_lower(pc.cast(t[text_col], pa.string())),
+                    pattern=r"\s+"), 0, 200)
+            flat = pc.list_flatten(words)
+            lens = pc.list_value_length(words).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            offsets = np.zeros(t.num_rows + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            scores = np.zeros((t.num_rows, len(self.langs)), dtype=np.int64)
+            for li, lang in enumerate(self.langs):
+                # distinct-marker count per doc: a marker seen twice in a
+                # doc scores once (set semantics) — dedupe (doc, marker)
+                # pairs via the marker index the word hits
+                hit = pc.index_in(flat, value_set=self.value_sets[lang])
+                hv = hit.to_numpy(zero_copy_only=False)
+                ok = ~np.isnan(hv.astype(np.float64)) if hv.dtype == object \
+                    else ~pd.isna(hv)
+                if not ok.any():
+                    continue
+                doc = np.repeat(np.arange(t.num_rows), lens)[ok]
+                mk = hv[ok].astype(np.int64)
+                uniq = np.unique(doc * np.int64(len(markers[lang]) + 1) + mk)
+                np.add.at(scores[:, li], (uniq // (len(markers[lang]) + 1)), 1)
+            best = np.argmax(scores, axis=1)  # ties -> lowest index = sorted lang order
+            best_n = scores[np.arange(t.num_rows), best]
+            preds = np.where(best_n > 0,
+                             np.array(self.langs, dtype=object)[best], "unknown")
+            return t.append_column(out_col, pa.array(preds, type=pa.string()))
 
-    return ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 2))
+    return ds.map_batches(Scorer, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 2))

