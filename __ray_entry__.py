@@ -190,6 +190,37 @@ def q_join_segment_revenue(sf_dir: str):
     return _round(r, {"o_totalprice_sum": 2})
 
 
+def q_join_left_outer(sf_dir: str):
+    """join --ul-style paired + unpaired-stream emission (join.go:26-31):
+    orders against the BUILDING-segment customer subset."""
+    from miller_ray import verbs
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust[cust["c_mktsegment"] == "BUILDING"]
+    r = verbs.mlr_join(_t(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+                       cust, left_on=["c_custkey"], right_on=["o_custkey"],
+                       emit_paired=True, emit_unpaired_right=True)
+    out = r.to_pandas()
+    out["c_mktsegment"] = out["c_mktsegment"].where(
+        out["c_mktsegment"].notna(), "-")
+    return out
+
+
+def q_join_anti(sf_dir: str):
+    """join --np --ul (anti-join): customers with no order among the
+    low-custkey order stream (DSL filter composed in front)."""
+    from miller_ray import dsl, verbs
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    stream = dsl.filter_expr(_t(sf_dir, "orders", ["o_custkey"]),
+                             "$o_custkey <= 750")
+    r = verbs.mlr_join(stream, cust, left_on=["c_custkey"],
+                       right_on=["o_custkey"],
+                       emit_paired=False, emit_unpaired_left=True)
+    out = r.to_pandas().rename(columns={"o_custkey": "c_custkey"})
+    return out.reindex(columns=["c_custkey", "c_mktsegment"])
+
+
 def q_sort_head(sf_dir: str):
     from miller_ray import verbs
 
@@ -421,8 +452,27 @@ def q_summary(sf_dir: str):
     from miller_ray import verbs
 
     r = verbs.summary(_t(sf_dir, "lineitem", ["l_quantity", "l_discount"]),
-                      ["l_quantity", "l_discount"])
+                      ["l_quantity", "l_discount"],
+                      summarizers=["count", "null_count", "min", "max", "sum",
+                                   "mean", "stddev", "p25", "median", "p75",
+                                   "iqr"])
     return _round(r, {"sum": 2, "mean": 6, "stddev": 6, "iqr": 6})
+
+
+def q_summary_full(sf_dir: str):
+    """summary with the full -a set (summary.go:40-57) on one numeric
+    column: field_type/distinct_count/mode/skewness/fences included."""
+    from miller_ray import verbs
+
+    r = verbs.summary(_t(sf_dir, "lineitem", ["l_quantity"]), ["l_quantity"],
+                      summarizers=["field_type", "count", "null_count",
+                                   "distinct_count", "mode", "sum", "mean",
+                                   "stddev", "var", "skewness", "min", "p25",
+                                   "median", "p75", "max", "iqr", "lof",
+                                   "lif", "uif", "uof"])
+    return _round(r, {"sum": 2, "mean": 6, "stddev": 6, "var": 6,
+                      "skewness": 6, "iqr": 6, "lof": 6, "lif": 6,
+                      "uif": 6, "uof": 6})
 
 
 def q_uniq_all(sf_dir: str):
@@ -524,6 +574,43 @@ def q_tee(sf_dir: str):
         ds = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
         passed = verbs.tee(ds, out)
         return verbs.count(passed, ["s_nationkey"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_csv_io(sf_dir: str):
+    """CSV sink + source (miller_ray.io): parquet -> CSV files -> read
+    back with Arrow type inference -> grouped count."""
+    import shutil
+    import tempfile
+
+    from miller_ray import io as MIO
+    from miller_ray import verbs
+
+    out = tempfile.mkdtemp(prefix="mr_csv_")
+    try:
+        MIO.write_csv(_t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]), out)
+        back = MIO.read_csv(out)
+        return verbs.count(back, ["o_orderpriority"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_dkvp_io(sf_dir: str):
+    """DKVP sink + source round-trip (record_reader_dkvp_nidx.go):
+    k=v,k=v text lines with Miller type inference on read."""
+    import shutil
+    import tempfile
+
+    from miller_ray import io as MIO
+
+    out = tempfile.mkdtemp(prefix="mr_dkvp_")
+    try:
+        MIO.write_dkvp(_t(sf_dir, "nation",
+                          ["n_nationkey", "n_name", "n_regionkey"]), out)
+        back = MIO.read_dkvp([f"{out}/{f}" for f in sorted(
+            __import__("os").listdir(out))])
+        return back.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -919,6 +1006,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_fields": q_merge_fields,
         "stats2": q_stats2,
         "join_segment_revenue": q_join_segment_revenue,
+        "join_left_outer": q_join_left_outer,
+        "join_anti": q_join_anti,
         "sort_head": q_sort_head,
         "filter_project": q_filter_project,
         "put_expr": q_put_expr,
@@ -948,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gsub": q_gsub,
         "format_values": q_format_values,
         "summary": q_summary,
+        "summary_full": q_summary_full,
         "uniq_all": q_uniq_all,
         "count_distinct_unlashed": q_count_distinct_unlashed,
         "histogram_auto": q_histogram_auto,
@@ -958,6 +1048,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reorder": q_reorder,
         "split_write": q_split_write,
         "tee": q_tee,
+        "csv_io": q_csv_io,
+        "dkvp_io": q_dkvp_io,
         # approximate / non-SQL (rows-only checks)
         "sketch_flagship": q_sketch_flagship,
         "sketch_grouped": q_sketch_grouped,
@@ -1088,6 +1180,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, count(o_totalprice) AS o_totalprice_count, "
             "ROUND(sum(o_totalprice), 2) AS o_totalprice_sum "
             "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+        "join_left_outer":
+            "SELECT o_orderkey, o_custkey, COALESCE(c_mktsegment, '-') "
+            "AS c_mktsegment FROM orders "
+            "LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_mktsegment = 'BUILDING') c ON o_custkey = c_custkey",
+        "join_anti":
+            "SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_custkey <= 750)",
         "sort_head":
             "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
             "ORDER BY l_extendedprice DESC LIMIT 100",
@@ -1207,6 +1308,36 @@ def oracle_sql() -> dict[str, str]:
             "ROUND((SELECT l[1+least(cast(floor(75*n/100.0) as int), n-1)] FROM d) - "
             "(SELECT l[1+least(cast(floor(25*n/100.0) as int), n-1)] FROM d), 6) "
             "FROM lineitem",
+        "summary_full":
+            "WITH q AS (SELECT list_sort(list(l_quantity)) l, count(*) n "
+            "FROM lineitem), "
+            "sk AS (SELECT count(*)::DOUBLE n, sum(l_quantity) s1, "
+            "sum(l_quantity*l_quantity) s2, "
+            "sum(l_quantity*l_quantity*l_quantity) s3 FROM lineitem), "
+            "pct AS (SELECT "
+            "(SELECT l[1+least(cast(floor(25*n/100.0) as int), n-1)] FROM q) p25, "
+            "(SELECT l[1+least(cast(floor(50*n/100.0) as int), n-1)] FROM q) p50, "
+            "(SELECT l[1+least(cast(floor(75*n/100.0) as int), n-1)] FROM q) p75) "
+            "SELECT 'l_quantity' AS field_name, 'float' AS field_type, "
+            "count(l_quantity) AS count, "
+            "count(*) - count(l_quantity) AS null_count, "
+            "count(DISTINCT l_quantity) AS distinct_count, "
+            "(SELECT p FROM (SELECT l_quantity p, count(*) c FROM lineitem "
+            " GROUP BY 1 ORDER BY c DESC, p LIMIT 1)) AS mode, "
+            "ROUND(sum(l_quantity), 2) AS sum, ROUND(avg(l_quantity), 6) AS mean, "
+            "ROUND(stddev_samp(l_quantity), 6) AS stddev, "
+            "ROUND(var_samp(l_quantity), 6) AS var, "
+            "(SELECT ROUND(((s3 - (s1/n)*(3*s2 - 2*n*(s1/n)*(s1/n)))/n) / "
+            " POW((s2 - n*(s1/n)*(s1/n))/(n-1), 1.5), 6) FROM sk) AS skewness, "
+            "min(l_quantity) AS min, "
+            "(SELECT p25 FROM pct) AS p25, (SELECT p50 FROM pct) AS median, "
+            "(SELECT p75 FROM pct) AS p75, max(l_quantity) AS max, "
+            "(SELECT ROUND(p75 - p25, 6) FROM pct) AS iqr, "
+            "(SELECT ROUND(p25 - 3.0*(p75-p25), 6) FROM pct) AS lof, "
+            "(SELECT ROUND(p25 - 1.5*(p75-p25), 6) FROM pct) AS lif, "
+            "(SELECT ROUND(p75 + 1.5*(p75-p25), 6) FROM pct) AS uif, "
+            "(SELECT ROUND(p75 + 3.0*(p75-p25), 6) FROM pct) AS uof "
+            "FROM lineitem",
         "uniq_all":
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
         "count_distinct_unlashed":
@@ -1251,6 +1382,11 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority",
         "tee":
             "SELECT s_nationkey, count(*) AS count FROM supplier GROUP BY s_nationkey",
+        "csv_io":
+            "SELECT o_orderpriority, count(*) AS count FROM orders "
+            "GROUP BY o_orderpriority",
+        "dkvp_io":
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "json_flatten":
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS props_k "
             "FROM events",

@@ -28,6 +28,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 REFERENCE = "/root/reference"
 
@@ -38,8 +40,8 @@ REFERENCE = "/root/reference"
 
 
 def _infer(v: str):
-    if v == "":
-        return ""
+    if v is None or v == "":
+        return "" if v == "" else None
     try:
         if re.fullmatch(r"[+-]?\d+", v):
             return int(v)
@@ -68,12 +70,57 @@ def read_dkvp(path: str) -> list[dict]:
     return recs
 
 
-def read_csv(path: str) -> list[dict]:
+def read_csv(path: str, sep: str = ",") -> list[dict]:
     import csv
 
     with open(path) as f:
-        rd = csv.DictReader(f)
+        rd = csv.DictReader(f, delimiter=sep)
         return [{k: _infer(v) for k, v in row.items()} for row in rd]
+
+
+def read_tsv(path: str) -> list[dict]:
+    return read_csv(path, sep="\t")
+
+
+def read_nidx(path: str, sep: str | None = None) -> list[dict]:
+    """NIDX: whitespace- (or sep-) split positional fields, 1-up keys."""
+    recs = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            toks = line.split(sep) if sep else line.split()
+            recs.append({str(i): _infer(v) for i, v in enumerate(toks, 1)})
+    return recs
+
+
+def read_json_in(path: str) -> list[dict]:
+    with open(path) as f:
+        text = f.read()
+    try:
+        data = json.loads(text)
+        if isinstance(data, dict):
+            data = [data]
+    except json.JSONDecodeError:
+        try:
+            # concatenated pretty-printed objects (mlr's default JSON
+            # stream form): wrap as an array
+            data = json.loads("[" + re.sub(r"}\s*{", "},{", text) + "]")
+        except json.JSONDecodeError:
+            data = [json.loads(line) for line in text.splitlines() if line.strip()]
+    out = []
+    for r in data:
+        if any(isinstance(v, (dict, list)) for v in r.values()):
+            raise Unsupported("nested JSON input")
+        out.append(r)
+    return out
+
+
+def read_pprint(path: str) -> list[dict]:
+    with open(path) as f:
+        return [{k: _infer(v) for k, v in r.items()}
+                for r in parse_pprint(f.read())]
 
 
 # ---------------------------------------------------------------------------
@@ -112,15 +159,36 @@ def parse_xtab(text: str) -> list[dict]:
 def parse_pprint(text: str) -> list[dict]:
     recs = []
     block: list[str] = []
+
+    def flush(block):
+        if not block:
+            return
+        hdr_line = block[0]
+        hdr = hdr_line.split()
+        # column start offsets from the header (pprint pads all rows to
+        # shared column widths, so slicing is exact even when VALUES
+        # contain spaces)
+        starts = []
+        pos = 0
+        for tok in hdr:
+            starts.append(hdr_line.index(tok, pos))
+            pos = hdr_line.index(tok, pos) + len(tok)
+        for row in block[1:]:
+            vals = []
+            simple = row.split()
+            if len(simple) == len(hdr):
+                vals = simple
+            else:
+                for i2, s in enumerate(starts):
+                    e = starts[i2 + 1] if i2 + 1 < len(starts) else len(row)
+                    vals.append(row[s:e].strip())
+            # pprint renders VOID/absent as "-"
+            recs.append({k: ("" if v == "-" else v)
+                         for k, v in zip(hdr, vals)})
+
     for line in text.splitlines() + [""]:
         if not line.strip():
-            if len(block) >= 1:
-                hdr = block[0].split()
-                for row in block[1:]:
-                    vals = row.split()
-                    # pprint renders VOID/absent as "-"
-                    recs.append({k: ("" if v == "-" else v)
-                                 for k, v in zip(hdr, vals)})
+            flush(block)
             block = []
         else:
             block.append(line)
@@ -141,11 +209,25 @@ def parse_csv_out(text: str) -> list[dict]:
     import csv
     import io
 
-    return list(csv.DictReader(io.StringIO(text)))
+    # csvlite emits a fresh header block (blank-line separated) on
+    # schema change
+    recs: list[dict] = []
+    for block in re.split(r"\n\s*\n", text):
+        if block.strip():
+            recs.extend(csv.DictReader(io.StringIO(block)))
+    return recs
+
+
+def parse_tsv_out(text: str) -> list[dict]:
+    import csv
+    import io
+
+    return list(csv.DictReader(io.StringIO(text), delimiter="\t"))
 
 
 EXPOUT_PARSERS = {"dkvp": parse_dkvp, "xtab": parse_xtab, "pprint": parse_pprint,
-                  "json": parse_json_out, "csv": parse_csv_out}
+                  "json": parse_json_out, "csv": parse_csv_out,
+                  "tsv": parse_tsv_out}
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +240,18 @@ _FMT_FLAGS = {"--oxtab": ("ofmt", "xtab"), "--opprint": ("ofmt", "pprint"),
               "--icsv": ("ifmt", "csv"), "--idkvp": ("ifmt", "dkvp"),
               "--csv": ("iofmt", "csv"), "--csvlite": ("iofmt", "csv"),
               "--icsvlite": ("ifmt", "csv"), "--c2p": ("c2p", None),
-              "--jvstack": (None, None), "--no-jvstack": (None, None)}
+              "--itsv": ("ifmt", "tsv"), "--otsv": ("ofmt", "tsv"),
+              "--tsv": ("iofmt", "tsv"), "--t2p": ("t2p", None),
+              "--ijson": ("ifmt", "json"), "--json": ("iofmt", "json"),
+              "--ijsonl": ("ifmt", "json"),
+              "--c2j": ("c2j", None), "--n2x": ("n2x", None),
+              "--inidx": ("ifmt", "nidx"), "--ipprint": ("ifmt", "pprint"),
+              "--pprint": ("iofmt", "pprint"),
+              "--jvstack": (None, None), "--no-jvstack": (None, None),
+              "--jlistwrap": (None, None)}
+
+_IFS_NAMES = {"comma": ",", "semicolon": ";", "pipe": "|", "space": " ",
+              "tab": "\t", "colon": ":"}
 
 
 @dataclass
@@ -171,15 +264,18 @@ class Case:
     then_chain: bool = False
     unsupported: str | None = None
     post: list = field(default_factory=list)  # parsed chained verbs
+    ifs: str | None = None
 
 
 def parse_cmd(cmd: str) -> Case:
     toks = shlex.split(cmd.strip())
-    assert toks[0] == "mlr"
+    if toks[0] not in ("mlr", "${MLR}"):
+        return Case("", [], [], unsupported=f"non-mlr cmd {toks[0]}")
     toks = toks[1:]
     ifmt = ofmt = "dkvp"
     files: list[str] = []
     no_input = False
+    ifs = None
     i = 0
     # main flags
     while i < len(toks) and toks[i].startswith("-"):
@@ -190,6 +286,10 @@ def parse_cmd(cmd: str) -> Case:
             continue
         if t == "--from":
             files.append(toks[i + 1]); i += 2; continue
+        if t == "--ifs":
+            ifs = _IFS_NAMES.get(toks[i + 1], toks[i + 1])
+            i += 2
+            continue
         if t in _FMT_FLAGS:
             kind, val = _FMT_FLAGS[t]
             if kind == "ofmt":
@@ -200,6 +300,12 @@ def parse_cmd(cmd: str) -> Case:
                 ifmt = ofmt = val
             elif kind == "c2p":
                 ifmt, ofmt = "csv", "pprint"
+            elif kind == "c2j":
+                ifmt, ofmt = "csv", "json"
+            elif kind == "t2p":
+                ifmt, ofmt = "tsv", "pprint"
+            elif kind == "n2x":
+                ifmt, ofmt = "nidx", "xtab"
             i += 1
             continue
         return Case("", [], [], unsupported=f"main flag {t}")
@@ -213,11 +319,20 @@ def parse_cmd(cmd: str) -> Case:
     # split off trailing file args (no flags after them in these suites)
     args = []
     j = 0
+    cur_verb = verb
     while j < len(rest):
         t = rest[j]
         if t == "then":
             args.append("__THEN__")
             j += 1
+            if j < len(rest):
+                cur_verb = rest[j]
+            continue
+        if t == "-f" and cur_verb in ("put", "filter") and j + 1 < len(rest):
+            # put/filter -f <script-file>: the script is an ARG, not a
+            # data file
+            args.extend(["-f", rest[j + 1]])
+            j += 2
             continue
         m_att = re.fullmatch(r"-n(\d+)", t)
         if m_att:
@@ -241,7 +356,7 @@ def parse_cmd(cmd: str) -> Case:
             else:
                 args.append(t)
             j += 1
-    return Case(verb, args, files, ifmt, ofmt)
+    return Case(verb, args, files, ifmt, ofmt, ifs=ifs)
 
 
 # ---------------------------------------------------------------------------
@@ -255,15 +370,30 @@ def load_df(case: Case) -> pd.DataFrame:
         d["__row__"] = []
         return d
     frames = []
+    korder: dict[int, list[str]] = {}
     for fnum, f in enumerate(case.files, 1):
         p = os.path.join(REFERENCE, f)
-        recs = read_csv(p) if case.ifmt == "csv" else read_dkvp(p)
+        if case.ifmt == "csv":
+            recs = read_csv(p, sep=case.ifs or ",")
+        elif case.ifmt == "tsv":
+            recs = read_tsv(p)
+        elif case.ifmt == "nidx":
+            recs = read_nidx(p, sep=case.ifs)
+        elif case.ifmt == "json":
+            recs = read_json_in(p)
+        elif case.ifmt == "pprint":
+            recs = read_pprint(p)
+        else:
+            recs = read_dkvp(p)
+        korder[fnum] = list(recs[0].keys()) if recs else []
         for r in recs:
             r["__file__"] = f
             r["__filenum__"] = fnum
         frames.extend(recs)
     df = pd.DataFrame(frames)
     df["__row__"] = np.arange(len(df))
+    df.attrs["korder"] = korder  # per-FILE field order (files are
+    # rectangular per header; the union frame loses record key order)
     return df
 
 
@@ -469,7 +599,19 @@ def execute(case: Case, df: pd.DataFrame):
     if v == "cut":
         fields = _flagvals(a, "-f").split(",")
         if _has(a, "-r"):
-            raise Unsupported("cut -r")
+            regs = _mlr_regexes(_flagvals(a, "-f"))
+            rows = []
+            for _, row in df.sort_values("__row__").iterrows():
+                r = {}
+                for k, x in row.items():
+                    if k in ("__row__", "__file__", "__filenum__") or pd.isna(x):
+                        continue
+                    hit = any(rx.search(k) for rx in regs)
+                    if hit != _has(a, "-x"):
+                        r[k] = x
+                if r:  # a record cut down to zero fields is not emitted
+                    rows.append(r)
+            return pd.DataFrame(rows), True
         if _has(a, "-x"):
             keep = [c for c in df.columns if c not in fields and c != "__row__"]
         elif _has(a, "-o"):
@@ -525,8 +667,34 @@ def execute(case: Case, df: pd.DataFrame):
         return out, False
 
     if v == "rename":
-        if _has(a, "-r") or _has(a, "-g"):
-            raise Unsupported("rename -r")
+        if _has(a, "-r"):
+            spec = a[-1]
+            pat_s, _, rep = spec.partition(",")
+            flags = 0
+            if pat_s.startswith("/"):
+                if pat_s.endswith("/i"):
+                    flags, pat_s = re.IGNORECASE, pat_s[1:-2]
+                elif pat_s.endswith("/"):
+                    pat_s = pat_s[1:-1]
+            rx = re.compile(pat_s, flags)
+            rep_py = re.sub(r"\\(\d)", r"\\g<\1>", rep)
+            count = 0 if _has(a, "-g") else 1
+            # row-wise map semantics: colliding renamed keys overwrite
+            # in the RECORD's OWN field order (Miller record = ordered
+            # map; the union frame's column order differs per file)
+            korder = df.attrs.get("korder", {})
+            rows = []
+            for _, row in df.sort_values("__row__").iterrows():
+                keys = korder.get(row.get("__filenum__"),
+                                  [k for k in row.index])
+                r = {}
+                for k in keys:
+                    x = row.get(k)
+                    if k in ("__row__", "__file__", "__filenum__") or pd.isna(x):
+                        continue
+                    r[rx.sub(rep_py, k, count=count)] = x
+                rows.append(r)
+            return pd.DataFrame(rows), True
         pairs = a[-1].split(",") if a else []
         out = df.drop(columns=["__row__", "__file__", "__filenum__"], errors="ignore").copy()
         for old, new in zip(pairs[::2], pairs[1::2]):
@@ -839,7 +1007,736 @@ def execute(case: Case, df: pd.DataFrame):
         out = pd.concat([out, passthrough], ignore_index=True).sort_values("__row__")
         return out.drop(columns=["__g0"], errors="ignore"), True
 
+    if v == "reorder":
+        names = [c for c in df.columns
+                 if c not in ("__row__", "__file__", "__filenum__")]
+        if _has(a, "-r"):
+            regs = _mlr_regexes(_flagvals(a, "-r")
+                                if _flagvals(a, "-r") else a[-1])
+            sel = [c for c in names if any(x.search(c) for x in regs)]
+        else:
+            req = _flagvals(a, "-f").split(",")
+            sel = [c for c in req if c in names]
+        rest = [c for c in names if c not in sel]
+        if _has(a, "-e"):
+            order = rest + sel
+        elif _has(a, "-b") or _has(a, "-a"):
+            anchor = _flagvals(a, "-b") or _flagvals(a, "-a")
+            rest2 = [c for c in names if c not in sel]
+            if anchor not in rest2:
+                order = sel + rest2
+            else:
+                ai = rest2.index(anchor) + (1 if _has(a, "-a") else 0)
+                order = rest2[:ai] + sel + rest2[ai:]
+        else:
+            order = sel + rest
+        return df[order], True
+
+    if v == "repeat":
+        work = df.sort_values("__row__")
+        out_rows = []
+        if _has(a, "-f"):
+            fld = _flagvals(a, "-f")
+            for _, row in work.iterrows():
+                cnt = row.get(fld)
+                try:
+                    cnt = int(float(cnt))
+                except (TypeError, ValueError):
+                    continue
+                r = {k: x for k, x in row.items()
+                     if k not in ("__row__", "__file__", "__filenum__")
+                     and not pd.isna(x)}
+                out_rows.extend([dict(r)] * max(cnt, 0))
+        else:
+            n = int(_flagvals(a, "-n", "1"))
+            for _, row in work.iterrows():
+                r = {k: x for k, x in row.items()
+                     if k not in ("__row__", "__file__", "__filenum__")
+                     and not pd.isna(x)}
+                out_rows.extend([dict(r)] * n)
+        return pd.DataFrame(out_rows), True
+
+    if v == "template":
+        if _has(a, "-t"):
+            tpath = os.path.join(REFERENCE, case.files[0])
+            with open(tpath) as fh:
+                tfields = fh.readline().strip().split(",")
+            data = df[df["__filenum__"] > 1]
+        else:
+            tfields = _flagvals(a, "-f").split(",")
+            data = df
+        fill = _flagvals(a, "--fill-with", "")
+        rows = []
+        for _, row in data.sort_values("__row__").iterrows():
+            rows.append({c: (row[c] if c in row.index and not pd.isna(row[c])
+                             else fill) for c in tfields})
+        return pd.DataFrame(rows), True
+
+    if v in ("put", "filter"):
+        return _exec_put_filter(v, a, df)
+
+    if v == "join":
+        return _exec_join(a, df)
+
+    if v in ("sub", "gsub", "ssub"):
+        fields = (_flagvals(a, "-f") or "").split(",") if _has(a, "-f") else None
+        pos = [x for x in a if not x.startswith("-")]
+        if len(pos) < 2:
+            raise Unsupported("sub args")
+        pat, rep = pos[-2], pos[-1]
+        work = _drop_meta(df).copy()
+        targets = [c for c in work.columns] if _has(a, "-a") else \
+            [c for c in (fields or []) if c in work.columns]
+        rep_py = re.sub(r"\\(\d)", r"\\g<\1>", rep)
+        for c in targets:
+            def one(x):
+                if pd.isna(x) or not isinstance(x, str):
+                    return x
+                if v == "ssub":
+                    return x.replace(pat, rep, 1)
+                return re.sub(pat, rep_py, x, count=0 if v == "gsub" else 1)
+            work[c] = work[c].map(one)
+        return work, True
+
+    if v in ("sec2gmt", "sec2gmtdate"):
+        return _exec_sec2gmt(v, a, df)
+
+    if v == "case":
+        how = ("upper" if _has(a, "-u") else "lower" if _has(a, "-l")
+               else "sentence" if _has(a, "-s") else "title" if _has(a, "-t")
+               else None)
+        if how is None:
+            raise Unsupported("case mode")
+        keys_only, values_only = _has(a, "-k"), _has(a, "-v")
+        fields = _flagvals(a, "-f")
+        fields = fields.split(",") if fields else None
+        fn = {"upper": str.upper, "lower": str.lower,
+              "sentence": lambda s: s.capitalize(),
+              "title": lambda s: s.title()}[how]
+        work = _drop_meta(df).copy()
+        targets = fields or list(work.columns)
+        if not keys_only:  # values (default or -v)
+            for c in targets:
+                if c in work.columns:
+                    work[c] = work[c].map(
+                        lambda x: fn(x) if isinstance(x, str) else x)
+        if not values_only:  # keys (default or -k)
+            ren = {c: fn(c) for c in targets if c in work.columns and fn(c) != c}
+            work = work.rename(columns=ren)
+        return work, True
+
+    if v == "nest":
+        return _exec_nest(a, df)
+
+    if v == "reshape":
+        return _exec_reshape(a, df)
+
+    if v in ("most-frequent", "least-frequent"):
+        fields = _flagvals(a, "-f").split(",")
+        n = int(_flagvals(a, "-n", "1"))
+        brief = _has(a, "-b")
+        oname = _flagvals(a, "-o", "count")
+        work = _drop_meta(df)
+        if any(f not in work.columns for f in fields):
+            return pd.DataFrame(), False
+        cnt: dict[tuple, int] = {}
+        for _, row in df.sort_values("__row__").iterrows():
+            key = tuple(row[f] for f in fields)
+            if any(pd.isna(x) for x in key):
+                continue
+            cnt[key] = cnt.get(key, 0) + 1
+        items = list(cnt.items())  # first-seen order preserved (py dicts)
+        items.sort(key=lambda kv: -kv[1] if v == "most-frequent" else kv[1])
+        rows = []
+        for key, c in items[:n]:
+            r = dict(zip(fields, key))
+            if not brief:
+                r[oname] = c
+            rows.append(r)
+        return pd.DataFrame(rows), True
+
+    if v == "count-similar":
+        gb = _flagvals(a, "-g").split(",")
+        name = _flagvals(a, "-o", "count")
+        work = df.sort_values("__row__").copy()
+        work[name] = work.groupby(gb, sort=False, dropna=False)[gb[0]] \
+                         .transform("size")
+        # count-similar buffers per group and emits grouped at
+        # end-of-stream -> not stream order
+        return _drop_meta(work), False
+
+    if v == "sparsify":
+        # -s STR: remove fields whose value equals STR (default "");
+        # -f restricts which fields are considered (sparsify.go)
+        target = _flagvals(a, "-s", "")
+        fields = _flagvals(a, "-f")
+        fields = fields.split(",") if fields else None
+        out_rows = []
+        for _, row in df.sort_values("__row__").iterrows():
+            r = {}
+            for k, x in row.items():
+                if k in ("__row__", "__file__", "__filenum__") or pd.isna(x):
+                    continue
+                applies = fields is None or k in fields
+                if applies and str(x) == target:
+                    continue
+                r[k] = x
+            out_rows.append(r)
+        return pd.DataFrame(out_rows), True
+
+    if v == "unsparsify":
+        fill = _flagvals(a, "--fill-with", "")
+        fields = _flagvals(a, "-f")
+        work = _drop_meta(df).copy()
+        if fields is not None:
+            # streaming variant: add only the NAMED fields when absent
+            for c in fields.split(","):
+                if c not in work.columns:
+                    work[c] = fill
+            for c in fields.split(","):
+                work[c] = work[c].where(work[c].notna(), fill)
+            return work, True
+        for c in work.columns:
+            work[c] = work[c].where(work[c].notna(), fill)
+        return work, True
+
+    if v == "skip-trivial-records":
+        work = _drop_meta(df)
+        mask = work.apply(
+            lambda r: any(not pd.isna(x) and x != "" for x in r), axis=1) \
+            if len(work) else pd.Series([], dtype=bool)
+        return work[mask], True
+
+    if v == "remove-empty-columns":
+        work = _drop_meta(df)
+        keep = [c for c in work.columns
+                if work[c].map(lambda x: not pd.isna(x) and x != "").any()]
+        return work[keep], True
+
+    if v == "format-values":
+        int_fmt = _flagvals(a, "-i", "%d")
+        float_fmt = _flagvals(a, "-f", "%f")
+        str_fmt = _flagvals(a, "-s", "%s")
+        coerce = _has(a, "-n")
+        for fmt in (int_fmt, float_fmt, str_fmt):
+            pass
+        def cfmt(fmt, val):
+            fmt = re.sub(r"%(-?\d*\.?\d*)(?:ll|l|h)([dioxXeEfgGs])",
+                         r"%\1\2", fmt)
+            return fmt % val
+        work = _drop_meta(df).copy()
+        for c in work.columns:
+            def one(x):
+                if pd.isna(x):
+                    return x
+                if isinstance(x, str):
+                    return cfmt(str_fmt, x) if x != "" else x
+                if coerce:
+                    return cfmt(float_fmt, float(x))
+                if isinstance(x, (int, np.integer)):
+                    return cfmt(int_fmt, int(x))
+                return cfmt(float_fmt, float(x))
+            work[c] = work[c].map(one)
+        return work, True
+
+    if v == "unspace":
+        keys_only, values_only = _has(a, "-k"), _has(a, "-v")
+        if values_only and case.ofmt == "pprint":
+            # keys keep their spaces -> pprint output is ambiguous to
+            # re-parse (header tokens split on the very spaces)
+            raise Unsupported("unspace -v with pprint output")
+        ch = _flagvals(a, "-f", "_")
+        work = _drop_meta(df).copy()
+        if not keys_only:
+            for c in work.columns:
+                work[c] = work[c].map(
+                    lambda x: x.replace(" ", ch) if isinstance(x, str) else x)
+        if not values_only:
+            work = work.rename(columns={c: c.replace(" ", ch)
+                                        for c in work.columns})
+        return work, True
+
+    if v == "altkv":
+        rows = []
+        for _, row in df.sort_values("__row__").iterrows():
+            vals = [x for k, x in row.items()
+                    if k not in ("__row__", "__file__", "__filenum__")
+                    and not pd.isna(x)]
+            r = {}
+            for i2 in range(0, len(vals) - 1, 2):
+                r[str(vals[i2])] = vals[i2 + 1]
+            if len(vals) % 2:
+                r[str(len(vals) // 2 + 1)] = vals[-1]
+            rows.append(r)
+        return pd.DataFrame(rows), True
+
+    if v == "rename" or v == "cut":
+        # regex variants fall through to here only with -r (plain handled
+        # above)
+        pass
+
     raise Unsupported(f"verb {v} args {a}")
+
+
+def _drop_meta(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.sort_values("__row__") if "__row__" in df.columns else df
+    return out.drop(columns=["__row__", "__file__", "__filenum__"],
+                    errors="ignore")
+
+
+def _mlr_regexes(spec: str):
+    """Parse Miller's comma-joined /regex/[i] list (cut -r, rename -r)."""
+    out = []
+    for part in spec.split(","):
+        flags = 0
+        if part.startswith("/") and (part.endswith("/") or part.endswith("/i")):
+            if part.endswith("/i"):
+                flags = re.IGNORECASE
+                part = part[1:-2]
+            else:
+                part = part[1:-1]
+        out.append(re.compile(part, flags))
+    return out
+
+
+def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame):
+    from miller_ray import dsl as DSL
+
+    if _has(a, "-f"):
+        spath = os.path.join(REFERENCE, _flagvals(a, "-f"))
+        with open(spath) as fh:
+            src = fh.read()
+        a = [x for x in a if x != "-f" and x != _flagvals(a, "-f")]
+    else:
+        src = None
+    flags = [x for x in a if x.startswith("-") and len(x) > 1
+             and not x[1].isdigit()]
+    if any(fl not in ("-x",) for fl in flags):
+        raise Unsupported(f"{v} flags {flags}")
+    exprs = [x for x in a if x not in flags]
+    if src is None:
+        if len(exprs) != 1:
+            raise Unsupported(f"{v} arg shape")
+        src = exprs[0]
+    try:
+        prog = DSL.compile_program(src)
+    except DSL.DslError as e:
+        raise Unsupported(f"dsl parse: {e}")
+    work = _drop_meta(df)
+    cols = {}
+    for c in work.columns:
+        try:
+            cols[c] = pa.array(work[c].tolist())
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            raise Unsupported(f"mixed-type column {c}")
+    t = pa.table(cols)
+    meta = df.sort_values("__row__") if "__row__" in df.columns else df
+    seed = {}
+    if "__row__" in meta.columns:
+        seed["\x00NR"] = pa.array(meta["__row__"].to_numpy() + 1)
+    if "__filenum__" in meta.columns:
+        seed["\x00FNR"] = pa.array(
+            meta.groupby("__filenum__", sort=False).cumcount().to_numpy() + 1)
+        seed["\x00FILENUM"] = pa.array(meta["__filenum__"].to_numpy())
+    elif "\x00NR" in seed:
+        seed["\x00FNR"] = seed["\x00NR"]
+    if "__file__" in meta.columns:
+        seed["\x00FILENAME"] = pa.array(meta["__file__"].astype(str))
+    invert = "-x" in flags
+
+    def apply_mask(out_t, m):
+        if m is None:
+            return out_t
+        if hasattr(m, "type") or isinstance(m, (pa.Array, pa.ChunkedArray)):
+            if invert:
+                m = pc.invert(m)
+            return out_t.filter(pc.fill_null(m, False))
+        keep = bool(m) != invert
+        return out_t if keep else out_t.slice(0, 0)
+
+    try:
+        out_t, mask, bare = prog.run(t, seed_env=seed)
+        if v == "filter":
+            pred = bare if bare is not None else mask
+            if pred is None:
+                raise Unsupported("filter without predicate")
+            out_t = apply_mask(out_t, pred)
+        else:
+            out_t = apply_mask(out_t, mask)
+    except DSL.DslError as e:
+        raise Unsupported(f"dsl run: {e}")
+    return out_t.to_pandas(), True
+
+
+def _cmp_keys(x, y) -> int:
+    """Miller mlrval ordering: numbers numerically, numbers < strings."""
+    xn = isinstance(x, (int, float, np.integer, np.floating))
+    yn = isinstance(y, (int, float, np.integer, np.floating))
+    if xn and yn:
+        return -1 if x < y else (1 if x > y else 0)
+    if xn != yn:
+        return -1 if xn else 1
+    return -1 if str(x) < str(y) else (1 if str(x) > str(y) else 0)
+
+
+def _exec_join(a: list[str], df: pd.DataFrame):
+    """Verb join (join.go): -f left file vs stream; default unsorted
+    half-streaming hash join (ingestLeftFile), -s = sorted-merge via a
+    JoinBucketKeeper simulation (join_bucket_keeper.go:118) whose
+    pairing depends on input ORDER — required for the scrambled
+    het-join fixtures."""
+    a = [x for tok in a for x in
+         (tok.split("=", 1) if tok.startswith("--lp=") or tok.startswith("--rp=")
+          else [tok])]
+    j = _flagvals(a, "-j")
+    lf = _flagvals(a, "-l", j)
+    rf = _flagvals(a, "-r", j)
+    jout = j or lf
+    if lf is None or rf is None:
+        raise Unsupported("join without key names")
+    if _has(a, "--lk") or _has(a, "--rk") or _has(a, "-i"):
+        raise Unsupported("join --lk/--rk/-i")
+    # join.go:74-75: prefixes default EMPTY and, when given, apply to
+    # ALL non-join fields of that side, paired and unpaired records
+    # alike; colliding names without prefixes overwrite (map semantics)
+    lp = _flagvals(a, "--lp", "")
+    rp = _flagvals(a, "--rp", "")
+    emit_paired = not _has(a, "--np")
+    emit_ul = _has(a, "--ul")
+    emit_ur = _has(a, "--ur")
+    sorted_mode = _has(a, "-s") or _has(a, "--sorted-input")
+    ignore_empty = _has(a, "--ignore-empty")
+
+    left = df[df["__filenum__"] == 1].sort_values("__row__")
+    right = df[df["__filenum__"] > 1].sort_values("__row__")
+
+    def recs(sub: pd.DataFrame) -> list[dict]:
+        out = []
+        for _, row in sub.iterrows():
+            out.append({k: x for k, x in row.items()
+                        if k not in ("__row__", "__file__", "__filenum__")
+                        and not pd.isna(x)})
+        return out
+
+    lrecs, rrecs = recs(left), recs(right)
+    if ignore_empty:
+        # --ignore-empty: records whose join value is "" never pair
+        def usable(rec, kf):
+            return kf in rec and rec[kf] != ""
+    else:
+        def usable(rec, kf):
+            return kf in rec
+
+    def pair(lrec: dict, rrec: dict) -> dict:
+        out = {jout: rrec.get(rf)}
+        for k, x in lrec.items():
+            if k != lf:
+                out[lp + k] = x
+        for k, x in rrec.items():
+            if k != rf:
+                out[rp + k] = x
+        return out
+
+    def solo(rec: dict, kf: str, prefix: str) -> dict:
+        out = {}
+        for k, x in rec.items():
+            if k == kf:
+                out[jout] = x
+            else:
+                out[prefix + k] = x
+        return out
+
+    paired_out: list[dict] = []
+    ur_out: list[dict] = []
+    ul_out: list[dict] = []
+
+    if not sorted_mode:
+        from collections import defaultdict
+
+        lmap: dict = defaultdict(list)
+        for lr in lrecs:
+            if usable(lr, lf):
+                lmap[str(lr[lf])].append(lr)
+        matched: set = set()
+        for rr in rrecs:
+            if not usable(rr, rf):
+                ur_out.append(rr)
+                continue
+            key = str(rr[rf])
+            if key in lmap:
+                matched.add(key)
+                for lr in lmap[key]:
+                    paired_out.append(pair(lr, rr))
+            else:
+                ur_out.append(rr)
+        for lr in lrecs:
+            if not usable(lr, lf) or str(lr[lf]) not in matched:
+                ul_out.append(lr)
+    else:
+        # bucket keeper: left grouped by CONSECUTIVE equal keys; advance
+        # only forward as right keys arrive
+        buckets: list[tuple[object, list[dict], list[bool]]] = []
+        for lr in lrecs:
+            if not usable(lr, lf):
+                ul_out.append(lr)
+                continue
+            key = lr[lf]
+            if buckets and _cmp_keys(buckets[-1][0], key) == 0:
+                buckets[-1][1].append(lr)
+            else:
+                buckets.append((key, [lr], [False]))
+        bi = 0
+        for rr in rrecs:
+            if not usable(rr, rf):
+                ur_out.append(rr)
+                continue
+            k = rr[rf]
+            while bi < len(buckets) and _cmp_keys(buckets[bi][0], k) < 0:
+                if not buckets[bi][2][0]:
+                    ul_out.extend(buckets[bi][1])
+                bi += 1
+            if bi < len(buckets) and _cmp_keys(buckets[bi][0], k) == 0:
+                buckets[bi][2][0] = True
+                for lr in buckets[bi][1]:
+                    paired_out.append(pair(lr, rr))
+            else:
+                ur_out.append(rr)
+        while bi < len(buckets):
+            if not buckets[bi][2][0]:
+                ul_out.extend(buckets[bi][1])
+            bi += 1
+
+    rows = []
+    if emit_paired:
+        rows.extend(paired_out)
+    if emit_ul:
+        rows.extend(solo(r, lf, lp) for r in ul_out)
+    if emit_ur:
+        rows.extend(solo(r, rf, rp) for r in ur_out)
+    return pd.DataFrame(rows), False
+
+
+def _exec_sec2gmt(v: str, a: list[str], df: pd.DataFrame):
+    import datetime as _dt
+
+    decimals = 0
+    unit = 1.0
+    fields = None
+    for x in a:
+        if re.fullmatch(r"-[1-9]", x):
+            decimals = int(x[1:])
+        elif x == "--millis":
+            unit = 1e3
+        elif x == "--micros":
+            unit = 1e6
+        elif x == "--nanos":
+            unit = 1e9
+        elif not x.startswith("-"):
+            fields = x.split(",")
+    if fields is None:
+        raise Unsupported("sec2gmt fields")
+
+    def conv(val):
+        if pd.isna(val) or isinstance(val, str) and not re.fullmatch(
+                r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", str(val)):
+            return val
+        x = float(val) / unit
+        secs = math.floor(x)
+        frac = x - secs
+        if decimals:
+            # Miller TRUNCATES the fractional seconds (sec2gmt.go)
+            fr = math.floor(frac * 10 ** decimals)
+            if fr >= 10 ** decimals:
+                secs += 1
+                fr = 0
+        base = _dt.datetime.fromtimestamp(secs, _dt.timezone.utc)
+        if v == "sec2gmtdate":
+            return base.strftime("%Y-%m-%d")
+        s = base.strftime("%Y-%m-%dT%H:%M:%S")
+        if decimals:
+            return f"{s}.{fr:0{decimals}d}Z"
+        return s + "Z"
+
+    work = _drop_meta(df).copy()
+    for f in fields:
+        if f in work.columns:
+            work[f] = work[f].map(conv)
+    return work, True
+
+
+def _exec_nest(a: list[str], df: pd.DataFrame):
+    fs = _IFS_NAMES.get(_flagvals(a, "--nested-fs", ";"),
+                        _flagvals(a, "--nested-fs", ";"))
+    ps = _IFS_NAMES.get(_flagvals(a, "--nested-ps", ":"),
+                        _flagvals(a, "--nested-ps", ":"))
+    explode = "--explode" in a
+    implode = "--implode" in a
+    values = "--values" in a
+    pairs = "--pairs" in a
+    across_records = "--across-records" in a
+    across_fields = "--across-fields" in a
+    if _flagvals(a, "--evar"):
+        explode, values, across_records = True, True, True
+        fs = _flagvals(a, "--evar")
+    if _flagvals(a, "--ivar"):
+        implode, values, across_records = True, True, True
+        fs = _flagvals(a, "--ivar")
+    rx = _flagvals(a, "-r")
+    if rx:
+        regs = _mlr_regexes(rx)
+        fields = [c for c in df.columns
+                  if c not in ("__row__", "__file__", "__filenum__")
+                  and any(r.search(c) for r in regs)]
+    else:
+        fields = (_flagvals(a, "-f") or "").split(",")
+    work_rows = [({k: x for k, x in row.items()
+                   if k not in ("__row__", "__file__", "__filenum__")
+                   and not pd.isna(x)})
+                 for _, row in df.sort_values("__row__").iterrows()]
+
+    for field_ in fields:
+        new_rows: list[dict] = []
+        if explode and values and across_records:
+            for r in work_rows:
+                if field_ not in r:
+                    new_rows.append(r)
+                    continue
+                for piece in str(r[field_]).split(fs):
+                    rr = dict(r)
+                    rr[field_] = _infer(piece)
+                    new_rows.append(rr)
+        elif explode and values and across_fields:
+            for r in work_rows:
+                if field_ not in r:
+                    new_rows.append(r)
+                    continue
+                rr = {}
+                for k, x in r.items():
+                    if k == field_:
+                        for i2, piece in enumerate(str(x).split(fs), 1):
+                            rr[f"{field_}_{i2}"] = _infer(piece)
+                    else:
+                        rr[k] = x
+                new_rows.append(rr)
+        elif explode and pairs and across_records:
+            for r in work_rows:
+                if field_ not in r:
+                    new_rows.append(r)
+                    continue
+                if str(r[field_]) == "":  # empty -> zero pairs, no record
+                    continue
+                for piece in str(r[field_]).split(fs):
+                    k2, _, v2 = piece.partition(ps)
+                    rr = {k: x for k, x in r.items() if k != field_}
+                    rr[k2] = _infer(v2)
+                    new_rows.append(rr)
+        elif explode and pairs and across_fields:
+            for r in work_rows:
+                if field_ not in r:
+                    new_rows.append(r)
+                    continue
+                rr = {}
+                for k, x in r.items():
+                    if k == field_:
+                        for piece in str(x).split(fs):
+                            k2, _, v2 = piece.partition(ps)
+                            rr[k2] = _infer(v2)
+                    else:
+                        rr[k] = x
+                new_rows.append(rr)
+        elif implode and values and across_records:
+            seen: dict[tuple, dict] = {}
+            order: list[tuple] = []
+            for r in work_rows:
+                if field_ not in r:
+                    new_rows.append(r)
+                    continue
+                key = tuple(sorted((k, str(x)) for k, x in r.items()
+                                   if k != field_))
+                if key in seen:
+                    seen[key][field_] = f"{seen[key][field_]}{fs}{r[field_]}"
+                else:
+                    rr = dict(r)
+                    rr[field_] = str(r[field_])
+                    seen[key] = rr
+                    order.append(key)
+            new_rows.extend(seen[k] for k in order)
+        elif implode and values and across_fields:
+            rxp = re.compile(re.escape(field_) + r"_\d+$")
+            for r in work_rows:
+                pieces = [str(x) for k, x in r.items() if rxp.fullmatch(k)]
+                if not pieces:
+                    new_rows.append(r)
+                    continue
+                rr = {}
+                placed = False
+                for k, x in r.items():
+                    if rxp.fullmatch(k):
+                        if not placed:
+                            rr[field_] = fs.join(pieces)
+                            placed = True
+                    else:
+                        rr[k] = x
+                new_rows.append(rr)
+        else:
+            raise Unsupported(f"nest mode {a}")
+        work_rows = new_rows
+    return pd.DataFrame(work_rows), True
+
+
+def _exec_reshape(a: list[str], df: pd.DataFrame):
+    work_rows = [({k: x for k, x in row.items()
+                   if k not in ("__row__", "__file__", "__filenum__")
+                   and not pd.isna(x)})
+                 for _, row in df.sort_values("__row__").iterrows()]
+    if _has(a, "-s"):
+        kname, vname = _flagvals(a, "-s").split(",")
+        seen: dict[tuple, dict] = {}
+        order: list[tuple] = []
+        passthrough = []
+        for r in work_rows:
+            if kname not in r or vname not in r:
+                # a record without the key+value pair passes through
+                passthrough.append(r)
+                continue
+            other = {k: x for k, x in r.items() if k not in (kname, vname)}
+            key = tuple(sorted((k, str(x)) for k, x in other.items()))
+            if key not in seen:
+                seen[key] = dict(other)
+                order.append(key)
+            seen[key][str(r[kname])] = r.get(vname, "")
+        return pd.DataFrame([seen[k] for k in order] + passthrough), True
+    # wide -> long
+    if _has(a, "-r"):
+        # reshape -r is ONE regex (not a comma-joined list — regexes
+        # like ^.{2,10}$ contain commas)
+        spec = _flagvals(a, "-r")
+        flags2 = 0
+        if spec.startswith("/") and spec.endswith("/i"):
+            flags2, spec = re.IGNORECASE, spec[1:-2]
+        elif spec.startswith("/") and spec.endswith("/"):
+            spec = spec[1:-1]
+        rx1 = re.compile(spec, flags2)
+        def hits(r):
+            return [k for k in r if rx1.search(k)]
+    else:
+        flds = _flagvals(a, "-i").split(",")
+        def hits(r):
+            return [k for k in r if k in flds]
+    kname, vname = _flagvals(a, "-o").split(",")
+    out = []
+    for r in work_rows:
+        hit = hits(r)
+        if not hit:
+            out.append(r)
+            continue
+        other = {k: x for k, x in r.items() if k not in hit}
+        for k in hit:
+            rr = dict(other)
+            rr[kname] = k
+            rr[vname] = r[k]
+            out.append(rr)
+    return pd.DataFrame(out), True
 
 
 class Unsupported(Exception):
@@ -921,6 +1818,8 @@ def _norm(v) -> str:
     # double-rounds; integers compare exactly below 2^50
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "\x00absent"
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
     if isinstance(v, (int, np.integer, float, np.floating)):
         return _norm_num(float(v))
     s = str(v)
@@ -1034,6 +1933,8 @@ def _freqify_modes(recs: list[dict], df: pd.DataFrame, gb: list[str] | None):
 
 def run_case(case_dir: str) -> tuple[str, str]:
     """Returns (status, detail); status in {pass, fail, skip}."""
+    if os.path.exists(os.path.join(case_dir, "should-fail")):
+        return "skip", "case expects mlr to fail"
     with open(os.path.join(case_dir, "cmd")) as f:
         cmd = f.read().strip()
     rel = os.path.relpath(case_dir, REFERENCE)
@@ -1071,6 +1972,14 @@ def run_case(case_dir: str) -> tuple[str, str]:
     with open(os.path.join(case_dir, "expout")) as f:
         expected = EXPOUT_PARSERS[case.ofmt](f.read())
     our_recs = [] if ours is None or ours.empty else ours.to_dict("records")
+    if case.ofmt in ("xtab", "dkvp", "pprint") and any(
+            isinstance(x, str) and "\n" in x
+            for r in our_recs for x in r.values()):
+        return "skip", f"embedded newline not representable in {case.ofmt}"
+    if case.ofmt == "pprint":
+        # pprint cannot represent leading/trailing whitespace in values
+        our_recs = [{k: (v.strip() if isinstance(v, str) else v)
+                     for k, v in r.items()} for r in our_recs]
     if case.verb == "stats1" and re.search(r"\bmode|antimode\b",
                                            " ".join(case.args)):
         g = _flagvals(case.args, "-g")

@@ -148,7 +148,63 @@ def _unscalar(v):
 
 
 def _arith(op: str, a: Value, b: Value) -> Value:
-    return _unscalar(_arith_raw(op, _unscalar(a), _unscalar(b)))
+    a, b = _unscalar(a), _unscalar(b)
+    if not _is_arr(a) and not _is_arr(b):
+        return _arith_scalar(op, a, b)
+    return _unscalar(_arith_raw(op, a, b))
+
+
+def _int_or_float(x):
+    """64-bit overflow promotes to float (bifs/arithmetic.go)."""
+    if isinstance(x, int) and not (-2**63 <= x < 2**63):
+        return float(x)
+    return x
+
+
+def _wrap64(x):
+    """Dot-operators are the int-preserving variants: 64-bit WRAParound
+    instead of overflow-to-float (bifs/arithmetic.go dot-ops)."""
+    if isinstance(x, int):
+        return ((x + 2**63) % 2**64) - 2**63
+    return x
+
+
+def _arith_scalar(op: str, a, b):
+    if op == ".+":
+        return _wrap64(a + b)
+    if op == ".-":
+        return _wrap64(a - b)
+    if op == ".*":
+        return _wrap64(a * b)
+    if op == "+":
+        return _int_or_float(a + b)
+    if op == "-":
+        return _int_or_float(a - b)
+    if op == "*":
+        return _int_or_float(a * b)
+    if op == "./":
+        return int(a / b)
+    if op == "/":
+        q = a / b
+        if isinstance(a, int) and isinstance(b, int) and a % b == 0:
+            return _int_or_float(a // b)
+        return q
+    if op == "//":
+        out = math_floor_div(a, b)
+        return out
+    if op == "%":
+        return a % b
+    if op == "**":
+        out = a ** b
+        return _int_or_float(out) if isinstance(out, int) else out
+    raise DslError(f"unknown arithmetic op {op}")
+
+
+def math_floor_div(a, b):
+    import math
+
+    out = math.floor(a / b)
+    return out if isinstance(a, int) and isinstance(b, int) else float(out)
 
 
 def _arith_raw(op: str, a: Value, b: Value) -> Value:
@@ -437,6 +493,16 @@ class _Parser:
                 return lambda t, env: float(np.pi)
             if v == "M_E":
                 return lambda t, env: float(np.e)
+            if v in ("NR", "FNR", "FILENAME", "FILENUM"):
+                # AWK-style context vars (pkg/types/context.go:91-98);
+                # available only when the caller seeds them (stream
+                # position does not exist in a distributed batch)
+                def f(t, env, v=v):
+                    key = "\x00" + v
+                    if key in env:
+                        return env[key]
+                    raise DslError(f"{v} is not available here")
+                return f
             if self.peek() == ("op", "("):
                 return self.call(v)
             raise DslError(f"unknown identifier {v!r} (NR/FNR/FILENAME and "
@@ -477,10 +543,19 @@ class Program:
     def __init__(self, statements: list[tuple]):
         self.statements = statements
 
-    def run(self, t: pa.Table) -> tuple[pa.Table, Value | None]:
-        """Apply all statements; returns (table, last filter mask or None)."""
-        env: dict[str, Value] = {}
+    def run(self, t: pa.Table,
+            seed_env: dict[str, Value] | None = None
+            ) -> tuple[pa.Table, Value | None, Value | None]:
+        """Apply all statements; returns (table, mask from `filter`
+        KEYWORD statements or None, value of the last BARE expression
+        or None). In Miller, a bare expression inside `put` is
+        evaluated and discarded; the `filter` verb uses the final bare
+        boolean as its predicate (put_or_filter.go). seed_env provides
+        read-only context values (NUL-prefixed keys are never written
+        back)."""
+        env: dict[str, Value] = dict(seed_env or {})
         mask = None
+        bare = None
         for kind, *rest in self.statements:
             if kind == "assign":
                 name, op, expr = rest
@@ -499,9 +574,17 @@ class Program:
                 env[name] = None
             elif kind == "filter":
                 (expr,) = rest
-                mask = expr(t, env)
+                m = expr(t, env)
+                mask = m if mask is None else (
+                    pc.and_kleene(mask, m) if _is_arr(mask) or _is_arr(m)
+                    else (mask and m))
+            elif kind == "expr":
+                (expr,) = rest
+                bare = expr(t, env)
         out = t
         for name, val in env.items():
+            if name.startswith("\x00"):
+                continue
             if val is None:
                 if name in out.column_names:
                     out = out.drop_columns([name])
@@ -510,7 +593,7 @@ class Program:
                 out = out.set_column(out.column_names.index(name), name, val)
             else:
                 out = out.append_column(name, val)
-        return out, mask
+        return out, mask, bare
 
 
 def _concat_vals(a, b):
@@ -551,7 +634,8 @@ def compile_program(src: str) -> Program:
             if fk != "field":
                 raise DslError("unset expects a $field")
             stmts.append(("unset", _field_name(fv)))
-        elif k == "ident" and v == "filter":
+        elif k == "ident" and v == "filter" and \
+                p.toks[p.i + 1: p.i + 2] != [("op", "(")]:
             p.next()
             stmts.append(("filter", p.expr()))
         elif k == "field" and p.toks[p.i + 1: p.i + 2] and \
@@ -560,42 +644,48 @@ def compile_program(src: str) -> Program:
             _, op = p.next()
             stmts.append(("assign", _field_name(ftok), op, p.expr()))
         else:
-            stmts.append(("filter", p.expr()))
+            stmts.append(("expr", p.expr()))
         if p.peek() == ("op", ";"):
             p.next()
     return Program(stmts)
 
 
-def put_expr(ds, src: str):
+def _apply_mask(out: pa.Table, mask, invert: bool = False) -> pa.Table:
+    if mask is None:
+        return out
+    if not _is_arr(mask):
+        keep = bool(mask) != invert
+        return out if keep else out.slice(0, 0)
+    if invert:
+        mask = pc.invert(mask)
+    return out.filter(pc.fill_null(mask, False))
+
+
+def put_expr(ds, src: str, exclude: bool = False):
     """Verb ``put -e 'src'`` (put_or_filter.go:23): run DSL statements
-    per record, vectorized per batch."""
+    per record, vectorized per batch. `filter` keyword statements
+    filter; bare expressions are evaluated and discarded (Miller put
+    semantics); ``-x`` flips the filter-statement sense."""
     prog = compile_program(src)
 
     def f(t: pa.Table) -> pa.Table:
-        out, mask = prog.run(t)
-        if mask is not None:  # embedded `filter` statement
-            if not _is_arr(mask):
-                return out if mask else out.slice(0, 0)
-            out = out.filter(mask)
-        return out
+        out, mask, _bare = prog.run(t)
+        return _apply_mask(out, mask, invert=exclude)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def filter_expr(ds, src: str, exclude: bool = False):
     """Verb ``filter -e 'src'`` (put_or_filter.go): keep records where
-    the (final bare) expression is true; ``-x`` inverts."""
+    the final bare expression (or `filter` statement) is true; ``-x``
+    inverts."""
     prog = compile_program(src)
 
     def f(t: pa.Table) -> pa.Table:
-        out, mask = prog.run(t)
-        if mask is None:
+        out, mask, bare = prog.run(t)
+        pred = bare if bare is not None else mask
+        if pred is None:
             raise DslError("filter program has no predicate expression")
-        if not _is_arr(mask):
-            keep = bool(mask) != exclude
-            return out if keep else out.slice(0, 0)
-        if exclude:
-            mask = pc.invert(mask)
-        return out.filter(pc.fill_null(mask, False))
+        return _apply_mask(out, pred, invert=exclude)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -72,7 +72,13 @@ def _partial_builder(group_by: list[str], fields: list[str], moments: dict[str, 
                     aggs.append((f"{f}__len", "max"))
             numeric_needs = [m for m in need if m in ("n", "s1", "s2", "s3", "s4", "mn", "mx")]
             if numeric_needs:
-                x = pc.cast(col, pa.float64()) if not pa.types.is_floating(col.type) else col
+                # count/min/max work on ANY orderable type (strings sort
+                # lexically, matching Miller's min/max); only the power
+                # sums force a float cast
+                if set(numeric_needs) <= {"n", "mn", "mx"}:
+                    x = col
+                else:
+                    x = pc.cast(col, pa.float64()) if not pa.types.is_floating(col.type) else col
                 cols[f"{f}__x"] = x
                 if "s2" in need or "s3" in need or "s4" in need:
                     x2 = pc.multiply(x, x)
@@ -147,6 +153,10 @@ def grouped_stats(ds, group_by: list[str], fields: list[str], accs: list[str]) -
     # (a Ray shuffle on a few hundred rows is pure fixed overhead); the
     # distributed merge below is the scale path for high-cardinality keys
     parts = parts.materialize()
+    if parts.count() == 0:  # empty input: keep the output schema
+        cols = [k for k in keys if k != _DUMMY] + \
+            [f"{f}_{a}" for f in fields for a in accs]
+        return pd.DataFrame({c: [] for c in cols})
     if parts.count() <= 100_000:
         ppdf = parts.to_pandas()
         spec = {}
@@ -422,12 +432,16 @@ def grouped_percentiles(ds, group_by: list[str], field: str, ps: list[float],
         return _grouped_percentiles_obj(sub, group_by, field, ps,
                                         interpolated, extra_accs)
 
+    # batch_size=None: one partial per BLOCK (maximal per-block value
+    # dedup; tiny 1024-row default batches defeat the reduction and put
+    # thousands of fold iterations on the driver)
     parts = sub.map_batches(_vc_partial_builder(group_by, field),
-                            batch_format="pyarrow", zero_copy_batch=True)
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)
 
     keys = list(group_by)
     store: dict[tuple, _GroupVC] = {}
-    for batch in parts.iter_batches(batch_format="pyarrow"):
+    for batch in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         pdf = batch.to_pandas()
         if keys:
             for key, sl in pdf.groupby(keys, sort=False, dropna=False).indices.items():
@@ -532,8 +546,9 @@ def _dense_order_stats(sub, group_by, field, dense: dict, ps, interpolated,
                                       for kt in dense}
     absdev: dict[tuple, float] = {kt: 0.0 for kt in dense}
     for batch in sub.map_batches(bin_counts, batch_format="pyarrow",
-                                 zero_copy_batch=True).iter_batches(
-                                     batch_format="pyarrow"):
+                                 zero_copy_batch=True,
+                                 batch_size=None).iter_batches(
+                                     batch_format="pyarrow", batch_size=None):
         pdf = batch.to_pandas()
         grouped = (pdf.groupby(keys, sort=False, dropna=False).indices.items()
                    if keys else [((), np.arange(len(pdf)))])
@@ -611,8 +626,9 @@ def _dense_order_stats(sub, group_by, field, dense: dict, ps, interpolated,
 
     bin_vc: dict[tuple, dict[int, _GroupVC]] = {kt: {} for kt in dense}
     for batch in sub.map_batches(collect, batch_format="pyarrow",
-                                 zero_copy_batch=True).iter_batches(
-                                     batch_format="pyarrow"):
+                                 zero_copy_batch=True,
+                                 batch_size=None).iter_batches(
+                                     batch_format="pyarrow", batch_size=None):
         pdf = batch.to_pandas()
         gcols = keys + ["__bin"]
         for key, sl in pdf.groupby(gcols, sort=False, dropna=False).indices.items():

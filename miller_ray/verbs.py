@@ -722,6 +722,92 @@ def join(ds, right, on: list[str], how: str = "inner",
     return ds.join(right, join_type=how, num_partitions=num_partitions, on=tuple(on))
 
 
+def mlr_join(ds, left, left_on: list[str], right_on: list[str] | None = None,
+             emit_paired: bool = True, emit_unpaired_left: bool = False,
+             emit_unpaired_right: bool = False,
+             lp: str = "left_", rp: str = "right_"):
+    """Full verb ``join`` semantics (join.go:26-31, 311-330): the -f
+    file is the LEFT side (fully ingested, join.go ingestLeftFile:533 —
+    here a broadcast pandas table), the record stream is the RIGHT.
+
+    - ``emit_paired`` off  == Miller ``--np``
+    - ``emit_unpaired_left``  == ``--ul`` (left rows whose key paired
+      with NO stream record; found via a distributed matched-key sweep
+      bounded by the left key set, never the stream)
+    - ``emit_unpaired_right`` == ``--ur`` (stream rows with no match)
+    - ``left_on`` / ``right_on`` mirror ``-l``/``-r`` key renaming; the
+      output key columns keep the STREAM's names.
+    - ``lp``/``rp`` prefixes disambiguate colliding non-key field names
+      (join.go --lp/--rp, defaults left_/right_).
+
+    Output parts share one union schema (absent side null-filled) so
+    the result is a single well-typed Dataset.
+    """
+    import ray
+
+    right_on = right_on or left_on
+    ldf = left.to_pandas() if not isinstance(left, pd.DataFrame) else left.copy()
+    # resolve non-key collisions once, on column names
+    lnonkey = [c for c in ldf.columns if c not in left_on]
+    # stream columns discovered from schema (cheap, no execution)
+    snames = ds.schema().names
+    collide = [c for c in lnonkey if c in snames and c not in right_on]
+    lren = {c: lp + c for c in collide}
+    ldf = ldf.rename(columns=lren)
+    lcols_out = [c for c in ldf.columns if c not in left_on]
+    sren = {c: rp + c for c in collide if rp}  # stream side keeps name unless rp
+    # Miller renames BOTH sides on collision
+    out_stream_cols = [sren.get(c, c) for c in snames]
+    union_cols = out_stream_cols + [c for c in lcols_out if c not in out_stream_cols]
+
+    lref = ray.put(ldf)
+
+    def paired_and_ur(df: pd.DataFrame) -> pd.DataFrame:
+        ltab = ray.get(lref)
+        df = df.rename(columns=sren)
+        m = df.merge(ltab, how="left", left_on=[sren.get(c, c) for c in right_on],
+                     right_on=left_on, indicator=True)
+        m = m.drop(columns=[c for c in left_on if c in m.columns
+                            and c not in out_stream_cols])
+        parts = []
+        if emit_paired:
+            parts.append(m[m["_merge"] == "both"])
+        if emit_unpaired_right:
+            parts.append(m[m["_merge"] == "left_only"])
+        out = (pd.concat(parts, ignore_index=True) if parts
+               else m.iloc[0:0]).drop(columns="_merge")
+        return out.reindex(columns=union_cols)
+
+    result = ds.map_batches(paired_and_ur, batch_format="pandas")
+
+    if emit_unpaired_left:
+        # distributed sweep: per-block set of stream keys that exist in
+        # the left key set (bounded by |left|), then a driver union
+        lkeys = ldf[left_on].drop_duplicates()
+        kref = ray.put(set(map(tuple, lkeys.itertuples(index=False))))
+
+        def matched_keys(df: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(kref)
+            seen = {t for t in map(tuple, df[right_on].drop_duplicates()
+                                   .itertuples(index=False)) if t in w}
+            return pd.DataFrame(list(seen), columns=left_on) if seen else \
+                pd.DataFrame({c: [] for c in left_on})
+
+        matched = ds.map_batches(matched_keys, batch_format="pandas").to_pandas()
+        matched_set = set(map(tuple, matched.drop_duplicates().itertuples(index=False)))
+        mask = [tuple(r) not in matched_set
+                for r in ldf[left_on].itertuples(index=False)]
+        ul = ldf[mask].copy()
+        # left key columns surface under the stream's key names
+        ul = ul.rename(columns=dict(zip(left_on, right_on)))
+        ul = ul.reindex(columns=union_cols)
+        import ray.data as rd
+
+        if len(ul):
+            result = result.union(rd.from_pandas(ul))
+    return result
+
+
 # ---------------------------------------------------------------------------
 # sort-family  (sort.go, tac.go, shuffle.go)
 # ---------------------------------------------------------------------------
@@ -760,8 +846,10 @@ def fill_empty(ds, fields: list[str], fill_value: str = "N/A"):
 
 
 def case_verb(ds, fields: list[str], how: str = "upper"):
-    """Verb ``case`` (case.go:266): upper/lower/title-case values."""
-    fn = {"upper": pc.utf8_upper, "lower": pc.utf8_lower, "title": pc.utf8_title}[how]
+    """Verb ``case`` (case.go:266): upper/lower/title/sentence-case
+    values (``-k`` keys variant: :func:`case_keys`)."""
+    fn = {"upper": pc.utf8_upper, "lower": pc.utf8_lower,
+          "title": pc.utf8_title, "sentence": pc.utf8_capitalize}[how]
 
     def conv(t: pa.Table) -> pa.Table:
         for f in fields:
@@ -1124,31 +1212,95 @@ def format_values(ds, float_format: str = "%.6f", int_format: str = "%d"):
 # summary / uniq -a / count-distinct -u / histogram --auto (summary.go, ...)
 # ---------------------------------------------------------------------------
 
-def summary(ds, fields: list[str]) -> pd.DataFrame:
-    """Verb ``summary`` (summary.go:71): transposed per-column profile.
-    Composed from the same mergeable kernels as stats1 (one pass for
-    moments + one small percentile shuffle); output one row per field."""
-    moments = grouped_stats(ds, [], fields,
-                            ["count", "null_count", "sum", "mean", "min", "max",
-                             "var", "stddev"])
-    pcts = pd.concat([grouped_percentiles(ds, [], f, [25, 50, 75]) for f in fields],
-                     axis=1)
+SUMMARY_ALL = ["field_type", "count", "null_count", "distinct_count", "mode",
+               "sum", "mean", "stddev", "var", "skewness", "minlen", "maxlen",
+               "min", "p25", "median", "p75", "max", "iqr", "lof", "lif",
+               "uif", "uof"]
+
+_SUMMARY_DEFAULT = ["field_type", "count", "mean", "min", "max",
+                    "null_count", "distinct_count"]
+
+
+def summary(ds, fields: list[str], summarizers: list[str] | None = None,
+            exclude: list[str] | None = None) -> pd.DataFrame:
+    """Verb ``summary`` (summary.go:40-76): transposed per-column
+    profile. ``summarizers`` mirrors ``-a`` (full set in SUMMARY_ALL,
+    fences per summary.go:53-57: lof/lif/uif/uof = p25/p75 -/+ 1.5 or
+    3.0 x iqr); ``exclude`` mirrors ``-x``; default mirrors
+    summaryDefaultSummarizerNames. Composed from the same mergeable
+    kernels as stats1; one moment pass + one percentile pass + one
+    value-count pass, each only if requested."""
+    names = list(summarizers) if summarizers else list(_SUMMARY_DEFAULT)
+    if exclude:
+        base = summarizers or SUMMARY_ALL
+        names = [n for n in base if n not in exclude]
+    bad = set(names) - set(SUMMARY_ALL)
+    if bad:
+        raise ValueError(f"unknown summarizers: {sorted(bad)}")
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+
+    def _ftype(t) -> str:
+        if pa.types.is_integer(t):
+            return "int"
+        if pa.types.is_floating(t):
+            return "float"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        return "array" if pa.types.is_list(t) else "map"
+
+    moment_req = [n for n in names if n in
+                  ("count", "null_count", "sum", "mean", "stddev", "var",
+                   "skewness", "minlen", "maxlen", "min", "max")]
+    needs_pct = any(n in names for n in
+                    ("p25", "median", "p75", "iqr", "lof", "lif", "uif", "uof"))
+    needs_vc = any(n in names for n in ("mode", "distinct_count"))
+
+    numeric = {f for f in fields
+               if pa.types.is_integer(types[f]) or pa.types.is_floating(types[f])}
+    moments = grouped_stats(ds, [], fields, [m for m in moment_req
+                                             if m not in ("skewness",)]) \
+        if moment_req else None
+    if (moments is not None and moments.empty) or \
+            (moments is None and ds.limit(1).count() == 0):
+        return pd.DataFrame({c: [] for c in ["field_name"] + names})
+    skew = grouped_stats(ds, [], [f for f in fields if f in numeric],
+                         ["skewness"]) if "skewness" in names and numeric else None
+    pcts = {f: grouped_percentiles(ds, [], f, [25, 50, 75])
+            for f in fields} if needs_pct else {}
+    vcs = {f: _value_stats(ds, [], f,
+                           [m for m in ("mode", "distinct_count") if m in names])
+           for f in fields} if needs_vc else {}
+
     rows = []
     for f in fields:
-        rows.append({
-            "field_name": f,
-            "count": int(moments[f"{f}_count"].iloc[0]),
-            "null_count": int(moments[f"{f}_null_count"].iloc[0]),
-            "min": float(moments[f"{f}_min"].iloc[0]),
-            "max": float(moments[f"{f}_max"].iloc[0]),
-            "sum": float(moments[f"{f}_sum"].iloc[0]),
-            "mean": float(moments[f"{f}_mean"].iloc[0]),
-            "stddev": float(moments[f"{f}_stddev"].iloc[0]),
-            "p25": float(pcts[f"{f}_p25"].iloc[0]),
-            "median": float(pcts[f"{f}_p50"].iloc[0]),
-            "p75": float(pcts[f"{f}_p75"].iloc[0]),
-        })
-        rows[-1]["iqr"] = rows[-1]["p75"] - rows[-1]["p25"]
+        row: dict[str, Any] = {"field_name": f}
+        for n in names:
+            if n == "field_type":
+                row[n] = _ftype(types[f])
+            elif n in ("count", "null_count", "minlen", "maxlen"):
+                row[n] = int(moments[f"{f}_{n}"].iloc[0])
+            elif n in ("sum", "mean", "stddev", "var", "min", "max"):
+                row[n] = float(moments[f"{f}_{n}"].iloc[0])
+            elif n == "skewness":
+                row[n] = (float(skew[f"{f}_skewness"].iloc[0])
+                          if skew is not None and f in numeric else np.nan)
+            elif n == "mode":
+                row[n] = vcs[f][f"{f}_mode"].iloc[0]
+            elif n == "distinct_count":
+                row[n] = int(vcs[f][f"{f}_distinct_count"].iloc[0])
+            elif n in ("p25", "median", "p75", "iqr", "lof", "lif", "uif", "uof"):
+                p25 = float(pcts[f][f"{f}_p25"].iloc[0])
+                p50 = float(pcts[f][f"{f}_p50"].iloc[0])
+                p75 = float(pcts[f][f"{f}_p75"].iloc[0])
+                iqr = p75 - p25
+                row[n] = {"p25": p25, "median": p50, "p75": p75, "iqr": iqr,
+                          "lof": p25 - 3.0 * iqr, "lif": p25 - 1.5 * iqr,
+                          "uif": p75 + 1.5 * iqr, "uof": p75 + 3.0 * iqr}[n]
+        rows.append(row)
     return pd.DataFrame(rows)
 
 
@@ -1195,16 +1347,21 @@ def tee(ds, path: str):
     return mat
 
 
-def split_write(ds, out_dir: str, by: str | None = None, n: int | None = None):
-    """Verb ``split -g key | -n cap`` (split.go:21-25): write records to
-    multiple files. ``-g`` -> hive-partitioned parquet by key (one
-    directory per distinct value — the resumable-output layout);
-    ``-n`` -> repartition to ceil(rows/n) files."""
+def split_write(ds, out_dir: str, by: str | None = None, n: int | None = None,
+                m: int | None = None):
+    """Verb ``split -g key | -n cap | -m k`` (split.go:21-25): write
+    records to multiple files. ``-g`` -> hive-partitioned parquet by
+    key (one directory per distinct value — the resumable-output
+    layout); ``-n`` -> repartition to ceil(rows/n) files; ``-m`` ->
+    round-robin into exactly m files (repartition contract: equal-size
+    blocks, not Miller's strict record-order rotation)."""
     if by is not None:
         ds.write_parquet(out_dir, partition_cols=[by])
     elif n is not None:
         total = ds.count()
         ds.repartition(max(1, -(-total // n))).write_parquet(out_dir)
+    elif m is not None:
+        ds.repartition(m).write_parquet(out_dir)
     else:
         ds.write_parquet(out_dir)
     return out_dir
@@ -1489,6 +1646,295 @@ def merge_fields_collapse(ds, accs: list[str], substrings: list[str],
         out = merge_fields(out, accs, hit, stem, keep_inputs=keep_inputs,
                            interpolated=interpolated)
     return out
+
+
+def nest_explode_values_across_fields(ds, field: str, sep: str = ";",
+                                      nested_fs: str | None = None):
+    """Verb ``nest --explode --values --across-fields -f x`` (nest.go:66):
+    split ``x`` on the separator into new fields ``x_1..x_k`` in place.
+    k = global max element count (tiny pre-pass on one projected column)."""
+    sep = nested_fs or sep
+
+    def count_max(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.cast(t[field], pa.string()), sep)
+        return pa.table({"k": [int(pc.max(pc.list_value_length(lists)).as_py() or 0)]})
+
+    k = int(ds.select_columns([field]).map_batches(
+        count_max, batch_format="pyarrow").to_pandas()["k"].max())
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df[field].astype(str).str.split(sep, expand=True)
+        parts = parts.reindex(columns=range(k))
+        parts.columns = [f"{field}_{i+1}" for i in range(k)]
+        idx = list(df.columns).index(field)
+        out = df.drop(columns=[field])
+        order = (list(out.columns[:idx]) + list(parts.columns)
+                 + list(out.columns[idx:]))
+        return pd.concat([out, parts], axis=1)[order]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def _pair_keys(ds, field: str, sep: str, ps: str) -> list[str]:
+    """Distinct pair keys of a nested pairs field (pre-pass, projected)."""
+
+    def keys_of(t: pa.Table) -> pa.Table:
+        pairs = pc.list_flatten(pc.split_pattern(pc.cast(t[field], pa.string()), sep))
+        k = pc.list_element(pc.split_pattern(pairs, ps, max_splits=1), 0)
+        return pa.table({"k": pc.unique(k)})
+
+    pdf = ds.select_columns([field]).map_batches(
+        keys_of, batch_format="pyarrow").to_pandas()
+    return sorted(pdf["k"].dropna().unique())
+
+
+def nest_explode_pairs_across_fields(ds, field: str, sep: str = ";",
+                                     ps: str = "="):
+    """Verb ``nest --explode --pairs --across-fields -f x`` (nest.go:79):
+    ``x="a=1;b=2"`` -> fields a=1, b=2 replacing x. Column set = union
+    of pair keys (pre-pass); rows lacking a key get null."""
+    keys = _pair_keys(ds, field, sep, ps)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[field].astype(str).str.split(sep)
+        e = df.drop(columns=[field]).join(s.explode().rename("__pair"))
+        kv = e["__pair"].str.split(ps, n=1, expand=True)
+        e["__k"], e["__v"] = kv[0], kv[1] if 1 in kv.columns else None
+        other = [c for c in df.columns if c != field]
+        w = e.pivot_table(index=other, columns="__k", values="__v",
+                          aggfunc="first").reset_index()
+        for c in keys:
+            if c not in w.columns:
+                w[c] = None
+        return w[other + keys]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def nest_explode_pairs_across_records(ds, field: str, sep: str = ";",
+                                      ps: str = "="):
+    """Verb ``nest --explode --pairs --across-records -f x`` (nest.go:72):
+    one output record per pair; the pair key becomes a field. Under a
+    fixed Arrow schema: other columns + one column per distinct key,
+    exactly one non-null per row."""
+    keys = _pair_keys(ds, field, sep, ps)
+
+    def f(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.cast(t[field], pa.string()), sep)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        kv = pc.split_pattern(flat, ps, max_splits=1)
+        pk = pc.list_element(kv, 0).to_numpy(zero_copy_only=False)
+        pv = np.array([x[1] if len(x) > 1 else None for x in kv.to_pylist()],
+                      dtype=object)
+        base = t.drop_columns([field]).take(parents)
+        for key in keys:
+            vals = np.where(pk == key, pv, None)
+            base = base.append_column(key, pa.array(vals, type=pa.string()))
+        return base
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sec2gmt_frac(ds, fields: list[str], decimals: int = 0,
+                 input_unit: str = "s"):
+    """Verb ``sec2gmt -1..-9 / --millis/--micros/--nanos`` (sec2gmt.go):
+    epoch -> ISO-8601 with fractional-second digits; input may be in
+    seconds / milliseconds / microseconds / nanoseconds."""
+    div = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[input_unit]
+
+    def conv(t: pa.Table) -> pa.Table:
+        for f in fields:
+            x = pc.cast(t[f], pa.float64()).to_numpy(zero_copy_only=False) / div
+            secs = np.floor(x)
+            ts = pc.cast(pa.array(secs.astype(np.int64)), pa.timestamp("s"))
+            base = pc.strftime(ts, format="%Y-%m-%dT%H:%M:%S")
+            if decimals > 0:
+                frac = np.round((x - secs) * 10 ** decimals).astype(np.int64)
+                # carry: frac == 10^d rolls into the next second
+                carry = frac >= 10 ** decimals
+                if carry.any():
+                    secs = secs + carry
+                    frac = np.where(carry, 0, frac)
+                    ts = pc.cast(pa.array(secs.astype(np.int64)), pa.timestamp("s"))
+                    base = pc.strftime(ts, format="%Y-%m-%dT%H:%M:%S")
+                fs = np.char.zfill(frac.astype(str), decimals)
+                out = pc.binary_join_element_wise(
+                    base, pa.array(fs), ".")
+                out = pc.binary_join_element_wise(out, pa.array([""] * len(x)), "Z")
+            else:
+                out = pc.binary_join_element_wise(base, pa.array([""] * len(x)), "Z")
+            t = t.set_column(t.column_names.index(f), f, out)
+        return t
+
+    return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sort_by_flags(ds, specs: list[tuple[str, str]]):
+    """Verb ``sort`` with per-key flags (sort.go:56-67): ``f``/``r``
+    lexical, ``nf``/``nr`` numeric, ``c``/``cr`` case-folded lexical,
+    ``t``/``tr`` natural order. Derived sort-key columns are built
+    vectorized per batch, the sort itself is the distributed
+    ``Dataset.sort``, keys dropped after."""
+    import re
+
+    digit_run = re.compile(r"\d+")
+
+    def natural_key(s: str) -> str:
+        # zero-pad digit runs to width 12 so lexical == natural order
+        return digit_run.sub(lambda m: m.group().zfill(12), s)
+
+    keycols, desc = [], []
+    derived: list[tuple[str, str, str]] = []  # (keycol, field, kind)
+    for f, fl in specs:
+        fl = fl or "f"
+        kind = {"f": "lex", "r": "lex", "c": "fold", "cr": "fold",
+                "nf": "num", "nr": "num", "t": "nat", "tr": "nat"}[fl]
+        kc = f"__sk_{f}_{kind}"
+        derived.append((kc, f, kind))
+        keycols.append(kc)
+        desc.append(fl in ("r", "cr", "nr", "tr"))
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        for kc, f, kind in derived:
+            col = t[f]
+            if kind == "lex":
+                t = t.append_column(kc, pc.cast(col, pa.string()))
+            elif kind == "fold":
+                t = t.append_column(kc, pc.utf8_lower(pc.cast(col, pa.string())))
+            elif kind == "num":
+                v = pd.to_numeric(pd.Series(np.asarray(col)), errors="coerce")
+                t = t.append_column(kc, pa.array(v.to_numpy(dtype=np.float64)))
+            else:  # natural
+                s = pc.cast(col, pa.string()).to_pylist()
+                t = t.append_column(
+                    kc, pa.array([None if x is None else natural_key(x)
+                                  for x in s]))
+        return t
+
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True)
+    sorted_ds = keyed.sort(keycols, descending=desc)
+    return sorted_ds.map_batches(lambda t: t.drop_columns(keycols),
+                                 batch_format="pyarrow", zero_copy_batch=True)
+
+
+def having_fields_mode(ds, fields: list[str] | None = None,
+                       mode: str = "at-least",
+                       name_regex: str | None = None):
+    """Verb ``having-fields`` full modes (having_fields.go): at-least /
+    all-defined (all named fields non-null), any-defined (any non-null),
+    none-defined (all null); field set by name list or name regex."""
+    import re
+
+    if name_regex is not None:
+        rx = re.compile(name_regex)
+        fields = [c for c in ds.schema().names if rx.search(c)]
+    if not fields:
+        return ds.limit(0) if mode != "none-defined" else ds
+
+    def f(t: pa.Table) -> pa.Table:
+        masks = [pc.is_valid(t[c]) for c in fields]
+        if mode in ("at-least", "all-defined"):
+            m = masks[0]
+            for x in masks[1:]:
+                m = pc.and_(m, x)
+        elif mode == "any-defined":
+            m = masks[0]
+            for x in masks[1:]:
+                m = pc.or_(m, x)
+        elif mode == "none-defined":
+            m = masks[0]
+            for x in masks[1:]:
+                m = pc.or_(m, x)
+            m = pc.invert(m)
+        else:
+            raise ValueError(f"unknown having-fields mode {mode}")
+        return t.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bootstrap_ci(ds, fields: list[str], stat: str = "mean",
+                 nboot: int = 1000, level: float = 0.95,
+                 seed: int = 1) -> pd.DataFrame:
+    """Verb ``bootstrap-ci -a mean -f fields -n -c`` (bootstrap_ci.go):
+    percentile-bootstrap confidence interval for the mean/sum.
+
+    Distributed as a POISSON bootstrap (the classic large-scale
+    reformulation: resampling n-of-n with replacement ≈ independent
+    Poisson(1) row weights, exact as n → ∞): ONE streaming pass where
+    each block accumulates nboot weighted partial (n, sum) pairs from
+    deterministic per-block seeded RNG, merged by summation — no
+    materialized resamples, no driver-side data. Reference semantics
+    are per-resample ``stats1`` then type-1 percentile CI endpoints."""
+    if stat not in ("mean", "sum"):
+        raise ValueError("bootstrap_ci supports stat in {'mean','sum'}")
+    from miller_ray.hashing import hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {}
+        bseed = int(hash64(np.array([t.num_rows]), seed=seed)[0] % (2**31)) \
+            if t.num_rows else seed
+        for f in fields:
+            x = pc.cast(t[f], pa.float64()).to_numpy(zero_copy_only=False)
+            x = np.nan_to_num(x, nan=0.0)
+            ns = np.empty(nboot, dtype=np.int64)
+            ss = np.empty(nboot, dtype=np.float64)
+            rng = np.random.default_rng(bseed ^ hash(f) % (2**31))
+            for r in range(nboot):
+                w = rng.poisson(1.0, x.size)
+                ns[r] = w.sum()
+                ss[r] = float(w @ x)
+            out[f"{f}_n"] = ns
+            out[f"{f}_s"] = ss
+        out["rep"] = np.arange(nboot, dtype=np.int64)
+        return pa.table(out)
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.select_columns(fields).map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(f"{f}_{m}", alias_name=f"{f}_{m}")
+            for f in fields for m in ("n", "s")]
+    merged = parts.groupby("rep").aggregate(*aggs).to_pandas()
+    alpha = (1.0 - level) / 2.0
+    rows = []
+    for f in fields:
+        stats = (merged[f"{f}_s"] / merged[f"{f}_n"] if stat == "mean"
+                 else merged[f"{f}_s"]).to_numpy()
+        srt = np.sort(stats)
+        from miller_ray.engine.exact import percentile_type1
+
+        rows.append({
+            "field": f,
+            f"{stat}_lo": float(percentile_type1(srt, alpha * 100)),
+            f"{stat}_hi": float(percentile_type1(srt, (1 - alpha) * 100)),
+        })
+    return pd.DataFrame(rows)
+
+
+def decimate_positional(ds, n: int, group_by: list[str], order_by: str,
+                        keep_first: bool = False):
+    """Verb ``decimate -n [-b|-e]`` with a declared order: keep the
+    last (default, -e) or first (-b) of every n records per group
+    (decimate.go; Miller counts in stream order)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by).reset_index(drop=True)
+        i = np.arange(len(df))
+        mask = (i % n == 0) if keep_first else (i % n == n - 1)
+        return df[mask]
+
+    return ds.groupby(group_by).map_groups(f, batch_format="pandas")
+
+
+def case_keys(ds, how: str = "upper"):
+    """Verb ``case -k`` (case.go): apply the case mapping to field
+    NAMES (schema-level rename; no data movement)."""
+    fns = {"upper": str.upper, "lower": str.lower, "title": str.title,
+           "sentence": lambda s: s[:1].upper() + s[1:].lower() if s else s}
+    fn = fns[how]
+    mapping = {c: fn(c) for c in ds.schema().names if fn(c) != c}
+    return ds.rename_columns(mapping) if mapping else ds
 
 
 def stats1_regex(ds, accs: list[str], field_regex: str,

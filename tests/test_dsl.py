@@ -19,7 +19,8 @@ def _tbl():
 
 
 def run(src, t=None):
-    return dsl.compile_program(src).run(t if t is not None else _tbl())
+    out, mask, bare = dsl.compile_program(src).run(t if t is not None else _tbl())
+    return out, (bare if bare is not None else mask)
 
 
 def test_arith_precedence():
