@@ -1008,6 +1008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_segment_revenue": q_join_segment_revenue,
         "join_left_outer": q_join_left_outer,
         "join_anti": q_join_anti,
+        "csv_io": q_csv_io,
+        "dkvp_io": q_dkvp_io,
         "sort_head": q_sort_head,
         "filter_project": q_filter_project,
         "put_expr": q_put_expr,
@@ -1031,13 +1033,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nest_implode": q_nest_implode,
         "reshape_long": q_reshape_long,
         "reshape_wide": q_reshape_wide,
-        "repeat": q_repeat,
-        "sec2gmtdate": q_sec2gmtdate,
         "ssub": q_ssub,
         "gsub": q_gsub,
         "format_values": q_format_values,
         "summary": q_summary,
         "summary_full": q_summary_full,
+        "repeat": q_repeat,
+        "sec2gmtdate": q_sec2gmtdate,
         "uniq_all": q_uniq_all,
         "count_distinct_unlashed": q_count_distinct_unlashed,
         "histogram_auto": q_histogram_auto,
@@ -1048,8 +1050,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reorder": q_reorder,
         "split_write": q_split_write,
         "tee": q_tee,
-        "csv_io": q_csv_io,
-        "dkvp_io": q_dkvp_io,
         # approximate / non-SQL (rows-only checks)
         "sketch_flagship": q_sketch_flagship,
         "sketch_grouped": q_sketch_grouped,

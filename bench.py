@@ -125,8 +125,10 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         queries = {n: queries[n] for n in names}
     # inner reps: the metric is steady-state THROUGHPUT (north rule:
     # sequences/sec), so take the best of k in-session runs — the first
-    # run can absorb transient host noise on this shared VM
-    inner = int(os.environ.get("GRAFT_BENCH_INNER_REPS", "1"))
+    # run absorbs cold-start (block scheduling, per-worker import) and
+    # transient host noise on this shared VM. Default 2 so the driver's
+    # recorded number and BASELINE.md's claims share ONE protocol.
+    inner = int(os.environ.get("GRAFT_BENCH_INNER_REPS", "2"))
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         best = None
@@ -152,6 +154,48 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
     return out
 
 
+def run_flagship_probe(sf_dir: str, num_cpus: int) -> dict:
+    """One fresh-process scaling leg: flagship END-TO-END (scan + build
+    + merge) and COMPUTE-ONLY (build + merge over pre-materialized
+    Arrow blocks — no parquet decode) wall times, each best-of-2
+    in-session. The split separates what the ENGINE controls (partial
+    build, tree merge — scales with cores) from the storage scan
+    (pyarrow parquet decode, memory-bandwidth-bound on one box; on a
+    real N vs 4N NODE cluster each node brings its own memory bus and
+    disks, so per-node scan bandwidth is constant across cluster
+    sizes)."""
+    _init_ray(num_cpus)
+    from miller_ray.engine.udaf import _merge_fn, _partial_fn
+    from miller_ray.pipelines import tokens as T
+    from miller_ray.pipelines.tokens import default_specs
+
+    specs = default_specs()
+    ds = T.read_tokens(sf_dir)
+    T.sketch_summary(T.read_tokens(sf_dir, n_rows=20_000))  # warm workers
+
+    def one_e2e() -> float:
+        t0 = time.perf_counter()
+        T.sketch_summary(T.read_tokens(sf_dir))
+        return time.perf_counter() - t0
+
+    def one_compute(mat) -> float:
+        t0 = time.perf_counter()
+        parts = mat.map_batches(_partial_fn(specs), batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None).materialize()
+        m = parts
+        while m.count() > 16:
+            m = m.map_batches(_merge_fn(specs), batch_format="pyarrow",
+                              batch_size=16).materialize()
+        m.take_all()
+        return time.perf_counter() - t0
+
+    e2e = min(one_e2e() for _ in range(2))
+    mat = ds.materialize()
+    compute = min(one_compute(mat) for _ in range(2))
+    return {"e2e_sec": round(e2e, 3), "compute_sec": round(compute, 3),
+            "num_cpus": num_cpus}
+
+
 def run_scaling(sf_dir: str, low: int | None = None, high: int | None = None) -> dict:
     """Fresh-process flagship runs at two parallelism levels (N vs 4N).
 
@@ -168,50 +212,64 @@ def run_scaling(sf_dir: str, low: int | None = None, high: int | None = None) ->
     compute dominates fixed setup, as it does at 10^12-sequence scale —
     a job that finishes in seconds measures scheduler overhead instead.
     """
+    import statistics
+
     low = low or int(os.environ.get("GRAFT_SCALING_LOW", "2"))
     high = high or int(os.environ.get("GRAFT_SCALING_HIGH", "8"))
-    rows = int(os.environ.get("GRAFT_SCALING_ROWS", "4000000"))
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
-    budget_s = int(os.environ.get("GRAFT_SCALING_BUDGET_S", "480"))
+    # 2M sequences (~1.3B tokens): big enough that the 2-CPU leg runs
+    # ~27 s of steady-state work, small enough that the 8-CPU leg's
+    # working set (decoded stream + materialized compute-only input)
+    # stays clear of object-store pressure on this 32-vCPU box
+    rows = int(os.environ.get("GRAFT_SCALING_ROWS", "2000000"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "5"))
+    budget_s = int(os.environ.get("GRAFT_SCALING_BUDGET_S", "900"))
     t_start = time.monotonic()
-    results = {}
-    for cpus in (low, high):
-        best = None
-        for rep in range(reps):
-            if best is not None and time.monotonic() - t_start > budget_s:
-                break  # soft budget: keep at least one run per leg
-            # best-of-N fresh processes: this sandbox is a VM on a shared
-            # host, and neighbor interference inflates individual runs by
-            # 1.5-2x; the minimum is the closest to machine capability
+    e2e: dict[int, list[float]] = {}
+    comp: dict[int, list[float]] = {}
+    # interleave the legs so shared-host noise hits both evenly
+    for rep in range(reps):
+        for cpus in (low, high):
+            if e2e.get(cpus) and time.monotonic() - t_start > budget_s:
+                continue  # soft budget: keep at least one run per leg
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
-                       GRAFT_TOKENS_ROWS=str(rows),
-                       GRAFT_BENCH_INNER_REPS=os.environ.get(
-                           "GRAFT_BENCH_INNER_REPS", "2"))
+                       GRAFT_TOKENS_ROWS=str(rows))
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", "sketch_flagship"],
+                [sys.executable, os.path.abspath(__file__), "--probe"],
                 env=env, capture_output=True, text=True, timeout=3600,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             line = proc.stdout.strip().splitlines()[-1]
             r = json.loads(line)
-            if best is None or r["queries"]["sketch_flagship"] < best["queries"]["sketch_flagship"]:
-                best = r
-        results[cpus] = best
-    thr_low = results[low]["flagship_seq_per_sec"]
-    thr_high = results[high]["flagship_seq_per_sec"]
-    eff = (thr_high / thr_low) / (high / low)
+            e2e.setdefault(cpus, []).append(float(r["e2e_sec"]))
+            comp.setdefault(cpus, []).append(float(r["compute_sec"]))
+
+    def eff(times: dict[int, list[float]], agg) -> float:
+        lo, hi = agg(times[low]), agg(times[high])
+        return ((rows / hi) / (rows / lo)) / (high / low)
+
+    med_e2e = {c: statistics.median(v) for c, v in e2e.items()}
+    med_comp = {c: statistics.median(v) for c, v in comp.items()}
     return {
-        "metric": "flagship sketch-build scaling (%d vs %d cpus)" % (low, high),
-        "value": round(eff, 3),
+        "metric": "flagship sketch-build scaling (%d vs %d cpus, "
+                  "median of %d fresh-process runs per leg)" % (low, high, reps),
+        "value": round(eff(e2e, statistics.median), 3),
         "unit": "scaling_efficiency",
         "sf": _sf_of(sf_dir),
         "num_cpus": high,
         "rows": rows,
         "queries": {
-            "flagship_sec_cpus%d" % low: results[low]["queries"]["sketch_flagship"],
-            "flagship_sec_cpus%d" % high: results[high]["queries"]["sketch_flagship"],
+            "flagship_sec_cpus%d" % low: round(med_e2e[low], 3),
+            "flagship_sec_cpus%d" % high: round(med_e2e[high], 3),
         },
-        "seq_per_sec": {str(low): thr_low, str(high): thr_high},
-        "speedup": round(thr_high / thr_low, 3),
+        "runs_sec": {str(c): [round(x, 3) for x in v] for c, v in e2e.items()},
+        "seq_per_sec": {str(c): round(rows / med_e2e[c], 1) for c in (low, high)},
+        "speedup": round(med_e2e[low] / med_e2e[high], 3),
+        "efficiency_best_of_n": round(eff(e2e, min), 3),
+        # engine-controlled stages only (no parquet decode): the
+        # cross-NODE scaling proxy, since per-node scan bandwidth is
+        # constant across cluster sizes
+        "compute_only_sec": {str(c): round(med_comp[c], 3) for c in (low, high)},
+        "compute_only_efficiency": round(eff(comp, statistics.median), 3),
+        "compute_only_efficiency_best": round(eff(comp, min), 3),
     }
 
 
@@ -221,6 +279,8 @@ def main() -> None:
     args = sys.argv[1:]
     if "--scaling" in args:
         out = run_scaling(sf_dir)
+    elif "--probe" in args:
+        out = run_flagship_probe(sf_dir, num_cpus)
     elif "--one" in args:
         name = args[args.index("--one") + 1]
         out = run_bench(sf_dir, num_cpus, names=[name])

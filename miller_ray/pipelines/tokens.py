@@ -49,13 +49,23 @@ def _token_counts(t, cache) -> np.ndarray:
     stream is scanned exactly once per batch."""
     key = ("bincount", "tokens")
     if key not in cache:
-        chunked = t["tokens"]
-        arrs = [c.flatten() for c in chunked.chunks]
-        flat = pa.concat_arrays(arrs).to_numpy(zero_copy_only=False) \
-            if arrs else np.zeros(0, dtype=np.int32)
         from miller_ray.sketches.base import bincount_chunked
 
-        cache[key] = bincount_chunked(flat, minlength=VOCAB_SIZE)
+        # bincount per Arrow chunk directly on the zero-copy values
+        # buffer and SUM the counts — pa.concat_arrays would copy the
+        # whole token stream once more, and this kernel is the
+        # flagship's memory-bandwidth hot spot
+        acc = np.zeros(VOCAB_SIZE, dtype=np.int64)
+        for c in t["tokens"].chunks:
+            flat = c.flatten().to_numpy(zero_copy_only=False)
+            if flat.size:
+                cnt = bincount_chunked(flat, minlength=VOCAB_SIZE)
+                if cnt.size > acc.size:
+                    cnt[: acc.size] += acc
+                    acc = cnt
+                else:
+                    acc[: cnt.size] += cnt
+        cache[key] = acc
     return cache[key]
 
 
