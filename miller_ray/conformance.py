@@ -78,6 +78,23 @@ def read_csv(path: str, sep: str = ",") -> list[dict]:
         return [{k: _infer(v) for k, v in row.items()} for row in rd]
 
 
+def read_csvlite(path: str, sep: str = ",") -> list[dict]:
+    """csvlite: a blank line starts a NEW header block (heterogeneous
+    schema support; record_reader_csvlite.go)."""
+    import csv
+    import io
+
+    with open(path) as f:
+        text = f.read()
+    recs: list[dict] = []
+    for block in re.split(r"\n\s*\n", text):
+        if block.strip():
+            recs.extend({k: _infer(v) for k, v in row.items()}
+                        for row in csv.DictReader(io.StringIO(block),
+                                                  delimiter=sep))
+    return recs
+
+
 def read_tsv(path: str) -> list[dict]:
     return read_csv(path, sep="\t")
 
@@ -238,8 +255,8 @@ _FMT_FLAGS = {"--oxtab": ("ofmt", "xtab"), "--opprint": ("ofmt", "pprint"),
               "--ojson": ("ofmt", "json"), "--ojsonl": ("ofmt", "json"),
               "--ocsv": ("ofmt", "csv"), "--odkvp": ("ofmt", "dkvp"),
               "--icsv": ("ifmt", "csv"), "--idkvp": ("ifmt", "dkvp"),
-              "--csv": ("iofmt", "csv"), "--csvlite": ("iofmt", "csv"),
-              "--icsvlite": ("ifmt", "csv"), "--c2p": ("c2p", None),
+              "--csv": ("iofmt", "csv"), "--csvlite": ("csvlite", None),
+              "--icsvlite": ("ifmt", "csvlite"), "--c2p": ("c2p", None),
               "--itsv": ("ifmt", "tsv"), "--otsv": ("ofmt", "tsv"),
               "--tsv": ("iofmt", "tsv"), "--t2p": ("t2p", None),
               "--ijson": ("ifmt", "json"), "--json": ("iofmt", "json"),
@@ -300,6 +317,8 @@ def parse_cmd(cmd: str) -> Case:
                 ifmt = ofmt = val
             elif kind == "c2p":
                 ifmt, ofmt = "csv", "pprint"
+            elif kind == "csvlite":
+                ifmt, ofmt = "csvlite", "csv"
             elif kind == "c2j":
                 ifmt, ofmt = "csv", "json"
             elif kind == "t2p":
@@ -375,6 +394,8 @@ def load_df(case: Case) -> pd.DataFrame:
         p = os.path.join(REFERENCE, f)
         if case.ifmt == "csv":
             recs = read_csv(p, sep=case.ifs or ",")
+        elif case.ifmt == "csvlite":
+            recs = read_csvlite(p, sep=case.ifs or ",")
         elif case.ifmt == "tsv":
             recs = read_tsv(p)
         elif case.ifmt == "nidx":
@@ -468,15 +489,40 @@ def execute(case: Case, df: pd.DataFrame):
         return out, False
 
     if v == "stats1":
-        if _has(a, "-s") or _has(a, "-w") or _has(a, "-i"):
-            raise Unsupported("stats1 -s/-w/-i")
+        if _has(a, "-s") or _has(a, "-w"):
+            raise Unsupported("stats1 -s/-w")
+        interpolated = _has(a, "-i")
         accs = _flagvals(a, "-a").split(",")
         for acc in accs:
             if acc not in _SUPPORTED_ACCS and not re.fullmatch(r"p\d+(\.\d+)?", acc):
                 raise Unsupported(f"stats1 acc {acc}")
-        fields = _flagvals(a, "-f").split(",")
-        g = _flagvals(a, "-g")
-        gb = g.split(",") if g else None
+        meta_cols = ("__row__", "__file__", "__filenum__")
+        if _has(a, "--fr") or _has(a, "--fx"):
+            spec = _flagvals(a, "--fr") or _flagvals(a, "--fx")
+            regs = _mlr_regexes(spec)
+            gset = set((_flagvals(a, "-g") or "").split(","))
+            hit = [c for c in df.columns if c not in meta_cols
+                   and c not in gset
+                   and any(rx.search(c) for rx in regs)]
+            if _has(a, "--fx"):
+                hit = [c for c in df.columns if c not in meta_cols
+                       and c not in gset and c not in hit]
+            fields = hit
+        else:
+            fields = _flagvals(a, "-f").split(",")
+        if _has(a, "--gr") or _has(a, "--gx"):
+            gspec = _flagvals(a, "--gr") or _flagvals(a, "--gx")
+            gregs = _mlr_regexes(gspec)
+            ghit = [c for c in df.columns if c not in meta_cols
+                    and c not in fields
+                    and any(rx.search(c) for rx in gregs)]
+            if _has(a, "--gx"):
+                ghit = [c for c in df.columns if c not in meta_cols
+                        and c not in fields and c not in ghit]
+            gb = ghit or None
+        else:
+            g = _flagvals(a, "-g")
+            gb = g.split(",") if g else None
         sub = (df.dropna(subset=gb) if gb else df).copy()
         usable = [f for f in fields if f in sub.columns]
         if not usable:
@@ -522,8 +568,20 @@ def execute(case: Case, df: pd.DataFrame):
         if not (set(accs) & value_kind):
             for f in usable:
                 sub[f] = pd.to_numeric(sub[f], errors="coerce")
-        out = verbs.stats1(_ds(sub), accs, usable, gb)
-        return out, False
+        out = verbs.stats1(_ds(sub), accs, usable, gb,
+                           interpolated=interpolated)
+        # Miller names percentile outputs by the REQUESTED acc string
+        # (p00 stays x_p00; ours canonicalizes to x_p0)
+        ren = {}
+        for f in usable:
+            for acc in accs:
+                m2 = re.fullmatch(r"p(\d+(\.\d+)?)", acc)
+                if m2:
+                    ours_name = f"{f}_p{int(float(m2.group(1))) if float(m2.group(1)).is_integer() else float(m2.group(1))}"
+                    want = f"{f}_{acc}"
+                    if ours_name != want and ours_name in out.columns:
+                        ren[ours_name] = want
+        return (out.rename(columns=ren) if ren else out), False
 
     if v == "top":
         fields = _flagvals(a, "-f").split(",")
@@ -1980,6 +2038,13 @@ def run_case(case_dir: str) -> tuple[str, str]:
         # pprint cannot represent leading/trailing whitespace in values
         our_recs = [{k: (v.strip() if isinstance(v, str) else v)
                      for k, v in r.items()} for r in our_recs]
+    if case.ofmt == "tsv":
+        # the TSV writer escapes embedded tabs/newlines as \t, \n
+        def _esc(s):
+            return (s.replace("\\", "\\\\").replace("\t", "\\t")
+                     .replace("\n", "\\n") if isinstance(s, str) else s)
+        our_recs = [{_esc(k): _esc(v) for k, v in r.items()}
+                    for r in our_recs]
     if case.verb == "stats1" and re.search(r"\bmode|antimode\b",
                                            " ".join(case.args)):
         g = _flagvals(case.args, "-g")

@@ -38,6 +38,7 @@ import re
 from collections.abc import Callable
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -207,14 +208,36 @@ def math_floor_div(a, b):
     return out if isinstance(a, int) and isinstance(b, int) else float(out)
 
 
+def _null_identity(op: str, a: Value, b: Value, out: Value) -> Value:
+    """Miller treats ABSENT operands as the identity for +,-,*
+    (bifs/arithmetic.go absent dispositions: absent + x = x); Arrow
+    nulls propagate. Patch nulls back with the other operand."""
+    if not _is_arr(out):
+        return out
+    a_nulls = _is_arr(a) and a.null_count
+    b_nulls = _is_arr(b) and b.null_count
+    if not a_nulls and not b_nulls:
+        return out
+    if b_nulls:
+        # x op absent = x for + - *
+        fill_a = a if _is_arr(a) else pa.array([a] * len(out))
+        out = pc.if_else(pc.is_valid(out), out, fill_a)
+    if a_nulls:
+        fill_b = b if _is_arr(b) else pa.array([b] * len(out))
+        if op == "-":
+            fill_b = pc.negate(fill_b)
+        out = pc.if_else(pc.is_valid(out), out, fill_b)
+    return out
+
+
 def _arith_raw(op: str, a: Value, b: Value) -> Value:
     both_int = _is_int(a) and _is_int(b)
     if op in ("+", ".+"):
-        return pc.add(a, b)
+        return _null_identity("+", a, b, pc.add(a, b))
     if op in ("-", ".-"):
-        return pc.subtract(a, b)
+        return _null_identity("-", a, b, pc.subtract(a, b))
     if op in ("*", ".*"):
-        return pc.multiply(a, b)
+        return _null_identity("*", a, b, pc.multiply(a, b))
     if op == "./":
         return pc.divide(a, b)  # int division, truncating (bifs dot-ops)
     if op == "/":
@@ -366,7 +389,26 @@ class _Parser:
                 pat = right(t, env)
                 if _is_arr(pat):
                     raise DslError("=~ pattern must be a literal")
-                m = pc.match_substring_regex(pc.cast(a, pa.string()), str(pat))
+                pat = str(pat)
+                if not _is_arr(a):
+                    m0 = re.search(pat, str(a))
+                    if op == "=~" and m0:
+                        env["\x00caps"] = [m0.group(0)] + \
+                            ["" if g is None else g for g in m0.groups()]
+                    return (m0 is None) if op == "!~" else (m0 is not None)
+                m = pc.match_substring_regex(pc.cast(a, pa.string()), pat)
+                if op == "=~":
+                    # populate \0 (full match) and \1..\9 for later
+                    # statements (pkg/dsl/cst regex captures): pandas
+                    # str.extract is the C-vectorized group extractor;
+                    # wrapping the pattern captures the full match as
+                    # group 1 -> caps[0]
+                    caps = pd.Series(
+                        pc.cast(a, pa.string()).to_pandas()).str.extract(
+                            "(" + pat + ")")
+                    env["\x00caps"] = [
+                        pa.array(caps[c].fillna(""), type=pa.string())
+                        for c in caps.columns]
                 return pc.invert(m) if op == "!~" else m
             left = f
         return left
@@ -467,7 +509,31 @@ class _Parser:
             val = float(v)
             return lambda t, env: val
         if k == "string":
-            val = v[1:-1].encode().decode("unicode_escape")
+            raw = v[1:-1]
+            pieces = re.split(r"(\\[0-9])", raw)
+            if len(pieces) > 1:
+                # capture-interpolating literal: "\1-\2" concatenates the
+                # last =~ match's groups, \0 = full match (unescape only
+                # the static parts — unicode_escape would eat \1 into
+                # \x01)
+                def f(t, env, pieces=pieces):
+                    caps = env.get("\x00caps")
+                    if caps is None:
+                        raise DslError("\\N used before any =~ match")
+                    out = None
+                    for p in pieces:
+                        if re.fullmatch(r"\\[0-9]", p):
+                            i2 = int(p[1])
+                            part = (caps[i2] if i2 < len(caps)
+                                    else "")
+                        elif p:
+                            part = p.encode().decode("unicode_escape")
+                        else:
+                            continue
+                        out = part if out is None else _concat_vals(out, part)
+                    return out if out is not None else ""
+                return f
+            val = raw.encode().decode("unicode_escape")
             return lambda t, env: val
         if k == "field":
             name = _field_name(v)

@@ -78,18 +78,43 @@ bif("clean_whitespace")(lambda x: pc.replace_substring_regex(
     pc.utf8_trim_whitespace(_s(x)), pattern=r"\s+", replacement=" "))
 bif("collapse_whitespace")(lambda x: pc.replace_substring_regex(
     _s(x), pattern=r"\s+", replacement=" "))
-bif("truncate")(lambda x, n: pc.utf8_slice_codeunits(_s(x), 0, n))
+@bif("truncate")
+def _truncate(x, n):
+    """truncate(s, n): first n codepoints; a negative n yields the
+    Miller error VALUE "(error)" (errors propagate as values,
+    mlrval_type.go:124-130)."""
+    if int(n) < 0:
+        return pa.array(["(error)"] * len(x), type=pa.string())
+    return pc.utf8_slice_codeunits(_s(x), 0, int(n))
 bif("leafcount")(lambda x: pa.array(np.ones(len(x), dtype=np.int64)))
 
 
-@bif("substr")
-def _substr(x, lo, hi):
-    """Miller 1-up inclusive substr (bifs/strings.go substr, 0-up variant
-    substr0 also provided)."""
-    return pc.utf8_slice_codeunits(_s(x), lo - 1, hi)
+def _slice_incl(x, lo, hi):
+    """Inclusive-both-ends substring with negative-index support
+    (BIF_substr_0_up): pandas str.slice is C-vectorized and handles
+    negative scalar bounds per row."""
+    import pandas as pd
+
+    s = pd.Series(_s(x).to_pandas() if hasattr(x, "to_pandas")
+                  else pd.Series(x).astype(str))
+    lo, hi = int(lo), int(hi)
+    stop = None if hi == -1 else hi + 1
+    return pa.array(s.str.slice(lo, stop), type=pa.string())
 
 
-bif("substr0")(lambda x, lo, hi: pc.utf8_slice_codeunits(_s(x), lo, hi + 1))
+# substr is an ALIAS FOR substr0 (0-up, inclusive both ends) — a Miller-5
+# compatibility wart documented in builtin_function_manager.go:617-622
+bif("substr")(lambda x, lo, hi: _slice_incl(x, lo, hi))
+bif("substr0")(lambda x, lo, hi: _slice_incl(x, lo, hi))
+
+
+@bif("substr1")
+def _substr1(x, lo, hi):
+    """1-up inclusive variant (BIF_substr_1_up); negative indices count
+    from the end unchanged."""
+    lo = int(lo)
+    hi = int(hi)
+    return _slice_incl(x, lo - 1 if lo > 0 else lo, hi - 1 if hi > 0 else hi)
 bif("ssub")(lambda x, a, b: pc.replace_substring(_s(x), pattern=a, replacement=b,
                                                  max_replacements=1))
 bif("sub")(lambda x, a, b: pc.replace_substring_regex(_s(x), pattern=a, replacement=b,
@@ -156,8 +181,35 @@ for _n, _np in [("sinh", np.sinh), ("cosh", np.cosh), ("tanh", np.tanh),
     bif(_n)(lambda x, _np=_np: pa.array(_np(np.asarray(_f(x)))))
 bif("invqnorm")(lambda x: pa.array(_invqnorm(np.asarray(_f(x)))))
 bif("qnorm")(lambda x: pa.array(_qnorm(np.asarray(_f(x)))))
-bif("min")(lambda *xs: pc.min_element_wise(*xs))
-bif("max")(lambda *xs: pc.max_element_wise(*xs))
+def _is_num_arg(x):
+    if hasattr(x, "type"):
+        return pa.types.is_integer(x.type) or pa.types.is_floating(x.type)
+    return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+
+@bif("min")
+def _min_fn(*xs):
+    """Variadic min under Miller's total order: numbers sort BELOW
+    strings (mlrval_type.go:82-84); zero args -> VOID."""
+    if not xs:
+        return ""
+    nums = [x for x in xs if _is_num_arg(x)]
+    strs = [x for x in xs if not _is_num_arg(x)]
+    if nums:
+        return nums[0] if len(nums) == 1 else pc.min_element_wise(*nums)
+    return strs[0] if len(strs) == 1 else pc.min_element_wise(*strs)
+
+
+@bif("max")
+def _max_fn(*xs):
+    """Variadic max: strings sort ABOVE numbers; zero args -> VOID."""
+    if not xs:
+        return ""
+    nums = [x for x in xs if _is_num_arg(x)]
+    strs = [x for x in xs if not _is_num_arg(x)]
+    if strs:
+        return strs[0] if len(strs) == 1 else pc.max_element_wise(*strs)
+    return nums[0] if len(nums) == 1 else pc.max_element_wise(*nums)
 bif("int")(lambda x: pc.cast(pc.trunc(_f(x)), pa.int64()))
 bif("float")(lambda x: _f(x))
 bif("string")(lambda x: _s(x))
@@ -299,10 +351,140 @@ def _b64d(x):
                      for v in _s(x).to_pylist()])
 
 
+# --- round-2 additions: strings, padding, regex, time, modular, math -------
+
+bif("ceil")(lambda x: pc.ceil(_f(x)))  # alias of ceiling
+bif("length")(lambda x: pa.array(np.ones(len(x), dtype=np.int64)))  # scalar -> 1
+bif("gssub")(lambda x, a, b: pc.replace_substring(_s(x), pattern=a, replacement=b))
+bif("leftpad")(lambda x, n, p: pc.utf8_lpad(_s(x), width=int(n), padding=p))
+bif("rightpad")(lambda x, n, p: pc.utf8_rpad(_s(x), width=int(n), padding=p))
+bif("strmatch")(lambda x, p: pc.match_substring_regex(_s(x), p))
+bif("format_values_like")(lambda x: x)
+
+
+@bif("regextract")
+def _regextract(x, p):
+    """First regex match per value; no match -> absent (the field is
+    not assigned — observable in test/cases/dsl-filter-pattern-action
+    0051/0053)."""
+    import pandas as pd
+
+    s = pd.Series(_s(x).to_pandas()).str.extract("(" + p + ")")[0]
+    return pa.array(s, type=pa.string())
+
+
+@bif("regextract_or_else")
+def _regextract_or_else(x, p, dflt):
+    import pandas as pd
+
+    s = pd.Series(_s(x).to_pandas()).str.extract("(" + p + ")")[0]
+    return pa.array(s.where(s.notna(), str(dflt)), type=pa.string())
+
+
+bif("hex_encode")(lambda x: pa.array(
+    [str(v).encode().hex() for v in _s(x).to_pylist()]))
+bif("hex_decode")(lambda x: pa.array(
+    [bytes.fromhex(str(v)).decode() for v in _s(x).to_pylist()]))
+bif("latin1_to_utf8")(lambda x: pa.array(
+    [None if v is None else v.encode("latin1", "replace").decode("utf-8", "replace")
+     for v in _s(x).to_pylist()]))
+bif("utf8_to_latin1")(lambda x: pa.array(
+    [None if v is None else v.encode("utf-8").decode("latin1")
+     for v in _s(x).to_pylist()]))
+
+# time scale conversions (bifs/datetime.go)
+bif("gmt2nsec")(lambda x: pc.multiply(pc.cast(pc.cast(
+    pc.strptime(_s(x), format="%Y-%m-%dT%H:%M:%SZ", unit="s"), pa.int64()),
+    pa.int64()), 1_000_000_000))
+bif("nsec2gmt")(lambda x: pc.strftime(pc.cast(
+    pc.divide(pc.cast(x, pa.int64()), 1_000_000_000), pa.timestamp("s")),
+    format="%Y-%m-%dT%H:%M:%SZ"))
+bif("nsec2gmtdate")(lambda x: pc.strftime(pc.cast(
+    pc.divide(pc.cast(x, pa.int64()), 1_000_000_000), pa.timestamp("s")),
+    format="%Y-%m-%d"))
+bif("sec2hms")(lambda x: pa.array(
+    ["%d:%02d:%02d" % (int(v) // 3600, (int(v) % 3600) // 60, int(v) % 60)
+     for v in np.asarray(_f(x)).astype(np.int64)]))
+bif("hms2sec")(lambda x: pa.array(np.array(
+    [sum(int(p_) * m for p_, m in zip(str(v).split(":")[::-1], (1, 60, 3600)))
+     for v in _s(x).to_pylist()], dtype=np.int64)))
+bif("fsec2hms")(lambda x: pa.array(
+    ["%d:%02d:%06.3f" % (int(v) // 3600, (int(v) % 3600) // 60, v % 60)
+     for v in np.asarray(_f(x), dtype=np.float64)]))
+bif("hms2fsec")(lambda x: pa.array(np.array(
+    [sum(float(p_) * m for p_, m in zip(str(v).split(":")[::-1], (1, 60, 3600)))
+     for v in _s(x).to_pylist()], dtype=np.float64)))
+bif("dhms2fsec")(lambda x: pc.cast(pa.array(np.array(
+    [_dhms2sec(str(v)) for v in _s(x).to_pylist()], dtype=np.int64)), pa.float64()))
+bif("fsec2dhms")(lambda x: _sec2dhms(pa.array(
+    np.asarray(_f(x), dtype=np.float64).astype(np.int64))))
+
+# modular arithmetic (bifs/arithmetic.go mexp/mmul/msub)
+bif("mmul")(lambda a, b, m: pa.array(
+    (np.asarray(a, dtype=np.int64) * np.asarray(b, dtype=np.int64))
+    % np.int64(m)))
+bif("msub")(lambda a, b, m: pa.array(
+    (np.asarray(a, dtype=np.int64) - np.asarray(b, dtype=np.int64))
+    % np.int64(m)))
+
+
+@bif("mexp")
+def _mexp(a, b, m):
+    av = np.asarray(a, dtype=np.int64)
+    bi, mi = int(b), int(m)
+    return pa.array(np.array([pow(int(v), bi, mi) for v in av],
+                             dtype=np.int64))
+
+
+def _erf_vec(x):
+    import math
+
+    return np.vectorize(math.erf)(np.asarray(x, dtype=np.float64))
+
+
+bif("erf")(lambda x: pa.array(_erf_vec(_f(x))))
+bif("erfc")(lambda x: pa.array(1.0 - _erf_vec(_f(x))))
+bif("fmtifnum")(lambda x, fmt: _fmtifnum_impl(x, fmt))
+
+
+def _fmtifnum_impl(x, fmt):
+    """printf-format numeric values, pass strings through (fmtifnum)."""
+    if hasattr(x, "type") and (pa.types.is_integer(x.type)
+                               or pa.types.is_floating(x.type)):
+        return _fmtnum(x, fmt)
+    return x
+
+
 # --- types (pkg/bifs/types.go) ---------------------------------------------
 
 bif("is_null")(lambda x: pc.is_null(x))
 bif("is_not_null")(lambda x: pc.is_valid(x))
+bif("is_absent")(lambda x: pc.is_null(x))
+bif("is_present")(lambda x: pc.is_valid(x))
+
+
+def _type_pred(check):
+    def f(x):
+        t = x.type if hasattr(x, "type") else pa.array([x]).type
+        n = len(x) if hasattr(x, "__len__") else 1
+        return pa.array([check(t)] * n, type=pa.bool_())
+
+    return f
+
+
+bif("is_int")(_type_pred(pa.types.is_integer))
+bif("is_float")(_type_pred(pa.types.is_floating))
+bif("is_string")(_type_pred(lambda t: pa.types.is_string(t)
+                            or pa.types.is_large_string(t)))
+bif("is_bool")(_type_pred(pa.types.is_boolean))
+bif("is_boolean")(_type_pred(pa.types.is_boolean))
+bif("is_array")(_type_pred(lambda t: pa.types.is_list(t)
+                           or pa.types.is_fixed_size_list(t)))
+bif("is_not_array")(_type_pred(lambda t: not (pa.types.is_list(t)
+                                              or pa.types.is_fixed_size_list(t))))
+bif("is_map")(_type_pred(pa.types.is_struct))
+bif("is_not_map")(_type_pred(lambda t: not pa.types.is_struct(t)))
+bif("is_nan")(lambda x: pc.is_nan(_f(x)))
 bif("is_empty")(lambda x: pc.equal(_s(x), ""))
 bif("is_not_empty")(lambda x: pc.not_equal(_s(x), ""))
 # number-shaped per Miller's scanner incl. hex/octal/binary int forms

@@ -123,8 +123,16 @@ def stats1(ds, accs: list[str], fields: list[str],
     if pctls or extra:
         ps = [float(a[1:]) for a in pctls]
         for f in fields:
-            results.append(grouped_percentiles(ds, group_by, f, ps,
-                                               interpolated=interpolated, extra_accs=extra))
+            r = grouped_percentiles(ds, group_by, f, ps,
+                                    interpolated=interpolated, extra_accs=extra)
+            # Miller names outputs by the REQUESTED acc string (p05
+            # stays f_p05, not the canonical f_p5)
+            ren = {}
+            for a, p in zip(pctls, ps):
+                canon = f"{f}_p{int(p) if p.is_integer() else p}"
+                if canon != f"{f}_{a}" and canon in r.columns:
+                    ren[canon] = f"{f}_{a}"
+            results.append(r.rename(columns=ren) if ren else r)
     if modes:
         for f in fields:
             results.append(_value_stats(ds, group_by, f, modes))

@@ -7,6 +7,8 @@ Usage: python scripts/probe_suites.py [suite-prefix ...]
 
 import os
 import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import sys
 
 import ray
 

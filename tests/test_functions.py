@@ -23,9 +23,13 @@ def test_strings():
     assert F.apply("toupper", x)[0].as_py() == "HELLO WORLD"
     assert F.apply("strip", x)[1].as_py() == "pad"
     assert F.apply("capitalize", pa.array(["miller"]))[0].as_py() == "Miller"
-    # Miller substr is 1-up inclusive: substr("hello", 2, 4) = "ell"
-    assert F.apply("substr", pa.array(["hello"]), 2, 4)[0].as_py() == "ell"
+    # substr is an ALIAS for substr0: 0-up inclusive both ends
+    # (builtin_function_manager.go:617-622; dsl-substr golden cases)
+    assert F.apply("substr", pa.array(["hello"]), 2, 4)[0].as_py() == "llo"
+    assert F.apply("substr", pa.array(["abcdefg"]), 0, 0)[0].as_py() == "a"
     assert F.apply("substr0", pa.array(["hello"]), 1, 3)[0].as_py() == "ell"
+    assert F.apply("substr1", pa.array(["hello"]), 1, 2)[0].as_py() == "he"
+    assert F.apply("substr", pa.array(["hello"]), -3, -1)[0].as_py() == "llo"
     assert F.apply("gsub", pa.array(["banana"]), "a", "o")[0].as_py() == "bonono"
     assert F.apply("sub", pa.array(["banana"]), "a", "o")[0].as_py() == "bonana"
     assert F.apply("ssub", pa.array(["a.b.c"]), ".", "-")[0].as_py() == "a-b.c"
