@@ -60,9 +60,13 @@ def read_dkvp(path: str) -> list[dict]:
             if not line:
                 continue
             rec = {}
+            seen: dict[str, int] = {}
             for pos, pair in enumerate(line.split(","), 1):
                 if "=" in pair:
                     k, _, v = pair.partition("=")
+                    seen[k] = seen.get(k, 0) + 1
+                    if seen[k] > 1:  # dedupe-field-names behavior
+                        k = f"{k}_{seen[k]}"
                     rec[k] = _infer(v)
                 else:
                     rec[str(pos)] = _infer(pair)  # NIDX-style positional key
@@ -70,12 +74,27 @@ def read_dkvp(path: str) -> list[dict]:
     return recs
 
 
+def _dedupe_header(hdr: list[str]) -> list[str]:
+    """Duplicate CSV header names get _2, _3... suffixes
+    (record_reader dedupe-field-names behavior)."""
+    seen: dict[str, int] = {}
+    out = []
+    for h in hdr:
+        seen[h] = seen.get(h, 0) + 1
+        out.append(h if seen[h] == 1 else f"{h}_{seen[h]}")
+    return out
+
+
 def read_csv(path: str, sep: str = ",") -> list[dict]:
     import csv
 
     with open(path) as f:
-        rd = csv.DictReader(f, delimiter=sep)
-        return [{k: _infer(v) for k, v in row.items()} for row in rd]
+        rows = list(csv.reader(f, delimiter=sep))
+    rows = [r for r in rows if r]
+    if not rows:
+        return []
+    hdr = _dedupe_header(rows[0])
+    return [{k: _infer(v) for k, v in zip(hdr, row)} for row in rows[1:]]
 
 
 def read_csvlite(path: str, sep: str = ",") -> list[dict]:
@@ -88,15 +107,37 @@ def read_csvlite(path: str, sep: str = ",") -> list[dict]:
         text = f.read()
     recs: list[dict] = []
     for block in re.split(r"\n\s*\n", text):
-        if block.strip():
-            recs.extend({k: _infer(v) for k, v in row.items()}
-                        for row in csv.DictReader(io.StringIO(block),
-                                                  delimiter=sep))
+        if not block.strip():
+            continue
+        rows = [r for r in csv.reader(io.StringIO(block), delimiter=sep) if r]
+        if not rows:
+            continue
+        hdr = _dedupe_header(rows[0])
+        recs.extend({k: _infer(v) for k, v in zip(hdr, row)}
+                    for row in rows[1:])
     return recs
 
 
 def read_tsv(path: str) -> list[dict]:
-    return read_csv(path, sep="\t")
+    """TSV cells unescape \\t, \\n, \\r, \\\\ (the TSV spec's escapes)."""
+
+    def unesc(s):
+        if not isinstance(s, str) or "\\" not in s:
+            return s
+        return (s.replace("\\\\", "\x00").replace("\\t", "\t")
+                 .replace("\\n", "\n").replace("\\r", "\r")
+                 .replace("\x00", "\\"))
+
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.rstrip("\n")]
+    if not lines:
+        return []
+    hdr = _dedupe_header([unesc(h) for h in lines[0].split("\t")])
+    out = []
+    for ln in lines[1:]:
+        out.append({k: _infer(unesc(v))
+                    for k, v in zip(hdr, ln.split("\t"))})
+    return out
 
 
 def read_nidx(path: str, sep: str | None = None) -> list[dict]:
@@ -181,13 +222,14 @@ def parse_pprint(text: str) -> list[dict]:
         if not block:
             return
         hdr_line = block[0]
-        hdr = hdr_line.split()
+        raw_hdr = hdr_line.split()
+        hdr = _dedupe_header(raw_hdr)
         # column start offsets from the header (pprint pads all rows to
         # shared column widths, so slicing is exact even when VALUES
         # contain spaces)
         starts = []
         pos = 0
-        for tok in hdr:
+        for tok in raw_hdr:
             starts.append(hdr_line.index(tok, pos))
             pos = hdr_line.index(tok, pos) + len(tok)
         for row in block[1:]:

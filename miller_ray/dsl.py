@@ -595,7 +595,10 @@ class _Parser:
 
         def f(t, env, fn=fn, args=args):
             vals = [_unscalar(a(t, env)) for a in args]
-            return _unscalar(fn(*vals))
+            try:
+                return _unscalar(fn(*vals))
+            except NotImplementedError as e:
+                raise DslError(str(e))
         return f
 
 

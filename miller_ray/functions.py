@@ -137,10 +137,39 @@ bif("joinv")(lambda x, sep: pc.binary_join(x, sep))
 bif("format_values")(lambda x, fmt: pa.array(np.char.mod(fmt, np.asarray(x))))
 
 
+def _fmtnum_fmt(vals: np.ndarray, fmt: str, m) -> np.ndarray:
+    if m:
+        ints = vals.astype(np.int64)
+        if m.group(1) == "b":
+            f2 = fmt.replace("%b", "%s")  # no binary in python %-format
+            return np.array([f2 % bin(v)[2:] for v in ints], dtype=object)
+        return np.char.mod(fmt, ints)
+    return np.char.mod(fmt, vals)
+
+
 @bif("fmtnum")
 def _fmtnum(x, fmt):
-    """printf-format a numeric column (bifs/mathlib.go fmtnum)."""
-    return pa.array(np.char.mod(fmt, np.asarray(_f(x))))
+    """printf-format a numeric column (bifs/mathlib.go fmtnum).
+    C length modifiers (ll/l/h) are stripped; int conversions coerce
+    float/string input to int64 first (Miller accepts %d on floats);
+    non-numeric input yields the error VALUE "(error)"."""
+    import re as _re
+
+    import pandas as _pd
+
+    fmt = _re.sub(r"%([#0\- +]*\d*\.?\d*)(?:ll|l|h)?([dioxXbeEfFgGs])",
+                  r"%\1\2", fmt)
+    m = _re.search(r"%[#0\- +]*\d*\.?\d*([dioxXb])", fmt)
+    raw = _pd.Series(np.asarray(_s(x).to_pandas()))
+    nums = _pd.to_numeric(raw, errors="coerce")
+    bad = (nums.isna() & raw.notna()).to_numpy()
+    vals = nums.fillna(0.0).to_numpy(dtype=np.float64)
+    out = _fmtnum_fmt(vals, fmt, m)
+    if bad.any():
+        res = np.asarray(out, dtype=object)
+        res[bad] = "(error)"
+        return pa.array(res, type=pa.string())
+    return pa.array(out)
 
 
 @bif("strrev")
@@ -214,7 +243,16 @@ bif("int")(lambda x: pc.cast(pc.trunc(_f(x)), pa.int64()))
 bif("float")(lambda x: _f(x))
 bif("string")(lambda x: _s(x))
 bif("boolean")(lambda x: pc.cast(x, pa.bool_()))
-bif("hexfmt")(lambda x: pa.array(["0x%x" % v for v in np.asarray(x)]))
+@bif("hexfmt")
+def _hexfmt(x):
+    """hexfmt: INTS render as hex (negatives as 64-bit two's
+    complement); floats and strings pass through unchanged
+    (dsl-number-formatting golden cases)."""
+    t = x.type if hasattr(x, "type") else pa.array([x]).type
+    if not pa.types.is_integer(t):
+        return _s(x)
+    return pa.array(["0x%x" % (int(v) & 0xFFFFFFFFFFFFFFFF)
+                     for v in np.asarray(x)])
 bif("bitcount")(lambda x: pa.array(np.array(
     [bin(int(v) & 0xFFFFFFFFFFFFFFFF).count("1") for v in np.asarray(x)],
     dtype=np.int64)))
@@ -270,41 +308,155 @@ def _invqnorm(p):
 
 # --- datetime (pkg/bifs/datetime.go) ---------------------------------------
 
-bif("sec2gmt")(lambda x: pc.strftime(pc.cast(pc.cast(x, pa.int64()), pa.timestamp("s")),
-                                     format="%Y-%m-%dT%H:%M:%SZ"))
-bif("sec2gmtdate")(lambda x: pc.strftime(pc.cast(pc.cast(x, pa.int64()), pa.timestamp("s")),
-                                         format="%Y-%m-%d"))
-bif("gmt2sec")(lambda x: pc.cast(pc.cast(
-    pc.strptime(_s(x), format="%Y-%m-%dT%H:%M:%SZ", unit="s"), pa.int64()), pa.int64()))
+def _sec2gmt_impl(x, decimals=0, date_only=False):
+    """Truncating epoch->ISO conversion (sec2gmt.go): fractional input
+    floors to the second; optional decimals render TRUNCATED
+    fractional-second digits."""
+    if hasattr(decimals, "type") or isinstance(decimals, (pa.Array,
+                                                          pa.ChunkedArray)):
+        raise NotImplementedError("per-row decimals for sec2gmt")
+    xf = np.asarray(_f(x), dtype=np.float64)
+    secs = np.floor(xf)
+    ts = pc.cast(pa.array(secs.astype(np.int64)), pa.timestamp("s"))
+    if date_only:
+        return pc.strftime(ts, format="%Y-%m-%d")
+    base = pc.strftime(ts, format="%Y-%m-%dT%H:%M:%S")
+    d = int(decimals)
+    if d > 0:
+        fr = np.floor((xf - secs) * 10 ** d).astype(np.int64)
+        fs = np.char.zfill(fr.astype(str), d)
+        out = pc.binary_join_element_wise(base, pa.array(fs), ".")
+        return pc.binary_join_element_wise(out, pa.array([""] * len(xf)), "Z")
+    return pc.binary_join_element_wise(base, pa.array([""] * len(xf)), "Z")
+
+
+@bif("sec2gmt")
+def _sec2gmt_bif(x, decimals=0):
+    return _sec2gmt_impl(x, decimals)
+
+
+bif("sec2gmtdate")(lambda x: _sec2gmt_impl(x, date_only=True))
+def _gmt2sec_parts(x):
+    """(whole seconds int64, fractional float64, bad mask) for ISO
+    strings; ".Z" with EMPTY fractional digits is the Miller error
+    value (dsl-gmt-date-time-functions/0005)."""
+    import pandas as _pd
+
+    ser = _pd.Series(np.asarray(_s(x).to_pandas())).astype(str)
+    parts = ser.str.extract(r"^(.*T\d\d:\d\d:\d\d)(?:\.(\d*))?Z$")
+    bad = (ser.str.contains(r"\.Z$", regex=True)
+           | parts[0].isna()).to_numpy()
+    base = parts[0].fillna("1970-01-01T00:00:00")
+    secs = pc.cast(pc.cast(pc.strptime(
+        pa.array(base + "Z"), format="%Y-%m-%dT%H:%M:%SZ", unit="s"),
+        pa.int64()), pa.int64()).to_numpy(zero_copy_only=False)
+    frac = parts[1].map(lambda d: float("0." + d) if isinstance(d, str)
+                        and d else 0.0).to_numpy(dtype=np.float64)
+    has_frac = bool((frac > 0).any())
+    return secs, frac, bad, has_frac
+
+
+@bif("gmt2sec")
+def _gmt2sec(x):
+    secs, frac, bad, has_frac = _gmt2sec_parts(x)
+    if bad.any():
+        out = np.array(["%.8f" % (s + f) for s, f in zip(secs, frac)],
+                       dtype=object)
+        out[bad] = "(error)"
+        return pa.array(out, type=pa.string())
+    if has_frac:
+        return pa.array(secs.astype(np.float64) + frac)
+    return pa.array(secs)
 bif("strftime")(lambda x, fmt: pc.strftime(
     pc.cast(pc.cast(x, pa.int64()), pa.timestamp("s")), format=fmt))
-bif("strptime")(lambda x, fmt: pc.cast(pc.cast(
-    pc.strptime(_s(x), format=fmt, unit="s"), pa.int64()), pa.int64()))
+@bif("strptime")
+def _strptime(x, fmt):
+    """strptime -> epoch seconds; unparseable values yield the Miller
+    error VALUE instead of aborting the batch."""
+    import pandas as _pd
+
+    # pandas %-directives match Go's strptime for the common cases
+    import re as _re
+
+    # C/Go composite directives pandas lacks
+    fmt = fmt.replace("%F", "%Y-%m-%d").replace("%T", "%H:%M:%S")
+    ser = _pd.Series(np.asarray(_s(x).to_pandas()))
+    dt = _pd.to_datetime(ser, format=fmt, errors="coerce", utc=True)
+    bad = dt.isna().to_numpy()
+    frac = np.zeros(len(ser), dtype=np.float64)
+    if bad.any() and fmt.endswith("%SZ"):
+        # fractional seconds against a %SZ format: parse the whole part
+        # and add the fraction (empty ".Z" stays an error)
+        fr = ser.str.extract(r"\.(\d+)Z$")[0]
+        retry = bad & fr.notna().to_numpy()
+        if retry.any():
+            cleaned = ser.str.replace(r"\.\d+Z$", "Z", regex=True)
+            dt2 = _pd.to_datetime(cleaned, format=fmt, errors="coerce",
+                                  utc=True)
+            dt[retry] = dt2[retry]
+            frac[retry] = fr[retry].map(lambda d: float("0." + d)).to_numpy()
+            bad = dt.isna().to_numpy()
+    secs = ((dt - _pd.Timestamp(0, tz="UTC")).dt.total_seconds()
+            .fillna(0.0).to_numpy()) + frac
+    has_frac = bool((frac > 0).any())
+    if bad.any():
+        out = np.where(frac > 0, ["%.8f" % v for v in secs],
+                       secs.astype(np.int64).astype(str)).astype(object)
+        out[bad] = "(error)"
+        return pa.array(out, type=pa.string())
+    if has_frac:
+        return pa.array(secs)
+    return pa.array(secs.astype(np.int64))
 bif("dhms2sec")(lambda x: pa.array(np.array([_dhms2sec(v) for v in np.asarray(_s(x))],
                                             dtype=np.int64)))
 
 
-def _dhms2sec(s: str) -> int:
+def _dhms2sec(s: str) -> float:
     import re
 
-    m = re.fullmatch(r"(?:(\d+)d)?(?:(\d+)h)?(?:(\d+)m)?(?:(\d+)s)?", s)
+    sign = -1 if s.startswith("-") else 1
+    s = s.lstrip("+-")
+    m = re.fullmatch(
+        r"(?:(\d+)d)?(?:(\d+)h)?(?:(\d+)m)?(?:(\d+(?:\.\d+)?)s)?", s)
     if not m:
         return 0
-    d, h, mi, se = (int(g) if g else 0 for g in m.groups())
-    return ((d * 24 + h) * 60 + mi) * 60 + se
+    d, h, mi = (int(g) if g else 0 for g in m.groups()[:3])
+    se = float(m.group(4)) if m.group(4) else 0.0
+    return sign * (((d * 24 + h) * 60 + mi) * 60 + se)
 
 
 @bif("sec2dhms")
 def _sec2dhms(x):
     vals = np.asarray(x, dtype=np.int64)
     out = []
-    for v in vals:
-        d, r = divmod(int(v), 86400)
+    for v0 in vals:
+        sign = "-" if v0 < 0 else ""
+        v = abs(int(v0))
+        d, r = divmod(v, 86400)
         h, r = divmod(r, 3600)
         m, s = divmod(r, 60)
-        out.append(f"{d}d{h:02d}h{m:02d}m{s:02d}s" if d else
-                   (f"{h}h{m:02d}m{s:02d}s" if h else
-                    (f"{m}m{s:02d}s" if m else f"{s}s")))
+        body = (f"{d}d{h:02d}h{m:02d}m{s:02d}s" if d else
+                (f"{h}h{m:02d}m{s:02d}s" if h else
+                 (f"{m}m{s:02d}s" if m else f"{s}s")))
+        out.append(sign + body)
+    return pa.array(out)
+
+
+@bif("fsec2dhms")
+def _fsec2dhms(x):
+    out = []
+    for v0 in np.asarray(_f(x), dtype=np.float64):
+        sign = "-" if v0 < 0 else ""
+        v = abs(float(v0))
+        iv = int(v)
+        d, r = divmod(iv, 86400)
+        h, r = divmod(r, 3600)
+        m = r // 60
+        s = v % 60
+        body = (f"{d}d{h:02d}h{m:02d}m{s:09.6f}s" if d else
+                (f"{h}h{m:02d}m{s:09.6f}s" if h else
+                 (f"{m}m{s:09.6f}s" if m else f"{s:.6f}s")))
+        out.append(sign + body)
     return pa.array(out)
 
 
@@ -393,31 +545,67 @@ bif("utf8_to_latin1")(lambda x: pa.array(
      for v in _s(x).to_pylist()]))
 
 # time scale conversions (bifs/datetime.go)
-bif("gmt2nsec")(lambda x: pc.multiply(pc.cast(pc.cast(
-    pc.strptime(_s(x), format="%Y-%m-%dT%H:%M:%SZ", unit="s"), pa.int64()),
-    pa.int64()), 1_000_000_000))
-bif("nsec2gmt")(lambda x: pc.strftime(pc.cast(
-    pc.divide(pc.cast(x, pa.int64()), 1_000_000_000), pa.timestamp("s")),
-    format="%Y-%m-%dT%H:%M:%SZ"))
-bif("nsec2gmtdate")(lambda x: pc.strftime(pc.cast(
-    pc.divide(pc.cast(x, pa.int64()), 1_000_000_000), pa.timestamp("s")),
-    format="%Y-%m-%d"))
+@bif("gmt2nsec")
+def _gmt2nsec(x):
+    secs, frac, bad, has_frac = _gmt2sec_parts(x)
+    ns = secs * 1_000_000_000 + np.round(frac * 1e9).astype(np.int64)
+    if bad.any():
+        out = ns.astype(str).astype(object)
+        out[bad] = "(error)"
+        return pa.array(out, type=pa.string())
+    return pa.array(ns)
+
+
+def _as_f64(x) -> np.ndarray:
+    """float64 view without Arrow's 2^53 safe-cast refusal (big ns
+    counts are fine at second precision)."""
+    if hasattr(x, "to_numpy"):
+        return x.to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.asarray(x, dtype=np.float64)
+
+
+@bif("nsec2gmt")
+def _nsec2gmt(x, decimals=0):
+    if hasattr(decimals, "type"):
+        raise NotImplementedError("per-row decimals for nsec2gmt")
+    return _sec2gmt_impl(pa.array(_as_f64(x) / 1e9), decimals)
+
+
+@bif("nsec2gmtdate")
+def _nsec2gmtdate(x):
+    return _sec2gmt_impl(pa.array(_as_f64(x) / 1e9), date_only=True)
+def _hms_str(v: int) -> str:
+    sign = "-" if v < 0 else ""
+    v = abs(int(v))
+    return "%s%02d:%02d:%02d" % (sign, v // 3600, (v % 3600) // 60, v % 60)
+
+
 bif("sec2hms")(lambda x: pa.array(
-    ["%d:%02d:%02d" % (int(v) // 3600, (int(v) % 3600) // 60, int(v) % 60)
-     for v in np.asarray(_f(x)).astype(np.int64)]))
+    [_hms_str(v) for v in np.asarray(_f(x)).astype(np.int64)]))
+def _hms2num(v: str, cast):
+    s = str(v)
+    sign = -1 if s.startswith("-") else 1
+    s = s.lstrip("+-")
+    return sign * sum(cast(p_) * m for p_, m in
+                      zip(s.split(":")[::-1], (1, 60, 3600)))
+
+
 bif("hms2sec")(lambda x: pa.array(np.array(
-    [sum(int(p_) * m for p_, m in zip(str(v).split(":")[::-1], (1, 60, 3600)))
-     for v in _s(x).to_pylist()], dtype=np.int64)))
+    [_hms2num(v, int) for v in _s(x).to_pylist()], dtype=np.int64)))
+def _fhms_str(v: float) -> str:
+    sign = "-" if v < 0 else ""
+    v = abs(float(v))
+    iv = int(v)
+    return "%s%02d:%02d:%09.6f" % (sign, iv // 3600, (iv % 3600) // 60,
+                                   v % 60)
+
+
 bif("fsec2hms")(lambda x: pa.array(
-    ["%d:%02d:%06.3f" % (int(v) // 3600, (int(v) % 3600) // 60, v % 60)
-     for v in np.asarray(_f(x), dtype=np.float64)]))
+    [_fhms_str(v) for v in np.asarray(_f(x), dtype=np.float64)]))
 bif("hms2fsec")(lambda x: pa.array(np.array(
-    [sum(float(p_) * m for p_, m in zip(str(v).split(":")[::-1], (1, 60, 3600)))
-     for v in _s(x).to_pylist()], dtype=np.float64)))
-bif("dhms2fsec")(lambda x: pc.cast(pa.array(np.array(
-    [_dhms2sec(str(v)) for v in _s(x).to_pylist()], dtype=np.int64)), pa.float64()))
-bif("fsec2dhms")(lambda x: _sec2dhms(pa.array(
-    np.asarray(_f(x), dtype=np.float64).astype(np.int64))))
+    [_hms2num(v, float) for v in _s(x).to_pylist()], dtype=np.float64)))
+bif("dhms2fsec")(lambda x: pa.array(np.array(
+    [_dhms2sec(str(v)) for v in _s(x).to_pylist()], dtype=np.float64)))
 
 # modular arithmetic (bifs/arithmetic.go mexp/mmul/msub)
 bif("mmul")(lambda a, b, m: pa.array(

@@ -45,7 +45,10 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "dsl-filter-pattern-action", "dsl-functional-tests",
           "io-json-io", "io-multi",
           "verb-stats1-percentile-interpolation",
-          "verb-stats1-regexed-field-names"]
+          "verb-stats1-regexed-field-names",
+          "dsl-sec2gmt", "dsl-gmt-date-time-functions",
+          "dsl-number-formatting", "int64-io", "io-het-csv-input",
+          "io-dedupe-field-names"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
