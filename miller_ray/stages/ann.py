@@ -69,6 +69,81 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     return top[["query_id", "rank", id_col]]
 
 
+def _lsh_planes(d: int, n_planes: int, seed: int) -> np.ndarray:
+    rng_base = splitmix64(np.arange(n_planes * d, dtype=np.uint64), seed=seed)
+    return ((rng_base.astype(np.float64) / 2**64) - 0.5).reshape(n_planes, d)
+
+
+def _probe_set(queries: np.ndarray, planes: np.ndarray,
+               probe_hamming: int) -> set[int]:
+    n_planes = planes.shape[0]
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    qsig = (qn @ planes.T > 0).astype(np.uint64) @ \
+        (1 << np.arange(n_planes, dtype=np.uint64))
+    probe = {int(s) for s in qsig}
+    if probe_hamming >= 1:
+        for s in list(probe):
+            for b in range(n_planes):
+                probe.add(s ^ (1 << b))
+    return probe
+
+
+def build_lsh_index(ds, out_dir: str, n_planes: int = 8,
+                    emb_col: str = "embedding", id_col: str = "vec_id",
+                    seed: int = 0) -> str:
+    """Persist the corpus as a SIGNATURE-PARTITIONED Parquet layout
+    (one hive directory per LSH bucket): the corpus is signed exactly
+    ONCE, and each query afterwards reads only its probed partitions —
+    the 100 TB scale path the in-memory ``lsh_bucketed_topk`` stands in
+    for. Deterministic planes (seeded splitmix64) make the index
+    reproducible and the probe computation driver-side-only."""
+    import ray
+
+    # probe the embedding dimension from one row
+    first = ds.take(1)[0]
+    d = len(first[emb_col])
+    planes = _lsh_planes(d, n_planes, seed)
+    pref = ray.put(planes)
+
+    def sign(t: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        m = _emb_matrix(t, emb_col)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sig = (mn @ pl.T > 0).astype(np.uint64) @ \
+            (1 << np.arange(pl.shape[0], dtype=np.uint64))
+        return t.append_column("__sig", pa.array(sig.astype(np.int64)))
+
+    ds.map_batches(sign, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["__sig"])
+    return out_dir
+
+
+def lsh_index_topk(index_dir: str, queries: np.ndarray, k: int = 10,
+                   n_planes: int = 8, emb_col: str = "embedding",
+                   id_col: str = "vec_id", seed: int = 0,
+                   probe_hamming: int = 2) -> pd.DataFrame:
+    """Query a persisted LSH index: read ONLY the partitions within
+    ``probe_hamming`` of each query signature (partition pruning at the
+    read — no corpus re-sign, no full scan), then exact cosine top-k
+    over the candidates."""
+    import os
+
+    import ray.data as rd
+
+    d = queries.shape[1]
+    planes = _lsh_planes(d, n_planes, seed)
+    probe = _probe_set(queries, planes, probe_hamming)
+    dirs = [os.path.join(index_dir, f"__sig={s}") for s in sorted(probe)]
+    files = [os.path.join(p, f) for p in dirs if os.path.isdir(p)
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not files:
+        return pd.DataFrame(columns=["query_id", "rank", id_col])
+    cand = rd.read_parquet(files, columns=[id_col, emb_col])
+    return brute_force_topk(cand, queries, k=k, emb_col=emb_col,
+                            id_col=id_col)
+
+
 def lsh_bucketed_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
                       emb_col: str = "embedding", id_col: str = "vec_id",
                       seed: int = 0, probe_hamming: int = 2) -> pd.DataFrame:

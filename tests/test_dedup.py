@@ -50,3 +50,37 @@ def test_simhash_pairs_on_planted_dups(rd):
                      "text": [base, near, "one unrelated short doc entirely"]})
     pairs = dedup.simhash_near_pairs(rd.from_arrow(docs), max_hamming=6)
     assert {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])} == {(1, 2)}
+
+
+def test_lsh_persisted_index(ray_session, tmp_path, sf_dir):
+    """build_lsh_index partitions the corpus by signature ONCE; queries
+    prune partitions at the read and match brute-force when the probe
+    radius covers every bucket."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from miller_ray.stages import ann
+
+    con = duckdb.connect()
+    q = con.execute(
+        f"select embedding from '{sf_dir}/embeddings.parquet' "
+        "where vec_id < 2 order by vec_id").df()["embedding"]
+    con.close()
+    queries = np.stack(q.to_numpy()).astype(np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    idx = ann.build_lsh_index(ds, str(tmp_path / "lshidx"), n_planes=4)
+    import os
+
+    parts = [d for d in os.listdir(idx) if d.startswith("__sig=")]
+    assert 1 < len(parts) <= 16  # bucketed layout on disk
+    # full-radius probe == exact answer
+    exact = ann.brute_force_topk(ds, queries, k=5)
+    full = ann.lsh_index_topk(idx, queries, k=5, n_planes=4,
+                              probe_hamming=4)
+    assert full.equals(exact)
+    # pruned probe returns a subset-quality result with k rows per query
+    pruned = ann.lsh_index_topk(idx, queries, k=5, n_planes=4,
+                                probe_hamming=1)
+    assert set(pruned["query_id"]) == {0, 1}
