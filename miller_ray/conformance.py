@@ -88,7 +88,7 @@ def _dedupe_header(hdr: list[str]) -> list[str]:
 def read_csv(path: str, sep: str = ",") -> list[dict]:
     import csv
 
-    with open(path) as f:
+    with open(path, encoding="utf-8-sig") as f:  # strips a UTF-8 BOM
         rows = list(csv.reader(f, delimiter=sep))
     rows = [r for r in rows if r]
     if not rows:
@@ -412,7 +412,10 @@ def parse_cmd(cmd: str) -> Case:
             j += 1
         else:
             # value for previous flag OR a file path
-            if (t.startswith("test/input") or os.path.exists(os.path.join(REFERENCE, t))):
+            if t.startswith("file://"):
+                t = t[len("file://"):]
+            if t and (t.startswith("test/input")
+                      or (os.path.isfile(os.path.join(REFERENCE, t)))):
                 files.append(t)
             else:
                 args.append(t)

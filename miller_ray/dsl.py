@@ -62,7 +62,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<field>\$(\{[^}]*\}|[A-Za-z_][A-Za-z0-9_]*|\*))
   | (?P<oosvar>@(\{[^}]*\}|[A-Za-z_][A-Za-z0-9_]*|\*))
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\*\*|\.\+|\.-|\.\*|\./|//|<=|>=|==|!=|=~|!~|&&|\|\||\?\?\??|[-+*/%<>=!?:;,().])
+  | (?P<op>\*\*|\.\+|\.-|\.\*|\./|//|<=|>=|==|!=|=~|!~|&&|\|\||\?\?\??|[-+*/%<>=!?:;,().{}])
 """, re.VERBOSE)
 
 _ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", ".=", "%=", "//=", "**="}
@@ -621,35 +621,13 @@ class Program:
         evaluated and discarded; the `filter` verb uses the final bare
         boolean as its predicate (put_or_filter.go). seed_env provides
         read-only context values (NUL-prefixed keys are never written
-        back)."""
+        back). Conditional blocks (if/elif/else, pattern-action)
+        execute with a row MASK: assignments merge new values only for
+        active rows (the vectorized form of per-record control flow)."""
         env: dict[str, Value] = dict(seed_env or {})
-        mask = None
-        bare = None
-        for kind, *rest in self.statements:
-            if kind == "assign":
-                name, op, expr = rest
-                val = _unscalar(expr(t, env))
-                if op != "=":
-                    cur = env.get(name, t[name] if name in t.column_names
-                                  else None)
-                    if cur is None:
-                        raise DslError(f"${name} read before assignment")
-                    base_op = op[:-1]
-                    val = (_concat_vals(cur, val) if base_op == "."
-                           else _arith(base_op, cur, val))
-                env[name] = _materialize(val, t.num_rows)
-            elif kind == "unset":
-                (name,) = rest
-                env[name] = None
-            elif kind == "filter":
-                (expr,) = rest
-                m = expr(t, env)
-                mask = m if mask is None else (
-                    pc.and_kleene(mask, m) if _is_arr(mask) or _is_arr(m)
-                    else (mask and m))
-            elif kind == "expr":
-                (expr,) = rest
-                bare = expr(t, env)
+        state = {"mask": None, "bare": None}
+        self._exec(self.statements, t, env, None, state)
+        mask, bare = state["mask"], state["bare"]
         out = t
         for name, val in env.items():
             if name.startswith("\x00"):
@@ -663,6 +641,82 @@ class Program:
             else:
                 out = out.append_column(name, val)
         return out, mask, bare
+
+
+def _bool_rows(v, n: int) -> np.ndarray:
+    """Condition value -> numpy bool row mask of length n."""
+    if _is_arr(v):
+        arr = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        return pc.fill_null(arr, False).to_numpy(zero_copy_only=False
+                                                 ).astype(bool)
+    return np.full(n, bool(v))
+
+
+def _exec_impl(self, stmts, t, env, mask, state):
+    """Execute statements under an optional numpy bool row mask."""
+    n = t.num_rows
+    for kind, *rest in stmts:
+        if kind == "assign":
+            name, op, expr = rest
+            val = _unscalar(expr(t, env))
+            cur = env.get(name, t[name] if name in t.column_names else None)
+            if op != "=":
+                if cur is None:
+                    raise DslError(f"${name} read before assignment")
+                base_op = op[:-1]
+                val = (_concat_vals(cur, val) if base_op == "."
+                       else _arith(base_op, cur, val))
+            valm = _materialize(val, n)
+            if mask is None:
+                env[name] = valm
+            else:
+                cur_arr = (pa.nulls(n, valm.type) if cur is None
+                           else _materialize(cur, n))
+                a, b = _unify_types(valm, cur_arr)
+                env[name] = pc.if_else(pa.array(mask),
+                                       _materialize(a, n),
+                                       _materialize(b, n))
+        elif kind == "unset":
+            (name,) = rest
+            if mask is None:
+                env[name] = None
+            else:
+                cur = env.get(name,
+                              t[name] if name in t.column_names else None)
+                if cur is not None:
+                    cur_arr = _materialize(cur, n)
+                    env[name] = pc.if_else(pa.array(mask),
+                                           pa.nulls(n, cur_arr.type), cur_arr)
+        elif kind == "filter":
+            (expr,) = rest
+            m = _bool_rows(expr(t, env), n)
+            if mask is not None:
+                # rows outside the active branch are unaffected (kept)
+                m = m | ~mask
+            prev = state["mask"]
+            state["mask"] = pa.array(m) if prev is None else \
+                pa.array(_bool_rows(prev, n) & m)
+        elif kind == "expr":
+            (expr,) = rest
+            state["bare"] = expr(t, env)
+        elif kind == "cond":
+            (branches,) = rest
+            taken = np.zeros(n, dtype=bool)
+            for cond_expr, body in branches:
+                if cond_expr is None:  # else branch
+                    branch = ~taken
+                else:
+                    c = _bool_rows(cond_expr(t, env), n)
+                    branch = c & ~taken
+                    taken = taken | c
+                eff = branch if mask is None else (branch & mask)
+                if eff.any():
+                    _exec_impl(self, body, t, env, eff, state)
+        else:  # pragma: no cover
+            raise DslError(f"unknown statement kind {kind}")
+
+
+Program._exec = _exec_impl
 
 
 def _concat_vals(a, b):
@@ -687,22 +741,46 @@ def _materialize(v: Value, n: int):
     return pa.array([v] * n)
 
 
-def compile_program(src: str) -> Program:
-    """Parse a ';'-separated statement list into a Program."""
-    toks = _lex(src)
-    p = _Parser(toks)
+def _parse_block(p: "_Parser") -> list[tuple]:
+    """Parse `{ stmts }`."""
+    p.expect("{")
+    body = _parse_stmts(p, in_block=True)
+    p.expect("}")
+    return body
+
+
+def _parse_stmts(p: "_Parser", in_block: bool = False) -> list[tuple]:
     stmts: list[tuple] = []
-    while p.peek()[0] != "eof":
-        if p.peek() == ("op", ";"):
+    while True:
+        k, v = p.peek()
+        if k == "eof" or (in_block and v == "}"):
+            return stmts
+        if v == ";":
             p.next()
             continue
-        k, v = p.peek()
         if k == "ident" and v == "unset":
             p.next()
             fk, fv = p.next()
             if fk != "field":
                 raise DslError("unset expects a $field")
             stmts.append(("unset", _field_name(fv)))
+        elif k == "ident" and v == "if":
+            # if (cond) {..} [elif (cond) {..}]* [else {..}]
+            p.next()
+            p.expect("(")
+            cond = p.expr()
+            p.expect(")")
+            branches = [(cond, _parse_block(p))]
+            while p.peek() == ("ident", "elif"):
+                p.next()
+                p.expect("(")
+                c2 = p.expr()
+                p.expect(")")
+                branches.append((c2, _parse_block(p)))
+            if p.peek() == ("ident", "else"):
+                p.next()
+                branches.append((None, _parse_block(p)))
+            stmts.append(("cond", branches))
         elif k == "ident" and v == "filter" and \
                 p.toks[p.i + 1: p.i + 2] != [("op", "(")]:
             p.next()
@@ -713,9 +791,23 @@ def compile_program(src: str) -> Program:
             _, op = p.next()
             stmts.append(("assign", _field_name(ftok), op, p.expr()))
         else:
-            stmts.append(("expr", p.expr()))
+            e = p.expr()
+            if p.peek() == ("op", "{"):
+                # AWK-style pattern-action: expr { stmts }
+                stmts.append(("cond", [(e, _parse_block(p))]))
+            else:
+                stmts.append(("expr", e))
         if p.peek() == ("op", ";"):
             p.next()
+
+
+def compile_program(src: str) -> Program:
+    """Parse a statement list (';'-separated; if/elif/else and
+    pattern-action `cond { ... }` blocks supported) into a Program."""
+    p = _Parser(_lex(src))
+    stmts = _parse_stmts(p)
+    if p.peek()[0] != "eof":
+        raise DslError(f"unexpected trailing token {p.peek()[1]!r}")
     return Program(stmts)
 
 

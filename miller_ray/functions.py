@@ -256,8 +256,24 @@ def _hexfmt(x):
 bif("bitcount")(lambda x: pa.array(np.array(
     [bin(int(v) & 0xFFFFFFFFFFFFFFFF).count("1") for v in np.asarray(x)],
     dtype=np.int64)))
+def _mod_arr(m):
+    if hasattr(m, "to_numpy"):
+        return m.to_numpy(zero_copy_only=False).astype(np.int64)
+    if hasattr(m, "combine_chunks"):
+        return m.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.int64(m)
+
+
+def _np_i64(x):
+    if hasattr(x, "combine_chunks"):
+        x = x.combine_chunks()
+    if hasattr(x, "to_numpy"):
+        return x.to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.asarray(x, dtype=np.int64)
+
+
 bif("madd")(lambda a, b, m: pc.cast(pa.array(
-    (np.asarray(a, dtype=np.int64) + np.asarray(b)) % np.int64(m)), pa.int64()))
+    (_np_i64(a) + _np_i64(b)) % _mod_arr(m)), pa.int64()))
 bif("urand_range_like")(lambda x: (_ for _ in ()).throw(
     NotImplementedError("random functions are not deterministic; use "
                         "miller_ray.hashing for seeded per-row values")))
@@ -608,20 +624,29 @@ bif("dhms2fsec")(lambda x: pa.array(np.array(
     [_dhms2sec(str(v)) for v in _s(x).to_pylist()], dtype=np.float64)))
 
 # modular arithmetic (bifs/arithmetic.go mexp/mmul/msub)
-bif("mmul")(lambda a, b, m: pa.array(
-    (np.asarray(a, dtype=np.int64) * np.asarray(b, dtype=np.int64))
-    % np.int64(m)))
-bif("msub")(lambda a, b, m: pa.array(
-    (np.asarray(a, dtype=np.int64) - np.asarray(b, dtype=np.int64))
-    % np.int64(m)))
+bif("mmul")(lambda a, b, m: pa.array((_np_i64(a) * _np_i64(b)) % _mod_arr(m)))
+bif("msub")(lambda a, b, m: pa.array((_np_i64(a) - _np_i64(b)) % _mod_arr(m)))
 
 
 @bif("mexp")
 def _mexp(a, b, m):
-    av = np.asarray(a, dtype=np.int64)
-    bi, mi = int(b), int(m)
-    return pa.array(np.array([pow(int(v), bi, mi) for v in av],
-                             dtype=np.int64))
+    av = _np_i64(a)
+    bv = _np_i64(b)
+    mv = _mod_arr(m)
+    bv = np.broadcast_to(bv, av.shape) if bv.ndim else np.full(av.shape, bv)
+    mv = np.broadcast_to(mv, av.shape) if getattr(mv, "ndim", 0) else \
+        np.full(av.shape, mv)
+    out: list = []
+    errs = False
+    for v, e, md in zip(av, bv, mv):
+        if e < 0:  # negative exponent -> Miller error value
+            out.append("(error)")
+            errs = True
+        else:
+            out.append(pow(int(v), int(e), int(md)))
+    if errs:
+        return pa.array([str(x) for x in out], type=pa.string())
+    return pa.array(np.array(out, dtype=np.int64))
 
 
 def _erf_vec(x):

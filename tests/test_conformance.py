@@ -48,7 +48,11 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "verb-stats1-regexed-field-names",
           "dsl-sec2gmt", "dsl-gmt-date-time-functions",
           "dsl-number-formatting", "int64-io", "io-het-csv-input",
-          "io-dedupe-field-names"]
+          "io-dedupe-field-names",
+          # round 2c: if/elif/else + pattern-action blocks and fixes
+          "dsl-empty", "dsl-modular-arithmetic", "dsl-if-chain",
+          "dsl-length", "io-utf8-bom", "io-uri-schemes",
+          "io-format-conversion-keystroke-savers"]
 
 
 @pytest.mark.parametrize("suite", SUITES)

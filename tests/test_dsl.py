@@ -126,3 +126,20 @@ def test_dataset_roundtrip(ray_session):
     assert r["x"].tolist() == [1, 3, 5]
     r = dsl.filter_expr(ds, '$x % 2 == 1', exclude=True).to_pandas()
     assert r["x"].tolist() == [2, 4]
+
+
+def test_conditional_blocks():
+    # if/elif/else compiles to vectorized masked assignment
+    out, _ = run('if ($x > 3) { $y = "big"; $z = $x * 10 } '
+                 'elif ($x > 1) { $y = "mid" } else { $y = "small" }')
+    assert out["y"].to_pylist() == ["small", "mid", "mid", "big", "big"]
+    assert out["z"].to_pylist() == [None, None, None, 40, 50]
+    # AWK-style pattern-action
+    out, _ = run('$x > 2 { $s = toupper($s) }')
+    assert out["s"].to_pylist() == ["ab", "cd", "AE", "XY", "AZ"]
+    # filter inside a branch only affects active rows
+    out, m = run('if ($x > 3) { filter $x > 4 }')
+    assert m.to_pylist() == [True, True, True, False, True]
+    # nested blocks
+    out, _ = run('if ($x > 1) { if ($x > 3) { $k = 2 } else { $k = 1 } }')
+    assert out["k"].to_pylist() == [None, 1, 1, 2, 2]
