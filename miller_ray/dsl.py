@@ -223,9 +223,9 @@ def _null_identity(op: str, a: Value, b: Value, out: Value) -> Value:
         fill_a = a if _is_arr(a) else pa.array([a] * len(out))
         out = pc.if_else(pc.is_valid(out), out, fill_a)
     if a_nulls:
+        # absent op x = x unchanged for + - * (minus_dispositions ABSENT
+        # row is `_2___`: return input2, NOT its negation)
         fill_b = b if _is_arr(b) else pa.array([b] * len(out))
-        if op == "-":
-            fill_b = pc.negate(fill_b)
         out = pc.if_else(pc.is_valid(out), out, fill_b)
     return out
 

@@ -75,6 +75,10 @@ def hash64(values, seed: int = 0) -> np.ndarray:
             return splitmix64(arr.astype(np.int64).astype(np.uint64), seed=seed)
         except (TypeError, ValueError, OverflowError):
             pass
+    if arr.dtype.kind != "O":
+        # numpy unicode / StringDType arrays (np.asarray on list[str])
+        # must hash identically to the object path pyarrow strings take
+        arr = arr.astype(object)
     h = pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
     if seed:
         return splitmix64(h, seed=seed)

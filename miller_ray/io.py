@@ -157,16 +157,19 @@ def _render_dkvp(t: pa.Table, ofs: str = ",", ops: str = "=") -> pa.Array:
     return pc.binary_join_element_wise(*pieces, ofs)
 
 
-def _part_name(t: pa.Table, ext: str) -> str:
+def _part_name(lines: pa.Array, ext: str) -> str:
     """Deterministic content-derived part name (resumable layout:
-    re-running the same block rewrites the same file)."""
+    re-running the same block rewrites the same file). Hashes the FULL
+    rendered content so distinct blocks with equal size and endpoints
+    (e.g. duplicated data) never collide onto one filename."""
     import hashlib
 
     h = hashlib.md5()
-    h.update(str(t.num_rows).encode())
-    if t.num_rows:
-        h.update(str(t.slice(0, 1).to_pydict()).encode())
-        h.update(str(t.slice(t.num_rows - 1, 1).to_pydict()).encode())
+    arr = lines.combine_chunks() if isinstance(lines, pa.ChunkedArray) else lines
+    h.update(str(len(arr)).encode())
+    for buf in arr.buffers():
+        if buf is not None:
+            h.update(buf)
     return f"part-{h.hexdigest()[:16]}.{ext}"
 
 
@@ -176,7 +179,7 @@ def write_dkvp(ds, out_dir: str, ofs: str = ",", ops: str = "="):
 
     def write_block(t: pa.Table) -> pa.Table:
         lines = _render_dkvp(t, ofs, ops)
-        path = os.path.join(out_dir, _part_name(t, "dkvp"))
+        path = os.path.join(out_dir, _part_name(lines, "dkvp"))
         with open(path, "w") as f:
             for v in lines.to_pylist():
                 f.write(v + "\n")
@@ -196,7 +199,7 @@ def write_nidx(ds, out_dir: str, ofs: str = " "):
                 for c in t.column_names]
         lines = (pc.binary_join_element_wise(*cols, ofs)
                  if len(cols) > 1 else cols[0])
-        path = os.path.join(out_dir, _part_name(t, "nidx"))
+        path = os.path.join(out_dir, _part_name(lines, "nidx"))
         with open(path, "w") as f:
             for v in lines.to_pylist():
                 f.write(v + "\n")

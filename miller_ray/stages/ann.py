@@ -74,18 +74,31 @@ def _lsh_planes(d: int, n_planes: int, seed: int) -> np.ndarray:
     return ((rng_base.astype(np.float64) / 2**64) - 0.5).reshape(n_planes, d)
 
 
+def _expand_probe(sigs: set[int], n_planes: int, radius: int) -> set[int]:
+    """All signatures within Hamming distance ``radius`` of any seed:
+    BFS over single-bit flips, one level per unit of radius, so a
+    single seed yields 1 + C(n,1) + ... + C(n,radius) signatures."""
+    probe = set(sigs)
+    frontier = set(sigs)
+    for _ in range(max(0, radius)):
+        nxt = set()
+        for s in frontier:
+            for b in range(n_planes):
+                t = s ^ (1 << b)
+                if t not in probe:
+                    probe.add(t)
+                    nxt.add(t)
+        frontier = nxt
+    return probe
+
+
 def _probe_set(queries: np.ndarray, planes: np.ndarray,
                probe_hamming: int) -> set[int]:
     n_planes = planes.shape[0]
     qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
     qsig = (qn @ planes.T > 0).astype(np.uint64) @ \
         (1 << np.arange(n_planes, dtype=np.uint64))
-    probe = {int(s) for s in qsig}
-    if probe_hamming >= 1:
-        for s in list(probe):
-            for b in range(n_planes):
-                probe.add(s ^ (1 << b))
-    return probe
+    return _expand_probe({int(s) for s in qsig}, n_planes, probe_hamming)
 
 
 def build_lsh_index(ds, out_dir: str, n_planes: int = 8,
@@ -96,7 +109,14 @@ def build_lsh_index(ds, out_dir: str, n_planes: int = 8,
     ONCE, and each query afterwards reads only its probed partitions —
     the 100 TB scale path the in-memory ``lsh_bucketed_topk`` stands in
     for. Deterministic planes (seeded splitmix64) make the index
-    reproducible and the probe computation driver-side-only."""
+    reproducible and the probe computation driver-side-only.
+
+    Partition count is 2**n_planes: size n_planes to the corpus so a
+    partition stays well under a read-task's memory (100 TB wants
+    n_planes>=16 → 65k partitions of ~1.5 GB; the default 8 is test
+    scale). Probe cost grows as sum_{i<=r} C(n_planes, i) per query —
+    raise n_planes and keep probe_hamming small rather than the
+    reverse."""
     import ray
 
     # probe the embedding dimension from one row
@@ -160,18 +180,10 @@ def lsh_bucketed_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
     import ray
 
     d = queries.shape[1]
-    rng_base = splitmix64(np.arange(n_planes * d, dtype=np.uint64), seed=seed)
-    planes = ((rng_base.astype(np.float64) / 2**64) - 0.5).reshape(n_planes, d)
-    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
-    qsig = (qn @ planes.T > 0).astype(np.uint64) @ (1 << np.arange(n_planes, dtype=np.uint64))
-
-    # probe set: signatures within hamming radius
-    probe = {int(s) for s in qsig}
-    if probe_hamming >= 1:
-        for s in list(probe):
-            for b in range(n_planes):
-                probe.add(s ^ (1 << b))
-    pref = ray.put((planes, probe))
+    planes = _lsh_planes(d, n_planes, seed)
+    probe = _probe_set(queries, planes, probe_hamming)
+    probe_arr = np.array(sorted(probe), dtype=np.uint64)
+    pref = ray.put((planes, probe_arr))
 
     class Filter:
         def __init__(self):
@@ -182,7 +194,7 @@ def lsh_bucketed_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             sig = (mn @ self.planes.T > 0).astype(np.uint64) @ \
                 (1 << np.arange(self.planes.shape[0], dtype=np.uint64))
-            mask = np.array([int(s) in self.probe for s in sig])
+            mask = np.isin(sig, self.probe)
             return t.filter(pa.array(mask))
 
     candidates = ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True,

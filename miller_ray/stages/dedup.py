@@ -97,7 +97,7 @@ def exact_dedup(ds, content_cols: list[str], id_col: str,
     return hashed.map_batches(keep_winners, batch_format="pandas")
 
 
-def _keep_multi_member_buckets(ds, keys: list[str]):
+def _keep_multi_member_buckets(ds, keys: list[str], return_counts: bool = False):
     """Filter an exploded bucket Dataset down to buckets with >= 2
     members. Singleton buckets (the overwhelming majority under any
     realistic dup rate) cannot produce candidate pairs, and per-group
@@ -116,10 +116,10 @@ def _keep_multi_member_buckets(ds, keys: list[str]):
     counts = ds.map_batches(partial, batch_format="pyarrow") \
                .groupby(keys).aggregate(Sum("count_all", alias_name="n"))
     multi = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(keys),
+        lambda t: t.filter(pc.greater_equal(t["n"], 2)),
         batch_format="pyarrow").to_pandas()
     if multi.empty:
-        return ds.limit(0)
+        return (ds.limit(0), multi) if return_counts else ds.limit(0)
     packed_wanted = None
     for k in keys:
         c = multi[k].to_numpy().astype(np.int64)
@@ -138,7 +138,8 @@ def _keep_multi_member_buckets(ds, keys: list[str]):
         mask = np.isin(packed, w)
         return t.filter(pa.array(mask))
 
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return (out, multi) if return_counts else out
 
 
 def _word_shingles(t: pa.Table, text_col: str, n: int = 3):
@@ -207,18 +208,44 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
                           concurrency=concurrency)
 
 
+def _dedup_sorted_ids(t: pa.Table, id_col: str) -> pa.Table:
+    """One row per distinct id, sorted by id (vectorized)."""
+    ids = np.asarray(t[id_col])
+    order = np.argsort(ids, kind="stable")
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = ids[order[1:]] != ids[order[:-1]]
+    return t.take(pa.array(order[keep]))
+
+
+def _cap_bucket(t: pa.Table, id_col: str, cap: int) -> pa.Table:
+    """Deterministic hot-bucket sample: keep the `cap` members with the
+    smallest hash64(id) — stable across runs and processes."""
+    if t.num_rows <= cap:
+        return t
+    h = hash64(t[id_col], seed=41)
+    sel = np.sort(np.argsort(h, kind="stable")[:cap])
+    return t.take(pa.array(sel))
+
+
 def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 128, bands: int = 16, threshold: float = 0.7,
-                  shingle_n: int = 3, seed: int = 0) -> pd.DataFrame:
+                  shingle_n: int = 3, seed: int = 0,
+                  max_bucket_members: int = 500) -> pd.DataFrame:
     """Near-dup groups via MinHash-LSH. Returns (id, rep) for every doc
     in a near-dup cluster of size >= 2, rep = min id in the cluster.
 
     Pipeline: signatures (actor pool, materialized ONCE — the expensive
     re-sign never repeats) -> light (id, band, band_hash) bucket rows,
     NO signature payload (16x smaller than exploding sig per band) ->
-    multi-member-bucket pruning -> fetch signatures for candidate ids
-    only (broadcast id set; candidates << corpus) -> per-bucket pair
-    scoring by signature agreement -> union-find on surviving edges."""
+    multi-member-bucket pruning -> semi-join signatures for candidate
+    ids (broadcast packed-hash np.isin when small, shuffle join above
+    2M candidates — same dual path as exact_dedup) -> DISTRIBUTED
+    per-bucket pair scoring via groupby(band,bh).map_groups (nothing
+    corpus-sized on the driver) -> union-find on surviving edges.
+
+    Hot buckets (boilerplate text hashing everything into one bucket)
+    are capped at ``max_bucket_members`` by a deterministic id-hash
+    sample; the number of capped buckets is logged, never silent."""
     import ray
 
     mh = MinHash(k=k, seed=seed)
@@ -239,37 +266,97 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     buckets = sig_ds.map_batches(explode, batch_format="pyarrow")
-    survivors = _keep_multi_member_buckets(buckets, ["band", "bh"]).to_pandas()
-    if survivors.empty:
+    survivors, bucket_counts = _keep_multi_member_buckets(
+        buckets, ["band", "bh"], return_counts=True)
+    if bucket_counts.empty:
+        return pd.DataFrame(columns=[id_col, "rep"])
+    n_hot = int((bucket_counts["n"] > max_bucket_members).sum())
+    if n_hot:
+        print(f"[minhash_dedup] capping {n_hot} hot bucket(s) at "
+              f"{max_bucket_members} members (deterministic sample)")
+    survivors = survivors.materialize()
+    n_mem = survivors.count()
+    if n_mem == 0:
         return pd.DataFrame(columns=[id_col, "rep"])
 
-    wanted_ref = ray.put(set(survivors[id_col]))
+    # candidate signatures: semi-join sig_ds against surviving ids —
+    # broadcast a sorted packed-hash array + np.isin (8 bytes per
+    # candidate; hash collisions only over-include, and non-surviving
+    # bucket rows are dropped by the bucket filter below)
+    cand_ids = np.asarray(survivors.unique(id_col))
+    wanted = np.sort(hash64(cand_ids, seed=47))
+    wref = ray.put(wanted)
 
-    def fetch_sigs(t: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
-        mask = pd.Series(np.asarray(t[id_col])).isin(w).to_numpy()
+    def keep_sig(t: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        mask = np.isin(hash64(t[id_col], seed=47), w)
         return t.filter(pa.array(mask))
 
-    sig_rows = sig_ds.map_batches(fetch_sigs, batch_format="pyarrow",
-                                  zero_copy_batch=True).to_pandas()
-    sig_mat = np.stack([np.asarray(s, dtype=np.int64).view(np.uint64)
-                        for s in sig_rows["sig"]]) if len(sig_rows) else \
-        np.zeros((0, k), dtype=np.uint64)
-    sig_idx = {i: j for j, i in enumerate(sig_rows[id_col])}
+    cand_sigs = sig_ds.map_batches(keep_sig, batch_format="pyarrow",
+                                   zero_copy_batch=True)
 
-    out_a, out_b, out_j = [], [], []
-    for _, grp in survivors.groupby(["band", "bh"], sort=False):
-        ids = np.sort(grp[id_col].unique())
-        if ids.size < 2:
-            continue
-        rows = sig_mat[[sig_idx[i] for i in ids]]
-        for i in range(len(ids)):
+    # attach (band, bh) to candidate rows by re-deriving band hashes
+    # (cheap vectorized recompute beats shuffling corpus-sized
+    # signature payloads through a join), keeping only surviving
+    # buckets via the packed wanted-bucket broadcast
+    wb = ((bucket_counts["band"].to_numpy().astype(np.int64)
+           * np.int64(1000003))
+          ^ bucket_counts["bh"].to_numpy().astype(np.int64))
+    bref = ray.put(np.sort(wb))
+
+    def explode_sig(t: pa.Table) -> pa.Table:
+        w = ray.get(bref)
+        n = t.num_rows
+        sigs = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)).view(np.uint64).reshape(n, k)
+        bh = mh.band_hashes(sigs, bands).reshape(-1).view(np.int64)
+        band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+        packed = (band_id * np.int64(1000003)) ^ bh
+        hit = np.flatnonzero(np.isin(packed, w))
+        sub = t.take(pa.array(hit // bands))
+        return pa.table({
+            id_col: sub[id_col],
+            "band": pa.array(band_id[hit]),
+            "bh": pa.array(bh[hit]),
+            "sig": sub["sig"],
+        })
+
+    joined = cand_sigs.map_batches(explode_sig, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = _dedup_sorted_ids(t, id_col)
+        t = _cap_bucket(t, id_col, max_bucket_members)
+        n = t.num_rows
+        ityp = t[id_col].type
+        if n < 2:
+            return pa.table({"a": pa.array([], type=ityp),
+                             "b": pa.array([], type=ityp),
+                             "est_j": pa.array([], type=pa.float64())})
+        ids = np.asarray(t[id_col])
+        rows = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)).view(np.uint64).reshape(n, k)
+        out_a, out_b, out_j = [], [], []
+        for i in range(n - 1):
             agree = (rows[i + 1:] == rows[i]).mean(axis=1)
-            for j in np.flatnonzero(agree >= threshold):
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-                out_j.append(float(agree[j]))
-    edge_df = pd.DataFrame({"a": out_a, "b": out_b, "est_j": out_j})
+            hit = np.flatnonzero(agree >= threshold)
+            if hit.size:
+                out_a.append(np.repeat(ids[i], hit.size))
+                out_b.append(ids[i + 1 + hit])
+                out_j.append(agree[hit])
+        if not out_a:
+            return pa.table({"a": pa.array([], type=ityp),
+                             "b": pa.array([], type=ityp),
+                             "est_j": pa.array([], type=pa.float64())})
+        return pa.table({"a": pa.array(np.concatenate(out_a), type=ityp),
+                         "b": pa.array(np.concatenate(out_b), type=ityp),
+                         "est_j": pa.array(np.concatenate(out_j).astype(np.float64))})
+
+    edge_df = (joined.groupby(["band", "bh"])
+               .map_groups(pairs, batch_format="pyarrow")
+               .to_pandas())
+    if edge_df.empty:
+        return pd.DataFrame(columns=[id_col, "rep"])
     edge_df = edge_df.drop_duplicates(["a", "b"])
 
     # union-find over surviving edges (tiny)
@@ -308,11 +395,13 @@ def simhash_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                       max_hamming: int = 3) -> pd.DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket_members: int = 500) -> pd.DataFrame:
     """Candidate near-dup pairs by SimHash: bucket on each of 4 16-bit
     bands (any pair within Hamming<=3 of 64 bits shares at least one
     exact band by pigeonhole when distance < 4); verify Hamming inside
-    buckets."""
+    buckets. Hot buckets capped at ``max_bucket_members`` by a
+    deterministic id-hash sample (logged, never silent)."""
     fps = simhash_fingerprints(ds, text_col, id_col)
 
     def explode(t: pa.Table) -> pa.Table:
@@ -331,6 +420,9 @@ def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         if len(df) < 2:
             return pd.DataFrame({"a": [], "b": [], "hamming": []})
         df = df.sort_values(id_col).drop_duplicates(id_col)
+        if len(df) > max_bucket_members:
+            h = hash64(df[id_col].to_numpy(), seed=41)
+            df = df.iloc[np.sort(np.argsort(h, kind="stable")[:max_bucket_members])]
         ids = df[id_col].to_numpy()
         f = df["simhash"].to_numpy().view(np.uint64)
         out_a, out_b, out_h = [], [], []
@@ -342,8 +434,13 @@ def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 out_h.append(int(d[j]))
         return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
 
-    exploded = _keep_multi_member_buckets(
-        fps.map_batches(explode, batch_format="pyarrow"), ["band", "key"])
+    exploded, bcounts = _keep_multi_member_buckets(
+        fps.map_batches(explode, batch_format="pyarrow"), ["band", "key"],
+        return_counts=True)
+    n_hot = int((bcounts["n"] > max_bucket_members).sum()) if not bcounts.empty else 0
+    if n_hot:
+        print(f"[simhash_near_pairs] capping {n_hot} hot bucket(s) at "
+              f"{max_bucket_members} members (deterministic sample)")
     edges = exploded.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas") \
                     .to_pandas()
     return edges.drop_duplicates(["a", "b"]).reset_index(drop=True)
@@ -355,12 +452,15 @@ def ngram_jaccard(ds, pairs_df: pd.DataFrame, text_col: str = "text",
     candidate id set, collect only those docs' shingle sets, score pairs."""
     import ray
 
-    wanted = set(pairs_df["a"]) | set(pairs_df["b"])
-    ref = ray.put(wanted)
+    wanted_ids = pd.unique(pd.concat([pairs_df["a"], pairs_df["b"]]))
+    # broadcast a sorted packed-hash array + np.isin, not a Python set
+    # membership loop; hash collisions only over-include (harmless — the
+    # pair list drives scoring)
+    ref = ray.put(np.sort(hash64(wanted_ids, seed=53)))
 
     def collect(t: pa.Table) -> pa.Table:
         w = ray.get(ref)
-        mask = pa.array([x in w for x in np.asarray(t[id_col])])
+        mask = pa.array(np.isin(hash64(t[id_col], seed=53), w))
         sub = t.filter(mask)
         flat, offsets = _word_shingles(sub, text_col, n=shingle_n)
         sets = [flat[offsets[i]:offsets[i + 1]].tobytes() for i in range(sub.num_rows)]

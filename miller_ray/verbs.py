@@ -1752,26 +1752,36 @@ def sec2gmt_frac(ds, fields: list[str], decimals: int = 0,
     div = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[input_unit]
 
     def conv(t: pa.Table) -> pa.Table:
+        ns_mult = int(1e9 // div)  # input unit -> nanoseconds
         for f in fields:
-            x = pc.cast(t[f], pa.float64()).to_numpy(zero_copy_only=False) / div
-            secs = np.floor(x)
-            ts = pc.cast(pa.array(secs.astype(np.int64)), pa.timestamp("s"))
+            # reference TRUNCATES fractional digits via integer-ns
+            # division (lib/time.go secToFormattedTime); integer inputs
+            # stay exact in int64 ns, float inputs truncate once at
+            # the ns boundary
+            if pa.types.is_integer(t[f].type):
+                total_ns = t[f].to_numpy(zero_copy_only=False).astype(
+                    np.int64) * ns_mult
+                secs = total_ns // 1_000_000_000
+                frac = (total_ns % 1_000_000_000) // 10 ** (9 - decimals) \
+                    if decimals > 0 else None
+            else:
+                # float path: split at the second BEFORE scaling so the
+                # sub-second part keeps full mantissa precision
+                xf = pc.cast(t[f], pa.float64()).to_numpy(
+                    zero_copy_only=False) / div
+                secs = np.floor(xf).astype(np.int64)
+                frac = np.floor((xf - secs) * 10 ** decimals).astype(
+                    np.int64) if decimals > 0 else None
+            n = len(secs)
+            ts = pc.cast(pa.array(secs), pa.timestamp("s"))
             base = pc.strftime(ts, format="%Y-%m-%dT%H:%M:%S")
             if decimals > 0:
-                frac = np.round((x - secs) * 10 ** decimals).astype(np.int64)
-                # carry: frac == 10^d rolls into the next second
-                carry = frac >= 10 ** decimals
-                if carry.any():
-                    secs = secs + carry
-                    frac = np.where(carry, 0, frac)
-                    ts = pc.cast(pa.array(secs.astype(np.int64)), pa.timestamp("s"))
-                    base = pc.strftime(ts, format="%Y-%m-%dT%H:%M:%S")
                 fs = np.char.zfill(frac.astype(str), decimals)
                 out = pc.binary_join_element_wise(
                     base, pa.array(fs), ".")
-                out = pc.binary_join_element_wise(out, pa.array([""] * len(x)), "Z")
+                out = pc.binary_join_element_wise(out, pa.array([""] * n), "Z")
             else:
-                out = pc.binary_join_element_wise(base, pa.array([""] * len(x)), "Z")
+                out = pc.binary_join_element_wise(base, pa.array([""] * n), "Z")
             t = t.set_column(t.column_names.index(f), f, out)
         return t
 
@@ -1877,18 +1887,24 @@ def bootstrap_ci(ds, fields: list[str], stat: str = "mean",
     are per-resample ``stats1`` then type-1 percentile CI endpoints."""
     if stat not in ("mean", "sum"):
         raise ValueError("bootstrap_ci supports stat in {'mean','sum'}")
-    from miller_ray.hashing import hash64
 
     def partial(t: pa.Table) -> pa.Table:
+        import hashlib
+
         out = {}
-        bseed = int(hash64(np.array([t.num_rows]), seed=seed)[0] % (2**31)) \
-            if t.num_rows else seed
         for f in fields:
             x = pc.cast(t[f], pa.float64()).to_numpy(zero_copy_only=False)
             x = np.nan_to_num(x, nan=0.0)
             ns = np.empty(nboot, dtype=np.int64)
             ss = np.empty(nboot, dtype=np.float64)
-            rng = np.random.default_rng(bseed ^ hash(f) % (2**31))
+            # seed from BLOCK CONTENT + field name: equal-sized blocks
+            # must not share weight streams, and builtin hash() is
+            # PYTHONHASHSEED-dependent — md5 of the column bytes is
+            # deterministic across processes and distinct per block
+            h = hashlib.md5(x.tobytes())
+            h.update(f.encode())
+            h.update(seed.to_bytes(8, "little", signed=True))
+            rng = np.random.default_rng(int.from_bytes(h.digest()[:8], "little"))
             for r in range(nboot):
                 w = rng.poisson(1.0, x.size)
                 ns[r] = w.sum()
