@@ -1402,6 +1402,11 @@ def _mlr_regexes(spec: str):
     return out
 
 
+class RawText(str):
+    """Sentinel for verbatim text output (dump/print) compared
+    literally against expout instead of through record parsers."""
+
+
 def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame):
     from miller_ray import dsl as DSL
 
@@ -1414,7 +1419,7 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame):
         src = None
     flags = [x for x in a if x.startswith("-") and len(x) > 1
              and not x[1].isdigit()]
-    if any(fl not in ("-x",) for fl in flags):
+    if any(fl not in ("-x", "-q") for fl in flags):
         raise Unsupported(f"{v} flags {flags}")
     exprs = [x for x in a if x not in flags]
     if src is None:
@@ -1446,6 +1451,33 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame):
     if "__file__" in meta.columns:
         seed["\x00FILENAME"] = pa.array(meta["__file__"].astype(str))
     invert = "-x" in flags
+    quiet = "-q" in flags
+
+    if prog.needs_seq:
+        # cross-record programs (@oosvars, begin/end, emit, dump/print)
+        # run through the sequential interpreter — full reference
+        # semantics at conformance scale (the distributed engine path
+        # for the associative subset is dsl.put_oosvar)
+        if v != "put":
+            raise Unsupported("sequential filter program")
+        if invert:
+            raise Unsupported("put -x with cross-record state")
+        try:
+            # the reference regtest exports MLR_OFMT=%.8f globally
+            # (regtester.go:161) — float-typed prints render through it
+            recs, texts = prog.run_sequential(t, seed_env=seed, quiet=quiet,
+                                              ofmt="%.8f")
+        except DSL.DslError as e:
+            raise Unsupported(f"dsl seq: {e}")
+        except (TypeError, KeyError, IndexError) as e:
+            raise Unsupported(f"dsl seq {type(e).__name__}: {e}")
+        if texts:
+            if recs:
+                raise Unsupported("mixed dump/print and record output")
+            return RawText("\n".join(texts)), True
+        recs = [{k: v2 for k, v2 in r.items()
+                 if not str(k).startswith("__")} for r in recs]
+        return pd.DataFrame(recs), True
 
     def apply_mask(out_t, m):
         if m is None:
@@ -2056,11 +2088,15 @@ def run_case(case_dir: str) -> tuple[str, str]:
             else:
                 segments[-1].append(tok)
         ordered = True
-        for seg in segments:
+        for si, seg in enumerate(segments):
             if not seg:
                 raise Unsupported("empty then segment")
             sub_case = Case(seg[0], seg[1:], case.files, case.ifmt, case.ofmt)
             ours, seg_ordered = execute(sub_case, df)
+            if isinstance(ours, RawText):
+                if si != len(segments) - 1:
+                    raise Unsupported("text output mid then-chain")
+                break
             ordered = ordered and seg_ordered
             df = ours.copy()
             df["__row__"] = np.arange(len(df))
@@ -2069,6 +2105,15 @@ def run_case(case_dir: str) -> tuple[str, str]:
         return "skip", str(e)
     except Exception as e:  # noqa: BLE001 — conformance harness reports
         return "fail", f"raised {type(e).__name__}: {e}"
+    if isinstance(ours, RawText):
+        with open(os.path.join(case_dir, "expout")) as f:
+            exp_text = f.read()
+        got = [ln.rstrip() for ln in str(ours).strip("\n").split("\n")]
+        want = [ln.rstrip() for ln in exp_text.strip("\n").split("\n")]
+        if got == want:
+            return "pass", "text ok"
+        return "fail", f"{cmd}: text mismatch (got {len(got)} lines, " \
+                       f"want {len(want)}); first got={got[:3]} want={want[:3]}"
     if ours is not None and len(getattr(ours, "columns", [])):
         ours = ours.drop(columns=[c for c in ("__row__", "__file__", "__filenum__")
                                   if c in ours.columns])

@@ -62,7 +62,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<field>\$(\{[^}]*\}|[A-Za-z_][A-Za-z0-9_]*|\*))
   | (?P<oosvar>@(\{[^}]*\}|[A-Za-z_][A-Za-z0-9_]*|\*))
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\*\*|\.\+|\.-|\.\*|\./|//|<=|>=|==|!=|=~|!~|&&|\|\||\?\?\??|[-+*/%<>=!?:;,().{}])
+  | (?P<op>\*\*|\.\+|\.-|\.\*|\./|//|<=|>=|==|!=|=~|!~|&&|\|\||\?\?\??|[-+*/%<>=!?:;,().{}\[\]])
 """, re.VERBOSE)
 
 _ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", ".=", "%=", "//=", "**="}
@@ -295,6 +295,49 @@ def _unify_types(a: Value, b: Value) -> tuple[Value, Value]:
     return a, b
 
 
+def _index_value(container, key):
+    """Miller collection indexing: maps by key, arrays 1-based with
+    negative-from-end; out-of-range / missing -> absent (None)."""
+    if container is None:
+        return None
+    if isinstance(container, dict):
+        if key in container:
+            return container[key]
+        # int keys and their string renderings interconvert
+        alt = str(key) if not isinstance(key, str) else None
+        if alt is not None and alt in container:
+            return container[alt]
+        if isinstance(key, str):
+            try:
+                ik = int(key)
+            except ValueError:
+                return None
+            return container.get(ik)
+        return None
+    if isinstance(container, list):
+        if isinstance(key, bool) or not isinstance(key, (int, np.integer)):
+            return None
+        k = int(key)
+        i = k - 1 if k > 0 else len(container) + k
+        return container[i] if 0 <= i < len(container) else None
+    return None
+
+
+def _scalarize(v):
+    """Fold a length-1 array / pa scalar to a Python value (sequential
+    interpreter mode operates on 1-row slices)."""
+    v = _unscalar(v)
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    if isinstance(v, pa.Array):
+        if len(v) != 1:
+            raise DslError("expected a scalar in sequential mode")
+        return v[0].as_py()
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
 class _Parser:
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
@@ -490,7 +533,7 @@ class _Parser:
         return self.power()
 
     def power(self) -> Expr:
-        base = self.primary()
+        base = self.postfix()
         if self.peek() == ("op", "**"):
             self.next()
             exp = self.unary()  # right-assoc
@@ -498,6 +541,29 @@ class _Parser:
             def f(t, env, base=base, exp=exp):
                 return _arith("**", base(t, env), exp(t, env))
             return f
+        return base
+
+    def postfix(self) -> Expr:
+        """primary followed by zero or more [index] accesses (map key /
+        1-based array index; pkg/dsl/cst indexing)."""
+        base = self.primary()
+        while self.peek() == ("op", "["):
+            self.next()
+            idx = self.expr()
+            self.expect("]")
+
+            def f(t, env, base=base, idx=idx):
+                c = base(t, env)
+                k2 = _unscalar(idx(t, env))
+                if isinstance(c, (dict, list)) or c is None:
+                    return _index_value(c, k2)
+                if _is_arr(c) and pa.types.is_list(c.type):
+                    if not isinstance(k2, (int, np.integer)):
+                        raise DslError("list index must be an int")
+                    i2 = int(k2) - 1 if k2 > 0 else int(k2)
+                    return pc.list_element(c, i2)
+                raise DslError("[] index on a non-collection value")
+            base = f
         return base
 
     def primary(self) -> Expr:
@@ -538,7 +604,22 @@ class _Parser:
         if k == "field":
             name = _field_name(v)
             if name == "*":
-                raise DslError("$* is not supported (fixed Arrow schema)")
+                def fstar(t, env):
+                    if "\x00seq" not in env:
+                        raise DslError("$* is only available in the "
+                                       "sequential interpreter")
+                    out = {}
+                    for c in t.column_names:
+                        val = env[c] if c in env else t[c]
+                        if val is not None:
+                            out[c] = _scalarize(val)
+                    for c, val in env.items():
+                        if (not c.startswith("\x00") and c not in out
+                                and c not in t.column_names
+                                and val is not None):
+                            out[c] = _scalarize(val)
+                    return out
+                return fstar
 
             def f(t, env, name=name):
                 if name in env:
@@ -548,8 +629,17 @@ class _Parser:
                 return t[name]
             return f
         if k == "oosvar":
-            raise DslError("@oosvars are not supported (no cross-record "
-                           "state in a distributed batch transform)")
+            name = _field_name(v)  # same ${...} / bare forms as fields
+
+            def fo(t, env, name=name):
+                seq = env.get("\x00seq")
+                if seq is None:
+                    raise DslError("@oosvars require the sequential "
+                                   "interpreter or an accumulator plan")
+                if name == "*":
+                    return dict(seq["oos"])
+                return seq["oos"].get(name)
+            return fo
         if k == "ident":
             if v == "true":
                 return lambda t, env: True
@@ -577,6 +667,49 @@ class _Parser:
             e = self.expr()
             self.expect(")")
             return e
+        if v == "{":
+            # map literal {keyexpr: valexpr, ...}
+            pairs: list[tuple[Expr, Expr]] = []
+            if self.peek() != ("op", "}"):
+                while True:
+                    ke = self.expr()
+                    self.expect(":")
+                    ve = self.expr()
+                    pairs.append((ke, ve))
+                    if self.peek() == ("op", ","):
+                        self.next()
+                        continue
+                    break
+            self.expect("}")
+
+            def fmap(t, env, pairs=pairs):
+                out = {}
+                for ke, ve in pairs:
+                    kv = _scalarize(ke(t, env))
+                    vv = ve(t, env)
+                    out[kv] = _scalarize(vv) if not isinstance(
+                        vv, (dict, list)) else vv
+                return out
+            return fmap
+        if v == "[":
+            elems: list[Expr] = []
+            if self.peek() != ("op", "]"):
+                while True:
+                    elems.append(self.expr())
+                    if self.peek() == ("op", ","):
+                        self.next()
+                        continue
+                    break
+            self.expect("]")
+
+            def farr(t, env, elems=elems):
+                out = []
+                for e in elems:
+                    vv = e(t, env)
+                    out.append(_scalarize(vv) if not isinstance(
+                        vv, (dict, list)) else vv)
+                return out
+            return farr
         raise DslError(f"unexpected token {v!r}")
 
     def call(self, name: str) -> Expr:
@@ -599,6 +732,15 @@ class _Parser:
                 return _unscalar(fn(*vals))
             except NotImplementedError as e:
                 raise DslError(str(e))
+            except (AttributeError, TypeError):
+                # bif expects an Arrow array but got a Python scalar
+                # (sequential-interpreter mode feeds 1-row slices);
+                # retry with the first arg lifted to a length-1 array
+                if vals and not isinstance(
+                        vals[0], (pa.Array, pa.ChunkedArray, dict, list)):
+                    lifted = [pa.array([vals[0]]), *vals[1:]]
+                    return _unscalar(fn(*lifted))
+                raise
         return f
 
 
@@ -609,8 +751,12 @@ class _Parser:
 class Program:
     """Compiled DSL program: ordered statements over a batch + env."""
 
-    def __init__(self, statements: list[tuple]):
+    def __init__(self, statements: list[tuple], begin=None, end=None):
         self.statements = statements
+        self.begin = begin or []
+        self.end = end or []
+        self.needs_seq = bool(self.begin or self.end) or \
+            _stmts_need_seq(statements)
 
     def run(self, t: pa.Table,
             seed_env: dict[str, Value] | None = None
@@ -659,6 +805,12 @@ def _exec_impl(self, stmts, t, env, mask, state):
         if kind == "assign":
             name, op, expr = rest
             val = _unscalar(expr(t, env))
+            if val is None:
+                continue  # absent RHS: assignment is a no-op
+            if "\x00seq" in env and isinstance(val, (dict, list)) \
+                    and op == "=":
+                env[name] = val
+                continue
             cur = env.get(name, t[name] if name in t.column_names else None)
             if op != "=":
                 if cur is None:
@@ -712,11 +864,401 @@ def _exec_impl(self, stmts, t, env, mask, state):
                 eff = branch if mask is None else (branch & mask)
                 if eff.any():
                     _exec_impl(self, body, t, env, eff, state)
+        elif kind == "oassign":
+            name, idx_exprs, op, rhs = rest
+            seq = env.get("\x00seq")
+            acc = state.get("acc")
+            if seq is not None:
+                _seq_oassign(name, idx_exprs, op, rhs, t, env, seq)
+            elif acc is not None:
+                _acc_oassign(name, idx_exprs, op, rhs, t, env, mask, acc)
+            else:
+                raise DslError("@oosvars require the sequential "
+                               "interpreter or an accumulator plan")
+        elif kind == "ounset":
+            (name,) = rest
+            seq = env.get("\x00seq")
+            if seq is None:
+                raise DslError("unset @oosvar requires the sequential "
+                               "interpreter")
+            seq["oos"].pop(name, None)
+        elif kind == "emit":
+            variant, targets, keyexprs = rest
+            seq = env.get("\x00seq")
+            if seq is None:
+                raise DslError("emit requires the sequential interpreter")
+            _seq_emit(variant, targets, keyexprs, t, env, seq)
+        elif kind == "dump":
+            seq = env.get("\x00seq")
+            if seq is None:
+                raise DslError("dump requires the sequential interpreter")
+            import json
+
+            seq["texts"].append(json.dumps(seq["oos"], indent=2,
+                                           default=str))
+        elif kind == "print":
+            expr, nl = rest
+            seq = env.get("\x00seq")
+            if seq is None:
+                raise DslError("print requires the sequential interpreter")
+            if expr is None:
+                seq["texts"].append("" if nl else "")
+            else:
+                v = expr(t, env)
+                v = v if isinstance(v, (dict, list)) else _scalarize(v)
+                seq["texts"].append(_print_render(v, seq.get("ofmt")))
         else:  # pragma: no cover
             raise DslError(f"unknown statement kind {kind}")
 
 
 Program._exec = _exec_impl
+
+
+# ---------------------------------------------------------------------------
+# sequential (cross-record) execution: @oosvars, emit, begin/end
+# ---------------------------------------------------------------------------
+
+def _oos_combine(op: str, cur, val):
+    """Compound-assign an oosvar (bifs absent dispositions: absent is
+    the identity — @s += $x with unset @s yields $x, for every op)."""
+    if val is None:
+        return cur
+    if cur is None:
+        return val
+    base = op[:-1]
+    if base == ".":
+        return _to_str(cur) + _to_str(val)
+    return _unscalar(_arith(base, cur, val))
+
+
+def _set_elem(node, key, val):
+    if isinstance(node, dict):
+        # int keys and their string renderings are the same slot
+        if key not in node and not isinstance(key, str) and \
+                str(key) in node:
+            key = str(key)
+        node[key] = val
+        return
+    if isinstance(node, list):
+        if isinstance(key, bool) or not isinstance(key, (int, np.integer)):
+            raise DslError("array index must be an int")
+        k = int(key)
+        i = k - 1 if k > 0 else len(node) + k
+        if i == len(node):
+            node.append(val)
+        elif 0 <= i < len(node):
+            node[i] = val
+        else:
+            raise DslError("array index out of bounds")
+        return
+    raise DslError("indexed assignment into a non-collection")
+
+
+def _seq_oassign(name, idx_exprs, op, rhs, t, env, seq):
+    oos = seq["oos"]
+    val = rhs(t, env)
+    if not isinstance(val, (dict, list)):
+        val = _scalarize(val)
+    if not idx_exprs:
+        if op == "=":
+            if val is not None:
+                oos[name] = val
+        else:
+            nv = _oos_combine(op, oos.get(name), val)
+            if nv is not None:
+                oos[name] = nv
+        return
+    keys = [_scalarize(e(t, env)) for e in idx_exprs]
+    node = oos.get(name)
+    if not isinstance(node, (dict, list)):
+        node = {}
+        oos[name] = node
+    for kk in keys[:-1]:
+        nxt = _index_value(node, kk)
+        if not isinstance(nxt, (dict, list)):
+            nxt = {}
+            _set_elem(node, kk, nxt)
+        node = nxt
+    last = keys[-1]
+    if op == "=":
+        if val is not None:
+            _set_elem(node, last, val)
+    else:
+        nv = _oos_combine(op, _index_value(node, last), val)
+        if nv is not None:
+            _set_elem(node, last, nv)
+
+
+def _flatten_into(out: dict, prefix, v):
+    # auto-flatten separator is "." (mlr default flatsep; golden cases
+    # dsl-parameterized-emit/0001 `sum.pan=...`)
+    if isinstance(v, dict):
+        for kk, vv in v.items():
+            _flatten_into(out, f"{prefix}.{kk}" if prefix else str(kk), vv)
+    elif isinstance(v, list):
+        for i, vv in enumerate(v, 1):
+            _flatten_into(out, f"{prefix}.{i}" if prefix else str(i), vv)
+    elif v is not None:
+        out[prefix] = v
+
+
+def _has_map_vals(d: dict) -> bool:
+    return any(isinstance(v, (dict, list)) for v in d.values())
+
+
+def _emit_split(base, v) -> list[dict]:
+    """emit (unprefixed) of one target with keynames exhausted
+    (emit_emitp.go): scalar -> {name: v}; map of scalars -> the map as
+    one record; map with nested maps -> recurse per key (keys do NOT
+    become fields — golden dsl-emit/0006)."""
+    if v is None:
+        return []
+    if not isinstance(v, (dict, list)):
+        return [{base if base is not None else "_": v}]
+    if isinstance(v, list):
+        v = {str(i): x for i, x in enumerate(v, 1)}
+    if not _has_map_vals(v):
+        rec = {kk: vv for kk, vv in v.items() if vv is not None}
+        return [rec] if rec else []
+    recs: list[dict] = []
+    for vv in v.values():
+        recs.extend(_emit_split(base, vv))
+    return recs
+
+
+def _emit_records(prefixed: bool, names, vals, keynames) -> list[dict]:
+    """Expand emit targets into records (emit_emitp.go; golden suites
+    dsl-emit / dsl-parameterized-emit): N keynames consume the first N
+    map levels into keyname fields (consumed keys drop out of emitp
+    name paths — dsl-emit/0013 `a=pan, sums.pan=...`); after that,
+    emitp flattens the remainder into ONE record under `name.k1.k2`
+    while emit splits nested maps one record per key. Lashed targets
+    iterate the FIRST target's keys."""
+    if keynames:
+        kn, rest = keynames[0], keynames[1:]
+        first = vals[0]
+        if isinstance(first, dict):
+            recs = []
+            for kk in first.keys():
+                subvals = [_index_value(v, kk) if isinstance(v, (dict, list))
+                           else None for v in vals]
+                for r in _emit_records(prefixed, names, subvals, rest):
+                    recs.append({kn: kk, **r})
+            return recs
+        # scalar with keynames remaining: extras ignored (dsl-emit/0015)
+    if not prefixed and len(names) == 1:
+        base, _path = names[0]
+        return _emit_split(base, vals[0])
+    rec: dict = {}
+    for (base, path), v in zip(names, vals):
+        if isinstance(v, (dict, list)):
+            if prefixed:
+                _flatten_into(rec, path, v)
+            else:
+                _flatten_into(rec, None, v)
+        elif v is not None:
+            fb = path if prefixed else base
+            rec[fb if fb is not None else "_"] = v
+    return [rec] if rec else []
+
+
+def _seq_emit(variant, targets, keyexprs, t, env, seq):
+    oos = seq["oos"]
+    if variant == "emitf":
+        rec = {}
+        for _kind, name, _idx in targets:
+            v = oos.get(name)
+            if v is not None:
+                rec[name] = v
+        if rec:
+            seq["emitted"].append(rec)
+        return
+    prefixed = variant == "emitp"
+    keynames = [str(_scalarize(e(t, env))) for e in keyexprs]
+    names, vals = [], []
+    for tg in targets:
+        if tg[0] == "ref":
+            _, name, idx = tg
+            v = dict(oos) if name == "*" else oos.get(name)
+            pname = name
+            for ie in idx:
+                kk = _scalarize(ie(t, env))
+                v = _index_value(v, kk)
+                pname = f"{pname}.{kk}"
+            names.append((name, pname))
+            vals.append(v)
+        else:
+            v = tg[1](t, env)
+            if not isinstance(v, (dict, list)):
+                v = _scalarize(v)
+            names.append((None, None))
+            vals.append(v)
+    if not prefixed and not keynames and len(names) > 1:
+        # lashed emit without keynames: each target emits its own
+        # record stream in sequence (dsl-emit/0010)
+        for nm, v in zip(names, vals):
+            seq["emitted"].extend(_emit_records(False, [nm], [v], []))
+        return
+    seq["emitted"].extend(_emit_records(prefixed, names, vals, keynames))
+
+
+_ACC_OPS = {"+=": "sum", "-=": "sum", "*=": "prod"}
+
+
+def _acc_oassign(name, idx_exprs, op, rhs, t, env, mask, acc):
+    """Vectorized per-block PARTIAL for an associative @oosvar
+    accumulator (the engine path for the aggregating-put idiom —
+    reference ``pkg/dsl/cst/statements/assignments``): += / -= / *=
+    reduce the batch once; 1-level [key] indexing pre-aggregates per
+    group inside the block (combiner before the tiny driver merge)."""
+    if op not in _ACC_OPS:
+        raise DslError(f"@oosvar {op} is not associative; only "
+                       "+= -= *= run distributed (use put -q with the "
+                       "sequential interpreter otherwise)")
+    if len(idx_exprs) > 1:
+        raise DslError("distributed @oosvar supports at most one [key]")
+    kind = _ACC_OPS[op]
+    n = t.num_rows
+    val = _unscalar(rhs(t, env))
+    ent = acc.setdefault(name, {"op": op, "grouped": bool(idx_exprs),
+                                "val": None, "vals": {}})
+    if ent["op"] != op or ent["grouped"] != bool(idx_exprs):
+        raise DslError(f"@{name} mixes accumulator shapes")
+    if not idx_exprs:
+        if _is_arr(val):
+            arr = val.combine_chunks() if isinstance(
+                val, pa.ChunkedArray) else val
+            if mask is not None:
+                arr = arr.filter(pa.array(mask))
+            part = _unscalar(pc.sum(arr) if kind == "sum"
+                             else pc.product(arr))
+        else:
+            cnt = int(mask.sum()) if mask is not None else n
+            if val is None or cnt == 0:
+                part = None
+            else:
+                part = val * cnt if kind == "sum" else val ** cnt
+        if part is not None:
+            cur = ent["val"]
+            ent["val"] = part if cur is None else (
+                cur + part if kind == "sum" else cur * part)
+        return
+    keys = _materialize(_unscalar(idx_exprs[0](t, env)), n)
+    varr = _materialize(val, n)
+    kp = keys.to_pandas()
+    vp = varr.to_pandas()
+    if mask is not None:
+        kp, vp = kp[mask], vp[mask]
+    grp = vp.groupby(kp, sort=False)
+    part = grp.sum() if kind == "sum" else grp.prod()
+    vals = ent["vals"]
+    for kk, pv in part.items():
+        if isinstance(kk, np.generic):
+            kk = kk.item()
+        if isinstance(pv, np.generic):
+            pv = pv.item()
+        cur = vals.get(kk)
+        vals[kk] = pv if cur is None else (
+            cur + pv if kind == "sum" else cur * pv)
+
+
+_FLOAT_STR_RE = None
+
+
+def _print_render(v, ofmt: str | None = None) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, (dict, list)):
+        import json
+
+        return json.dumps(v, indent=2, default=str)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if ofmt is not None:
+        # regtest sets MLR_OFMT (%.8f): FLOAT-typed values re-render
+        # through the formatter (mlrval_output.go:21-23). Strings that
+        # infer as float (fmtnum output is FromInferredType) count too.
+        if isinstance(v, float):
+            return ofmt % v
+        if isinstance(v, str):
+            global _FLOAT_STR_RE
+            if _FLOAT_STR_RE is None:
+                import re as _re
+                _FLOAT_STR_RE = _re.compile(
+                    r"[-+]?(\d+\.\d*|\.\d+|\d+[eE][-+]?\d+|"
+                    r"\d+\.\d*[eE][-+]?\d+|\.\d+[eE][-+]?\d+)")
+            if _FLOAT_STR_RE.fullmatch(v):
+                return ofmt % float(v)
+    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
+        # Go FormatFloat('f', -1) renders integral floats without ".0"
+        return str(int(v))
+    return str(v)
+
+
+def _run_sequential_impl(self, t: pa.Table, seed_env=None, quiet=False,
+                         ofmt: str | None = None):
+    """Row-at-a-time execution with full cross-record semantics
+    (@oosvars, begin/end, emit, dump/print). Returns (records, texts):
+    emitted + passed-through records in stream order, and raw text
+    output lines. Conformance-scale only — the distributed engine path
+    for the aggregating-put idiom is verbs.put_oosvar."""
+    oos: dict = {}
+    seq = {"oos": oos, "emitted": [], "texts": [], "ofmt": ofmt}
+    out_records: list[dict] = []
+    texts: list[str] = []
+    seed_env = seed_env or {}
+
+    def drain():
+        out_records.extend(seq["emitted"])
+        seq["emitted"].clear()
+        texts.extend(seq["texts"])
+        seq["texts"].clear()
+
+    empty = t.slice(0, 0)
+    if self.begin:
+        env = {"\x00seq": seq}
+        state = {"mask": None, "bare": None}
+        self._exec(self.begin, empty, env, None, state)
+        drain()
+    for i in range(t.num_rows):
+        row = t.slice(i, 1)
+        env = {"\x00seq": seq}
+        for kk, vv in seed_env.items():
+            if _is_arr(vv) and len(vv) == t.num_rows:
+                env[kk] = _scalarize(vv.slice(i, 1) if isinstance(
+                    vv, pa.Array) else vv.combine_chunks().slice(i, 1))
+            else:
+                env[kk] = vv
+        state = {"mask": None, "bare": None}
+        self._exec(self.statements, row, env, None, state)
+        drain()
+        if not quiet:
+            keep = True
+            if state["mask"] is not None:
+                m = state["mask"]
+                keep = bool(_scalarize(m)) if _is_arr(m) else bool(m)
+            if keep:
+                rec: dict = {}
+                for c in row.column_names:
+                    v = env[c] if c in env else row[c]
+                    if v is not None:
+                        rec[c] = _scalarize(v)
+                for c, v in env.items():
+                    if c.startswith("\x00") or c in row.column_names:
+                        continue
+                    if v is not None:
+                        rec[c] = _scalarize(v)
+                out_records.append(rec)
+    if self.end:
+        env = {"\x00seq": seq, "\x00NR": t.num_rows,
+               "\x00FNR": t.num_rows}
+        state = {"mask": None, "bare": None}
+        self._exec(self.end, empty, env, None, state)
+        drain()
+    return out_records, texts
+
+
+Program.run_sequential = _run_sequential_impl
 
 
 def _concat_vals(a, b):
@@ -749,7 +1291,61 @@ def _parse_block(p: "_Parser") -> list[tuple]:
     return body
 
 
-def _parse_stmts(p: "_Parser", in_block: bool = False) -> list[tuple]:
+def _parse_emit_target(p: "_Parser"):
+    """One emittable: an @oosvar reference (possibly indexed) parsed
+    structurally so emit can name output fields, or a general
+    expression (map literal, function call, $*)."""
+    k, v = p.peek()
+    if k == "oosvar":
+        p.next()
+        name = _field_name(v)
+        idx: list[Expr] = []
+        while p.peek() == ("op", "["):
+            p.next()
+            idx.append(p.expr())
+            p.expect("]")
+        return ("ref", name, idx)
+    return ("expr", p.expr())
+
+
+def _parse_emit(p: "_Parser", variant: str) -> tuple:
+    """emit/emitp/emitf statement (pkg/dsl/cst/emit_emitp.go).
+    Redirects (`emit > file, ...`) are unsupported."""
+    if p.peek()[1] in (">", ">>", "|"):
+        raise DslError(f"{variant} redirects are not supported")
+    targets: list[tuple] = []
+    if variant == "emitf":
+        while True:
+            tg = _parse_emit_target(p)
+            if tg[0] != "ref" or tg[2]:
+                raise DslError("emitf takes unindexed @oosvar names")
+            targets.append(tg)
+            if p.peek() == ("op", ","):
+                p.next()
+                continue
+            break
+        return ("emit", "emitf", targets, [])
+    if p.peek() == ("op", "("):
+        # lashed list: emit (@a, @b), "key"
+        p.next()
+        while True:
+            targets.append(_parse_emit_target(p))
+            if p.peek() == ("op", ","):
+                p.next()
+                continue
+            break
+        p.expect(")")
+    else:
+        targets.append(_parse_emit_target(p))
+    keyexprs: list[Expr] = []
+    while p.peek() == ("op", ","):
+        p.next()
+        keyexprs.append(p.expr())
+    return ("emit", variant, targets, keyexprs)
+
+
+def _parse_stmts(p: "_Parser", in_block: bool = False,
+                 top: dict | None = None) -> list[tuple]:
     stmts: list[tuple] = []
     while True:
         k, v = p.peek()
@@ -758,12 +1354,50 @@ def _parse_stmts(p: "_Parser", in_block: bool = False) -> list[tuple]:
         if v == ";":
             p.next()
             continue
-        if k == "ident" and v == "unset":
+        if k == "ident" and v in ("begin", "end") and not in_block and \
+                p.toks[p.i + 1: p.i + 2] == [("op", "{")]:
+            p.next()
+            body = _parse_block(p)
+            if top is None:
+                raise DslError(f"{v} block not allowed here")
+            top.setdefault(v, []).extend(body)
+            continue
+        if k == "ident" and v in ("emit", "emitp", "emitf"):
+            p.next()
+            stmts.append(_parse_emit(p, v))
+        elif k == "ident" and v in ("dump", "edump"):
+            p.next()
+            stmts.append(("dump",))
+        elif k == "ident" and v in ("print", "printn"):
+            p.next()
+            nl = v == "print"
+            if p.peek()[1] in (";", "}") or p.peek()[0] == "eof":
+                stmts.append(("print", None, nl))
+            else:
+                stmts.append(("print", p.expr(), nl))
+        elif k == "ident" and v == "tee":
+            raise DslError("tee statements are not supported")
+        elif k == "oosvar" and _oassign_ahead(p):
+            p.next()
+            name = _field_name(v)
+            idx: list[Expr] = []
+            while p.peek() == ("op", "["):
+                p.next()
+                idx.append(p.expr())
+                p.expect("]")
+            _, op = p.next()
+            if op not in _ASSIGN_OPS:
+                raise DslError(f"expected assignment op, got {op!r}")
+            stmts.append(("oassign", name, idx, op, p.expr()))
+        elif k == "ident" and v == "unset":
             p.next()
             fk, fv = p.next()
-            if fk != "field":
-                raise DslError("unset expects a $field")
-            stmts.append(("unset", _field_name(fv)))
+            if fk == "oosvar":
+                stmts.append(("ounset", _field_name(fv)))
+            elif fk == "field":
+                stmts.append(("unset", _field_name(fv)))
+            else:
+                raise DslError("unset expects a $field or @oosvar")
         elif k == "ident" and v == "if":
             # if (cond) {..} [elif (cond) {..}]* [else {..}]
             p.next()
@@ -789,7 +1423,10 @@ def _parse_stmts(p: "_Parser", in_block: bool = False) -> list[tuple]:
                 p.toks[p.i + 1][0] == "op" and p.toks[p.i + 1][1] in _ASSIGN_OPS:
             _, ftok = p.next()
             _, op = p.next()
-            stmts.append(("assign", _field_name(ftok), op, p.expr()))
+            fname = _field_name(ftok)
+            if fname == "*":
+                raise DslError("assignment to $* is not supported")
+            stmts.append(("assign", fname, op, p.expr()))
         else:
             e = p.expr()
             if p.peek() == ("op", "{"):
@@ -801,14 +1438,48 @@ def _parse_stmts(p: "_Parser", in_block: bool = False) -> list[tuple]:
             p.next()
 
 
+def _oassign_ahead(p: "_Parser") -> bool:
+    """True if the oosvar token at p.i starts an assignment statement
+    (possibly through [index] chains) rather than an expression."""
+    i = p.i + 1
+    depth = 0
+    while i < len(p.toks):
+        k, v = p.toks[i]
+        if v == "[":
+            depth += 1
+        elif v == "]":
+            depth -= 1
+            if depth < 0:
+                return False
+        elif depth == 0:
+            return k == "op" and v in _ASSIGN_OPS
+        i += 1
+    return False
+
+
+def _stmts_need_seq(stmts) -> bool:
+    for kind, *rest in stmts:
+        if kind in ("oassign", "ounset", "emit", "dump", "print"):
+            return True
+        if kind == "cond":
+            for _c, body in rest[0]:
+                if _stmts_need_seq(body):
+                    return True
+    return False
+
+
 def compile_program(src: str) -> Program:
-    """Parse a statement list (';'-separated; if/elif/else and
-    pattern-action `cond { ... }` blocks supported) into a Program."""
+    """Parse a statement list (';'-separated; if/elif/else,
+    pattern-action `cond { ... }`, begin/end blocks, @oosvar
+    assignments and emit/emitp/emitf/dump/print supported) into a
+    Program. Programs touching cross-record state set ``needs_seq``
+    and must run through ``run_sequential`` (or an accumulator plan)."""
     p = _Parser(_lex(src))
-    stmts = _parse_stmts(p)
+    top: dict = {}
+    stmts = _parse_stmts(p, top=top)
     if p.peek()[0] != "eof":
         raise DslError(f"unexpected trailing token {p.peek()[1]!r}")
-    return Program(stmts)
+    return Program(stmts, begin=top.get("begin"), end=top.get("end"))
 
 
 def _apply_mask(out: pa.Table, mask, invert: bool = False) -> pa.Table:
@@ -834,6 +1505,104 @@ def put_expr(ds, src: str, exclude: bool = False):
         return _apply_mask(out, mask, invert=exclude)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def put_oosvar(ds, src: str) -> pd.DataFrame:
+    """Distributed aggregating-put: ``put -q 'begin{@s=0} @s += $x;
+    end{emit @s}'`` compiled onto a partial/merge plan (the Ray-Data
+    re-expression of Miller's out-of-stream variables,
+    ``pkg/dsl/cst/statements`` + ``emit_emitp.go``).
+
+    Supported main-block shape: field assignments / conditionals plus
+    ASSOCIATIVE @oosvar accumulators (+= -= *=, optional single [key]
+    for grouped sums). Each block reduces its batch vectorized into a
+    tiny pickled partial; the driver folds partials (with begin-block
+    inits) and runs the end block sequentially to produce the emitted
+    records. Non-associative programs raise DslError — at conformance
+    scale use Program.run_sequential instead."""
+    import pickle
+
+    prog = compile_program(src)
+    if not prog.needs_seq:
+        raise DslError("put_oosvar expects a program with @oosvars")
+
+    # begin-block inits, evaluated once on an empty table
+    oos0: dict = {}
+    if prog.begin:
+        seq0 = {"oos": oos0, "emitted": [], "texts": []}
+        env0 = {"\x00seq": seq0}
+        prog._exec(prog.begin, pa.table({}), env0, None,
+                   {"mask": None, "bare": None})
+
+    stmts = prog.statements
+
+    def block(t: pa.Table) -> pa.Table:
+        acc: dict = {}
+        state = {"mask": None, "bare": None, "acc": acc}
+        _exec_impl(prog, stmts, t, {}, None, state)
+        return pa.table({"blob": pa.array([pickle.dumps(acc)],
+                                          type=pa.binary())})
+
+    parts = [pickle.loads(r["blob"]) for r in
+             ds.map_batches(block, batch_format="pyarrow",
+                            batch_size=None).take_all()]
+
+    merged: dict = {}
+    for part in parts:
+        for name, ent in part.items():
+            cur = merged.setdefault(name, {"op": ent["op"],
+                                           "grouped": ent["grouped"],
+                                           "val": None, "vals": {}})
+            if cur["op"] != ent["op"] or cur["grouped"] != ent["grouped"]:
+                raise DslError(f"@{name} accumulator shape mismatch "
+                               "across blocks")
+            kind = _ACC_OPS[ent["op"]]
+            if ent["grouped"]:
+                for kk, pv in ent["vals"].items():
+                    c = cur["vals"].get(kk)
+                    cur["vals"][kk] = pv if c is None else (
+                        c + pv if kind == "sum" else c * pv)
+            elif ent["val"] is not None:
+                c = cur["val"]
+                cur["val"] = ent["val"] if c is None else (
+                    c + ent["val"] if kind == "sum" else c * ent["val"])
+
+    # fold begin inits + merged partials into final oosvar values
+    oos: dict = dict(oos0)
+    for name, ent in merged.items():
+        init = oos0.get(name)
+        if ent["op"] == "-=" and init is None:
+            raise DslError(f"@{name} -= needs an explicit begin "
+                           "initializer to be order-free")
+        if ent["grouped"]:
+            base = init if isinstance(init, dict) else {}
+            out = dict(base)
+            for kk, pv in ent["vals"].items():
+                c = out.get(kk)
+                if ent["op"] == "-=":
+                    out[kk] = (c if c is not None else 0) - pv
+                elif ent["op"] == "*=":
+                    out[kk] = pv if c is None else c * pv
+                else:
+                    out[kk] = pv if c is None else c + pv
+            oos[name] = out
+        else:
+            v = ent["val"]
+            if v is not None:
+                if ent["op"] == "-=":
+                    oos[name] = init - v
+                elif ent["op"] == "*=":
+                    oos[name] = v if init is None else init * v
+                else:
+                    oos[name] = v if init is None else init + v
+
+    # end block: sequential over the final oosvar state
+    seq = {"oos": oos, "emitted": [], "texts": []}
+    if prog.end:
+        env = {"\x00seq": seq}
+        prog._exec(prog.end, pa.table({}), env, None,
+                   {"mask": None, "bare": None})
+    return pd.DataFrame(seq["emitted"])
 
 
 def filter_expr(ds, src: str, exclude: bool = False):

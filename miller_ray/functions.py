@@ -395,9 +395,20 @@ def _strptime(x, fmt):
     import re as _re
 
     # C/Go composite directives pandas lacks
-    fmt = fmt.replace("%F", "%Y-%m-%d").replace("%T", "%H:%M:%S")
+    fmt = (fmt.replace("%F", "%Y-%m-%d").replace("%T", "%H:%M:%S")
+              .replace("%D", "%m/%d/%y").replace("%R", "%H:%M")
+              .replace("%r", "%I:%M:%S %p"))
+    if not isinstance(x, (pa.Array, pa.ChunkedArray)):
+        # literal/scalar argument (sequential-interpreter mode)
+        one = _strptime(pa.array([x], type=pa.string()), fmt)
+        return one[0].as_py()
     ser = _pd.Series(np.asarray(_s(x).to_pandas()))
-    dt = _pd.to_datetime(ser, format=fmt, errors="coerce", utc=True)
+    try:
+        dt = _pd.to_datetime(ser, format=fmt, errors="coerce", utc=True)
+    except ValueError:
+        # directive unsupported by the C library (e.g. bare %U):
+        # Miller's strptime yields the error VALUE (lib/time.go)
+        return pa.array(["(error)"] * len(ser), type=pa.string())
     bad = dt.isna().to_numpy()
     frac = np.zeros(len(ser), dtype=np.float64)
     if bad.any() and fmt.endswith("%SZ"):
@@ -414,15 +425,13 @@ def _strptime(x, fmt):
             bad = dt.isna().to_numpy()
     secs = ((dt - _pd.Timestamp(0, tz="UTC")).dt.total_seconds()
             .fillna(0.0).to_numpy()) + frac
-    has_frac = bool((frac > 0).any())
     if bad.any():
         out = np.where(frac > 0, ["%.8f" % v for v in secs],
                        secs.astype(np.int64).astype(str)).astype(object)
         out[bad] = "(error)"
         return pa.array(out, type=pa.string())
-    if has_frac:
-        return pa.array(secs)
-    return pa.array(secs.astype(np.int64))
+    # reference strptime is FLOAT-typed always (datetime.go:501)
+    return pa.array(secs)
 bif("dhms2sec")(lambda x: pa.array(np.array([_dhms2sec(v) for v in np.asarray(_s(x))],
                                             dtype=np.int64)))
 
@@ -522,7 +531,19 @@ def _b64d(x):
 # --- round-2 additions: strings, padding, regex, time, modular, math -------
 
 bif("ceil")(lambda x: pc.ceil(_f(x)))  # alias of ceiling
-bif("length")(lambda x: pa.array(np.ones(len(x), dtype=np.int64)))  # scalar -> 1
+@bif("length")
+def _length(x):
+    """Collection size: map -> #keys, array -> #elements, scalar -> 1
+    (bifs/collections.go). Python dict/list appear as per-row constant
+    literals; Arrow list columns use the vectorized kernel."""
+    if isinstance(x, (dict, list)):
+        return len(x)
+    if isinstance(x, (pa.Array, pa.ChunkedArray)) and (
+            pa.types.is_list(x.type) or pa.types.is_large_list(x.type)):
+        return pc.list_value_length(x)
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pa.array(np.ones(len(x), dtype=np.int64))
+    return 1
 bif("gssub")(lambda x, a, b: pc.replace_substring(_s(x), pattern=a, replacement=b))
 bif("leftpad")(lambda x, n, p: pc.utf8_lpad(_s(x), width=int(n), padding=p))
 bif("rightpad")(lambda x, n, p: pc.utf8_rpad(_s(x), width=int(n), padding=p))

@@ -107,7 +107,7 @@ def test_filter_statement():
 
 def test_errors():
     with pytest.raises(dsl.DslError):
-        dsl.compile_program("@v = 1")
+        dsl.compile_program('tee > "f", $*')
     with pytest.raises(dsl.DslError):
         dsl.compile_program("$z = nofn($x)")
     with pytest.raises(dsl.DslError):
