@@ -261,6 +261,20 @@ def q_filter_expr(sf_dir: str):
         ds, '$p_retailprice >= 1200 && $p_name =~ "widget" || $p_brand == "Brand#13"')
 
 
+def q_put_oosvar_sum(sf_dir: str):
+    """Aggregating-put idiom (put -q with @oosvars + begin/emit,
+    pkg/dsl/cst/emit_emitp.go) on the distributed partial/merge plan
+    (dsl.put_oosvar): per-block vectorized reduction, driver fold."""
+    from miller_ray import dsl
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    r = dsl.put_oosvar(
+        ds, 'begin {@q = {}} @q[$l_returnflag] += $l_quantity; '
+            'end {emit @q, "l_returnflag"}')
+    r = r.sort_values("l_returnflag").reset_index(drop=True)
+    return _round(r, {"q": 2})
+
+
 def q_rank(sf_dir: str):
     from miller_ray import verbs
 
@@ -1013,6 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_head": q_sort_head,
         "filter_project": q_filter_project,
         "put_expr": q_put_expr,
+        "put_oosvar_sum": q_put_oosvar_sum,
         "filter_expr": q_filter_expr,
         "rank": q_rank,
         "count_similar": q_count_similar,
@@ -1202,6 +1217,9 @@ def oracle_sql() -> dict[str, str]:
             "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge, "
             "CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS tag "
             "FROM lineitem",
+        "put_oosvar_sum":
+            "SELECT l_returnflag, ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS q "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
         "filter_expr":
             "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part "
             "WHERE (p_retailprice >= 1200 AND regexp_matches(p_name, 'widget')) "
