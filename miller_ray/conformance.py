@@ -1411,10 +1411,21 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame):
     from miller_ray import dsl as DSL
 
     if _has(a, "-f"):
-        spath = os.path.join(REFERENCE, _flagvals(a, "-f"))
-        with open(spath) as fh:
-            src = fh.read()
-        a = [x for x in a if x != "-f" and x != _flagvals(a, "-f")]
+        # multiple -f scripts concatenate into one program
+        # (mlr put -f p1 -f p2; reference put_or_filter.go script pieces)
+        pieces = []
+        rest = []
+        j = 0
+        while j < len(a):
+            if a[j] == "-f" and j + 1 < len(a):
+                with open(os.path.join(REFERENCE, a[j + 1])) as fh:
+                    pieces.append(fh.read())
+                j += 2
+            else:
+                rest.append(a[j])
+                j += 1
+        src = "\n".join(pieces)
+        a = rest
     else:
         src = None
     flags = [x for x in a if x.startswith("-") and len(x) > 1

@@ -34,6 +34,7 @@ Deliberate divergences (documented, consistent with SURVEY §1.6):
 
 from __future__ import annotations
 
+import functools
 import re
 from collections.abc import Callable
 
@@ -59,6 +60,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<float>(\d+\.\d*|\.\d+)([eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>0[xX][0-9a-fA-F]+|0[bB][01]+|\d+)
   | (?P<string>"(\\.|[^"\\])*")
+  | (?P<posfield>\$\[\[\[|\$\[\[|\$\[)
   | (?P<field>\$(\{[^}]*\}|[A-Za-z_][A-Za-z0-9_]*|\*))
   | (?P<oosvar>@(\{[^}]*\}|[A-Za-z_][A-Za-z0-9_]*|\*))
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
@@ -605,6 +607,9 @@ class _Parser:
             name = _field_name(v)
             if name == "*":
                 def fstar(t, env):
+                    srec = env.get("\x00srec")
+                    if srec is not None:
+                        return dict(srec)
                     if "\x00seq" not in env:
                         raise DslError("$* is only available in the "
                                        "sequential interpreter")
@@ -622,6 +627,9 @@ class _Parser:
                 return fstar
 
             def f(t, env, name=name):
+                srec = env.get("\x00srec")
+                if srec is not None:
+                    return srec.get(name)  # absent -> None (Miller)
                 if name in env:
                     return env[name]
                 if name not in t.column_names:
@@ -659,10 +667,56 @@ class _Parser:
                         return env[key]
                     raise DslError(f"{v} is not available here")
                 return f
+            if v == "func" and self.peek() == ("op", "("):
+                # unnamed function literal: func(a, b) { ... }
+                # (pkg/dsl/cst/udf.go unnamed-UDF for HOF arguments)
+                params = self.params()
+                body = _parse_block(self)
+                fv = ("\x00funcval", params, body)
+                return lambda t, env: fv
             if self.peek() == ("op", "("):
                 return self.call(v)
-            raise DslError(f"unknown identifier {v!r} (NR/FNR/FILENAME and "
-                           "@oosvars are not supported)")
+
+            def flocal(t, env, v=v):
+                val = _scope_lookup(env, v)
+                if val is not _ABSENT:
+                    return val
+                funcs = env.get("\x00funcs") or {}
+                if v in funcs:
+                    return funcs[v]
+                if "\x00seq" in env:
+                    return None  # unbound local reads as absent (Miller)
+                raise DslError(
+                    f"unknown identifier {v!r} (local variables require "
+                    "the sequential interpreter)")
+            return flocal
+        if k == "posfield":
+            # $[[n]] = name of n-th field, $[[[n]]] = its value,
+            # $[expr] = field named by expr (pkg/dsl/cst positional and
+            # indirect field access); sequential interpreter only.
+            nclose = {"$[": 1, "$[[": 2, "$[[[": 3}[v]
+            e = self.expr()
+            for _ in range(nclose):
+                self.expect("]")
+            want = {"$[": "dyn", "$[[": "name", "$[[[": "value"}[v]
+
+            def fpos(t, env, e=e, want=want):
+                srec = env.get("\x00srec")
+                if srec is None:
+                    raise DslError("positional/indirect field access "
+                                   "requires the sequential interpreter")
+                key = _scalarize(e(t, env))
+                if want == "dyn":
+                    return None if key is None else srec.get(_fmt_key(key))
+                if not isinstance(key, (int, np.integer)) or \
+                        isinstance(key, bool):
+                    raise DslError("positional field index must be an int")
+                names = list(srec.keys())
+                i = int(key) - 1 if int(key) > 0 else len(names) + int(key)
+                if not (0 <= i < len(names)):
+                    return None
+                return names[i] if want == "name" else srec[names[i]]
+            return fpos
         if v == "(":
             e = self.expr()
             self.expect(")")
@@ -712,10 +766,30 @@ class _Parser:
             return farr
         raise DslError(f"unexpected token {v!r}")
 
+    def params(self) -> list[tuple[str, str]]:
+        """Parse a UDF parameter list ``(typ? name, ...)`` — types from
+        _TYPE_CHECKS (pkg/dsl/cst/udf.go typed parameters)."""
+        self.expect("(")
+        out: list[tuple[str, str]] = []
+        if self.peek() != ("op", ")"):
+            while True:
+                k, v = self.next()
+                if k != "ident":
+                    raise DslError(f"expected parameter name, got {v!r}")
+                if v in _TYPE_CHECKS and self.peek()[0] == "ident":
+                    typ = v
+                    _, v = self.next()
+                else:
+                    typ = "var"
+                out.append((typ, v))
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+        self.expect(")")
+        return out
+
     def call(self, name: str) -> Expr:
-        if name not in REGISTRY:
-            raise DslError(f"unknown function {name!r} "
-                           f"(supported: miller_ray.functions.supported())")
         self.expect("(")
         args: list[Expr] = []
         if self.peek() != ("op", ")"):
@@ -724,6 +798,26 @@ class _Parser:
                 self.next()
                 args.append(self.expr())
         self.expect(")")
+        if name not in REGISTRY:
+            # UDF or HOF — resolved at runtime against env
+            # (pkg/dsl/cst/udf.go callsites; hofs.go)
+            hof = _HOFS.get(name)
+
+            def fudf(t, env, name=name, args=args, hof=hof):
+                vals = [_unseq_val(a(t, env)) for a in args]
+                funcs = env.get("\x00funcs") or {}
+                fv = funcs.get(name)
+                if fv is None:
+                    lv = _scope_lookup(env, name)
+                    if _is_funcval(lv):
+                        fv = lv
+                if fv is not None:
+                    return _call_func(env.get("\x00prog"), fv, vals, t, env)
+                if hof is not None:
+                    return hof(vals, t, env)
+                raise DslError(f"unknown function {name!r} (supported: "
+                               "miller_ray.functions.supported())")
+            return fudf
         fn = REGISTRY[name]
 
         def f(t, env, fn=fn, args=args):
@@ -751,11 +845,13 @@ class _Parser:
 class Program:
     """Compiled DSL program: ordered statements over a batch + env."""
 
-    def __init__(self, statements: list[tuple], begin=None, end=None):
+    def __init__(self, statements: list[tuple], begin=None, end=None,
+                 funcs=None):
         self.statements = statements
         self.begin = begin or []
         self.end = end or []
-        self.needs_seq = bool(self.begin or self.end) or \
+        self.funcs = funcs or {}
+        self.needs_seq = bool(self.begin or self.end or self.funcs) or \
             _stmts_need_seq(statements)
 
     def run(self, t: pa.Table,
@@ -798,15 +894,374 @@ def _bool_rows(v, n: int) -> np.ndarray:
     return np.full(n, bool(v))
 
 
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+class _Return(Exception):
+    def __init__(self, value=None):
+        self.value = value
+
+
+def _truthy(v) -> bool:
+    """Scalar condition truthiness (sequential mode). Miller conditions
+    are boolean-typed; absent is false; the string forms "true"/"false"
+    coerce (mlrval scan)."""
+    v = _scalarize(v)
+    if v is None:
+        return False
+    if isinstance(v, str):
+        if v == "true":
+            return True
+        if v == "false":
+            return False
+    return bool(v)
+
+
+def _scopes(env) -> list[dict]:
+    return env.setdefault("\x00scopes", [{}])
+
+
+def _scope_lookup(env, name):
+    for sc in reversed(_scopes(env)):
+        if name in sc:
+            return sc[name]
+    return _ABSENT
+
+
+_ABSENT = object()  # sentinel: name not bound in any scope
+
+
+def _scope_assign(env, name, val):
+    """Assign to the innermost scope already holding name, else bind in
+    the current (innermost) scope (pkg/runtime/stack.go semantics for
+    non-declared assignment)."""
+    scs = _scopes(env)
+    for sc in reversed(scs):
+        if name in sc:
+            sc[name] = val
+            return
+    scs[-1][name] = val
+
+
+_TYPE_CHECKS = {
+    "var": lambda v: True,
+    "str": lambda v: isinstance(v, str),
+    "num": lambda v: isinstance(v, (int, float, np.integer, np.floating))
+    and not isinstance(v, bool),
+    "int": lambda v: isinstance(v, (int, np.integer))
+    and not isinstance(v, bool),
+    "float": lambda v: isinstance(v, (float, np.floating)),
+    "bool": lambda v: isinstance(v, (bool, np.bool_)),
+    "map": lambda v: isinstance(v, dict),
+    "arr": lambda v: isinstance(v, list),
+    "funct": lambda v: isinstance(v, tuple) and len(v) == 3
+    and v[0] == "\x00funcval",
+}
+
+
+def _typecheck(typ: str, name: str, val):
+    if val is None:
+        return  # absent assignment is a no-op upstream
+    if typ == "num" and isinstance(val, str):
+        raise DslError(f"couldn't assign {typ} {name} from string")
+    chk = _TYPE_CHECKS.get(typ)
+    if chk is not None and not chk(val):
+        raise DslError(
+            f"couldn't assign {typ} {name} from {type(val).__name__}")
+
+
+def _exec_scoped(self, body, t, env, state):
+    """Run a block body in a fresh local scope (sequential mode)."""
+    scs = _scopes(env)
+    scs.append({})
+    try:
+        _exec_impl(self, body, t, env, None, state)
+    finally:
+        scs.pop()
+
+
+def _call_func(self, fv, argvals, t, env):
+    """Invoke a user function/subroutine value ('\\x00funcval', params,
+    body). Functions see $-fields and @oosvars but get a fresh local
+    scope stack seeded with their (type-checked) parameters
+    (pkg/dsl/cst/udf.go)."""
+    _tag, params, body = fv
+    if len(argvals) != len(params):
+        raise DslError(f"function expects {len(params)} args, "
+                       f"got {len(argvals)}")
+    frame = {}
+    for (ptyp, pname), av in zip(params, argvals):
+        _typecheck(ptyp, pname, av)
+        frame[pname] = av
+    saved = env.get("\x00scopes")
+    saved_caps = env.get("\x00caps")
+    env["\x00scopes"] = [frame]
+    state = {"mask": None, "bare": None}
+    try:
+        _exec_impl(self, body, t, env, None, state)
+        return None
+    except _Return as r:
+        return r.value
+    finally:
+        if saved is None:
+            env.pop("\x00scopes", None)
+        else:
+            env["\x00scopes"] = saved
+        # regex captures are frame-scoped: a match inside the callee
+        # must not clobber the caller's \1..\9 (golden
+        # dsl-regex-matching/0017)
+        if saved_caps is None:
+            env.pop("\x00caps", None)
+        else:
+            env["\x00caps"] = saved_caps
+
+
+def _is_funcval(v) -> bool:
+    return isinstance(v, tuple) and len(v) == 3 and v[0] == "\x00funcval"
+
+
+def _as_funcval(v, hof: str):
+    if not _is_funcval(v):
+        raise DslError(f"{hof}: argument is not a function")
+    return v
+
+
+def _one_pair(v, hof: str) -> tuple:
+    if not isinstance(v, dict) or len(v) != 1:
+        raise DslError(f"{hof}: map callback must return a single-pair map")
+    return next(iter(v.items()))
+
+
+# Higher-order functions (pkg/dsl/cst/hofs.go). Each takes the
+# already-evaluated arg list plus (t, env); the UDF value is invoked
+# through _call_func so it sees $-fields and @oosvars.
+def _hof_apply(vals, t, env):
+    coll, fv = vals[0], _as_funcval(vals[1], "apply")
+    prog = env.get("\x00prog")
+    if isinstance(coll, list):
+        return [_call_func(prog, fv, [e], t, env) for e in coll]
+    if isinstance(coll, dict):
+        out = {}
+        for k, v in coll.items():
+            rk, rv = _one_pair(_call_func(prog, fv, [k, v], t, env), "apply")
+            out[rk] = rv
+        return out
+    raise DslError("apply: first argument is not a collection")
+
+
+def _hof_select(vals, t, env):
+    coll, fv = vals[0], _as_funcval(vals[1], "select")
+    prog = env.get("\x00prog")
+    if isinstance(coll, list):
+        return [e for e in coll
+                if _truthy(_call_func(prog, fv, [e], t, env))]
+    if isinstance(coll, dict):
+        return {k: v for k, v in coll.items()
+                if _truthy(_call_func(prog, fv, [k, v], t, env))}
+    raise DslError("select: first argument is not a collection")
+
+
+def _hof_fold(vals, t, env):
+    coll, fv, init = vals[0], _as_funcval(vals[1], "fold"), vals[2]
+    prog = env.get("\x00prog")
+    if isinstance(coll, list):
+        acc = init
+        for e in coll:
+            acc = _call_func(prog, fv, [acc, e], t, env)
+        return acc
+    if isinstance(coll, dict):
+        if not coll:
+            return None
+        ak, av = _one_pair(init, "fold")
+        for k, v in coll.items():
+            ak, av = _one_pair(
+                _call_func(prog, fv, [ak, av, k, v], t, env), "fold")
+        return {ak: av}
+    raise DslError("fold: first argument is not a collection")
+
+
+def _hof_reduce(vals, t, env):
+    coll, fv = vals[0], _as_funcval(vals[1], "reduce")
+    prog = env.get("\x00prog")
+    if isinstance(coll, list):
+        if not coll:
+            return None
+        acc = coll[0]
+        for e in coll[1:]:
+            acc = _call_func(prog, fv, [acc, e], t, env)
+        return acc
+    if isinstance(coll, dict):
+        if not coll:
+            return None
+        items = list(coll.items())
+        ak, av = items[0]
+        for k, v in items[1:]:
+            ak, av = _one_pair(
+                _call_func(prog, fv, [ak, av, k, v], t, env), "reduce")
+        return {ak: av}
+    raise DslError("reduce: first argument is not a collection")
+
+
+def _hof_any(vals, t, env):
+    coll, fv = vals[0], _as_funcval(vals[1], "any")
+    prog = env.get("\x00prog")
+    if isinstance(coll, list):
+        return any(_truthy(_call_func(prog, fv, [e], t, env))
+                   for e in coll)
+    if isinstance(coll, dict):
+        return any(_truthy(_call_func(prog, fv, [k, v], t, env))
+                   for k, v in coll.items())
+    raise DslError("any: first argument is not a collection")
+
+
+def _hof_every(vals, t, env):
+    coll, fv = vals[0], _as_funcval(vals[1], "every")
+    prog = env.get("\x00prog")
+    if isinstance(coll, list):
+        return all(_truthy(_call_func(prog, fv, [e], t, env))
+                   for e in coll)
+    if isinstance(coll, dict):
+        return all(_truthy(_call_func(prog, fv, [k, v], t, env))
+                   for k, v in coll.items())
+    raise DslError("every: first argument is not a collection")
+
+
+def _natural_key(s: str):
+    return [int(p) if p.isdigit() else p
+            for p in re.split(r"(\d+)", s) if p != ""]
+
+
+def _sort_key(flags: str):
+    """decodeSortFlags (hofs.go:564): default numerical; f=lexical,
+    c=case-fold, t=natural, r=reverse, v=by-map-value."""
+    mode = "n"
+    for c in flags:
+        if c in "nfct":
+            mode = c
+    if mode == "n":
+        def key(v):
+            if isinstance(v, bool):
+                return (2, str(v))
+            if isinstance(v, (int, float, np.integer, np.floating)):
+                return (0, float(v), "")
+            return (1, 0.0, str(v))
+    elif mode == "c":
+        def key(v):
+            return str(v).casefold()
+    elif mode == "t":
+        def key(v):
+            return _natural_key(str(v))
+    else:
+        def key(v):
+            return str(v)
+    return key
+
+
+def _hof_sort(vals, t, env):
+    coll = vals[0]
+    prog = env.get("\x00prog")
+    arg2 = vals[1] if len(vals) > 1 else ""
+    if _is_funcval(arg2):
+        fv = arg2
+        if isinstance(coll, list):
+            def cmp_a(a, b):
+                return int(_call_func(prog, fv, [a, b], t, env) or 0)
+            return sorted(coll, key=functools.cmp_to_key(cmp_a))
+        if isinstance(coll, dict):
+            def cmp_m(pa_, pb):
+                return int(_call_func(
+                    prog, fv, [pa_[0], pa_[1], pb[0], pb[1]], t, env) or 0)
+            return dict(sorted(coll.items(),
+                               key=functools.cmp_to_key(cmp_m)))
+        raise DslError("sort: first argument is not a collection")
+    flags = str(arg2 or "")
+    key = _sort_key(flags)
+    rev = "r" in flags
+    if isinstance(coll, list):
+        return sorted(coll, key=key, reverse=rev)
+    if isinstance(coll, dict):
+        byval = "v" in flags
+        return dict(sorted(
+            coll.items(),
+            key=(lambda kv: key(kv[1])) if byval else (lambda kv: key(kv[0])),
+            reverse=rev))
+    raise DslError("sort: first argument is not a collection")
+
+
+_HOFS = {
+    "apply": _hof_apply,
+    "select": _hof_select,
+    "fold": _hof_fold,
+    "reduce": _hof_reduce,
+    "any": _hof_any,
+    "every": _hof_every,
+    "sort": _hof_sort,
+}
+
+
+def _iter_bindings(keyvars, valvar, coll):
+    """Yield per-iteration binding dicts for for-loops
+    (pkg/dsl/cst/for.go): single var = keys of a map / elements of an
+    array; (k, v) = items; ((k1..kn), v) = n-deep map iteration."""
+    if valvar is None:
+        (kv,) = keyvars
+        if isinstance(coll, dict):
+            for k in list(coll):
+                yield {kv: k}
+        elif isinstance(coll, list):
+            for e in list(coll):
+                yield {kv: e}
+        elif coll is not None:
+            raise DslError("for-loop target is not a collection")
+        return
+    if len(keyvars) == 1:
+        if isinstance(coll, dict):
+            for k, v in list(coll.items()):
+                yield {keyvars[0]: k, valvar: v}
+        elif isinstance(coll, list):
+            for i, v in enumerate(coll, 1):
+                yield {keyvars[0]: i, valvar: v}
+        elif coll is not None:
+            raise DslError("for-loop target is not a collection")
+        return
+    # multi-key: descend len(keyvars) levels through nested maps
+    def rec(node, depth, bound):
+        if depth == len(keyvars):
+            yield {**bound, valvar: node}
+            return
+        if isinstance(node, dict):
+            for k, v in list(node.items()):
+                yield from rec(v, depth + 1, {**bound, keyvars[depth]: k})
+    if isinstance(coll, dict):
+        yield from rec(coll, 0, {})
+    elif coll is not None:
+        raise DslError("for-loop target is not a map")
+
+
 def _exec_impl(self, stmts, t, env, mask, state):
     """Execute statements under an optional numpy bool row mask."""
     n = t.num_rows
+    srec = env.get("\x00srec")
     for kind, *rest in stmts:
         if kind == "assign":
             name, op, expr = rest
             val = _unscalar(expr(t, env))
             if val is None:
                 continue  # absent RHS: assignment is a no-op
+            if srec is not None:
+                if not isinstance(val, (dict, list)):
+                    val = _scalarize(val)
+                if op != "=":
+                    cur = srec.get(name)
+                    val = _oos_combine(op, cur, val)
+                if val is not None:
+                    srec[name] = val
+                continue
             if "\x00seq" in env and isinstance(val, (dict, list)) \
                     and op == "=":
                 env[name] = val
@@ -830,7 +1285,9 @@ def _exec_impl(self, stmts, t, env, mask, state):
                                        _materialize(b, n))
         elif kind == "unset":
             (name,) = rest
-            if mask is None:
+            if srec is not None:
+                srec.pop(name, None)
+            elif mask is None:
                 env[name] = None
             else:
                 cur = env.get(name,
@@ -841,6 +1298,11 @@ def _exec_impl(self, stmts, t, env, mask, state):
                                            pa.nulls(n, cur_arr.type), cur_arr)
         elif kind == "filter":
             (expr,) = rest
+            if srec is not None:
+                m = _truthy(expr(t, env))
+                prev = state["mask"]
+                state["mask"] = m if prev is None else (bool(prev) and m)
+                continue
             m = _bool_rows(expr(t, env), n)
             if mask is not None:
                 # rows outside the active branch are unaffected (kept)
@@ -853,6 +1315,12 @@ def _exec_impl(self, stmts, t, env, mask, state):
             state["bare"] = expr(t, env)
         elif kind == "cond":
             (branches,) = rest
+            if srec is not None:
+                for cond_expr, body in branches:
+                    if cond_expr is None or _truthy(cond_expr(t, env)):
+                        _exec_scoped(self, body, t, env, state)
+                        break
+                continue
             taken = np.zeros(n, dtype=bool)
             for cond_expr, body in branches:
                 if cond_expr is None:  # else branch
@@ -907,6 +1375,237 @@ def _exec_impl(self, stmts, t, env, mask, state):
                 v = expr(t, env)
                 v = v if isinstance(v, (dict, list)) else _scalarize(v)
                 seq["texts"].append(_print_render(v, seq.get("ofmt")))
+        elif kind == "localdecl":
+            typ, name, expr = rest
+            if "\x00seq" not in env:
+                raise DslError("local variables require the sequential "
+                               "interpreter")
+            val = None
+            if expr is not None:
+                val = expr(t, env)
+                if not isinstance(val, (dict, list, tuple)):
+                    val = _scalarize(val)
+                _typecheck(typ, name, val)
+            _scopes(env)[-1][name] = val
+        elif kind == "localassign":
+            name, op, expr = rest
+            if "\x00seq" not in env:
+                raise DslError("local variables require the sequential "
+                               "interpreter")
+            val = expr(t, env)
+            if not isinstance(val, (dict, list, tuple)):
+                val = _scalarize(val)
+            if val is None:
+                continue
+            if op != "=":
+                cur = _scope_lookup(env, name)
+                cur = None if cur is _ABSENT else cur
+                val = _oos_combine(op, cur, val)
+            _scope_assign(env, name, val)
+        elif kind == "lidxassign":
+            name, idx_exprs, op, expr = rest
+            if "\x00seq" not in env:
+                raise DslError("local variables require the sequential "
+                               "interpreter")
+            val = expr(t, env)
+            if not isinstance(val, (dict, list, tuple)):
+                val = _scalarize(val)
+            cur = _scope_lookup(env, name)
+            if cur is _ABSENT or not isinstance(cur, (dict, list)):
+                cur = {}
+                _scope_assign(env, name, cur)
+            _assign_path(cur, [_scalarize(e(t, env)) for e in idx_exprs],
+                         op, val)
+        elif kind == "fidxassign":
+            fname, idx_exprs, op, expr = rest
+            if srec is None:
+                raise DslError("indexed field assignment requires the "
+                               "sequential interpreter")
+            val = expr(t, env)
+            if not isinstance(val, (dict, list, tuple)):
+                val = _scalarize(val)
+            cur = srec.get(fname)
+            if not isinstance(cur, (dict, list)):
+                cur = {}
+                srec[fname] = cur
+            _assign_path(cur, [_scalarize(e(t, env)) for e in idx_exprs],
+                         op, val)
+        elif kind == "dynassign":
+            nameexpr, idx_exprs, op, expr = rest
+            if srec is None:
+                raise DslError("$[expr] assignment requires the "
+                               "sequential interpreter")
+            name = _scalarize(nameexpr(t, env))
+            if name is None:
+                continue
+            name = _fmt_key(name)
+            val = expr(t, env)
+            if not isinstance(val, (dict, list, tuple)):
+                val = _scalarize(val)
+            if idx_exprs:
+                cur = srec.get(name)
+                if not isinstance(cur, (dict, list)):
+                    cur = {}
+                    srec[name] = cur
+                _assign_path(cur, [_scalarize(e(t, env))
+                                   for e in idx_exprs], op, val)
+            else:
+                if op != "=":
+                    val = _oos_combine(op, srec.get(name), val)
+                if val is not None:
+                    srec[name] = val
+        elif kind == "posassign":
+            form, nexpr, expr = rest
+            if srec is None:
+                raise DslError("positional field assignment requires the "
+                               "sequential interpreter")
+            idx = _scalarize(nexpr(t, env))
+            if not isinstance(idx, (int, np.integer)):
+                raise DslError("positional field index must be an int")
+            names = list(srec.keys())
+            i = int(idx) - 1 if int(idx) > 0 else len(names) + int(idx)
+            if not (0 <= i < len(names)):
+                continue  # out-of-range positional: no-op (Miller)
+            val = expr(t, env)
+            if not isinstance(val, (dict, list)):
+                val = _scalarize(val)
+            if form == "name":
+                # rename-in-place; an existing field with the new name
+                # is dropped (mlrmap rename, golden
+                # dsl-array-map-indexing/0078)
+                newname = _fmt_key(val)
+                old = names[i]
+                if newname != old:
+                    out2 = {}
+                    for kk, vv in srec.items():
+                        if kk == old:
+                            out2[newname] = vv
+                        elif kk != newname:
+                            out2[kk] = vv
+                    srec.clear()
+                    srec.update(out2)
+            else:
+                srec[names[i]] = val
+        elif kind == "srec_assign":
+            (expr,) = rest
+            if srec is None:
+                raise DslError("assignment to $* requires the "
+                               "sequential interpreter")
+            val = expr(t, env)
+            if not isinstance(val, dict):
+                raise DslError("$* must be assigned a map")
+            srec.clear()
+            for kk, vv in val.items():
+                srec[_fmt_key(kk)] = vv
+        elif kind == "oall_assign":
+            (expr,) = rest
+            seq = env.get("\x00seq")
+            if seq is None:
+                raise DslError("@* requires the sequential interpreter")
+            val = expr(t, env)
+            if not isinstance(val, dict):
+                raise DslError("@* must be assigned a map")
+            seq["oos"].clear()
+            seq["oos"].update(val)
+        elif kind == "unset_multi":
+            targets = rest[0]
+            for tg in targets:
+                _exec_unset(tg, t, env, srec)
+        elif kind == "while":
+            cond, body = rest
+            if "\x00seq" not in env:
+                raise DslError("while loops require the sequential "
+                               "interpreter")
+            iters = 0
+            while _truthy(cond(t, env)):
+                iters += 1
+                if iters > 10_000_000:
+                    raise DslError("while loop exceeded 1e7 iterations")
+                try:
+                    _exec_scoped(self, body, t, env, state)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        elif kind == "dowhile":
+            body, cond = rest
+            if "\x00seq" not in env:
+                raise DslError("do-while loops require the sequential "
+                               "interpreter")
+            iters = 0
+            while True:
+                iters += 1
+                if iters > 10_000_000:
+                    raise DslError("do-while loop exceeded 1e7 iterations")
+                try:
+                    _exec_scoped(self, body, t, env, state)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if not _truthy(cond(t, env)):
+                    break
+        elif kind == "for_bind":
+            keyvars, valvar, collexpr, body = rest
+            if "\x00seq" not in env:
+                raise DslError("for loops require the sequential "
+                               "interpreter")
+            coll = collexpr(t, env)
+            if not isinstance(coll, (dict, list)) and coll is not None:
+                coll = _scalarize(coll)
+            scs = _scopes(env)
+            for binding in _iter_bindings(keyvars, valvar, coll):
+                scs.append(dict(binding))
+                try:
+                    _exec_impl(self, body, t, env, None, state)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+                finally:
+                    scs.pop()
+        elif kind == "for_c":
+            init_stmts, cond, update_stmts, body = rest
+            if "\x00seq" not in env:
+                raise DslError("for loops require the sequential "
+                               "interpreter")
+            scs = _scopes(env)
+            scs.append({})
+            try:
+                _exec_impl(self, init_stmts, t, env, None, state)
+                iters = 0
+                while cond is None or _truthy(cond(t, env)):
+                    iters += 1
+                    if iters > 10_000_000:
+                        raise DslError("for loop exceeded 1e7 iterations")
+                    try:
+                        _exec_scoped(self, body, t, env, state)
+                    except _Break:
+                        break
+                    except _Continue:
+                        pass
+                    _exec_impl(self, update_stmts, t, env, None, state)
+            finally:
+                scs.pop()
+        elif kind == "break":
+            raise _Break()
+        elif kind == "continue":
+            raise _Continue()
+        elif kind == "return":
+            (expr,) = rest
+            raise _Return(None if expr is None else _unseq_val(expr(t, env)))
+        elif kind == "callsubr":
+            name, argexprs = rest
+            funcs = env.get("\x00funcs") or {}
+            fv = funcs.get(name)
+            if fv is None:
+                lv = _scope_lookup(env, name)
+                fv = None if lv is _ABSENT else lv
+            if not (isinstance(fv, tuple) and len(fv) == 3
+                    and fv[0] == "\x00funcval"):
+                raise DslError(f"unknown subroutine {name!r}")
+            argvals = [_unseq_val(a(t, env)) for a in argexprs]
+            _call_func(self, fv, argvals, t, env)
         else:  # pragma: no cover
             raise DslError(f"unknown statement kind {kind}")
 
@@ -987,6 +1686,125 @@ def _seq_oassign(name, idx_exprs, op, rhs, t, env, seq):
         nv = _oos_combine(op, _index_value(node, last), val)
         if nv is not None:
             _set_elem(node, last, nv)
+
+
+def _fmt_key(v) -> str:
+    """Render a computed field/map key the way Miller stringifies
+    mlrvals for record keys ($[expr] assignment, $* maps)."""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    return str(v)
+
+
+def _unseq_val(v):
+    """Fold an expression result to a sequential-mode value: scalars
+    stay Python scalars, collections and funcvals pass through."""
+    if isinstance(v, (dict, list)):
+        return v
+    if isinstance(v, tuple) and len(v) == 3 and v[0] == "\x00funcval":
+        return v
+    return _scalarize(v)
+
+
+def _assign_path(node, keys: list, op: str, val):
+    """In-place indexed assignment through nested maps/arrays, creating
+    intermediate maps (pkg/mlrval/mlrmap.go PutIndexed semantics)."""
+    for kk in keys[:-1]:
+        nxt = _index_value(node, kk)
+        if not isinstance(nxt, (dict, list)):
+            nxt = {}
+            _set_elem(node, kk, nxt)
+        node = nxt
+    last = keys[-1]
+    if op == "=":
+        if val is not None:
+            _set_elem(node, last, val)
+    else:
+        nv = _oos_combine(op, _index_value(node, last), val)
+        if nv is not None:
+            _set_elem(node, last, nv)
+
+
+def _del_elem(node, key):
+    if isinstance(node, dict):
+        if key in node:
+            del node[key]
+        elif not isinstance(key, str) and str(key) in node:
+            del node[str(key)]
+        return
+    if isinstance(node, list) and isinstance(key, (int, np.integer)) \
+            and not isinstance(key, bool):
+        k = int(key)
+        i = k - 1 if k > 0 else len(node) + k
+        if 0 <= i < len(node):
+            del node[i]
+
+
+def _unset_path(root, keys: list):
+    node = root
+    for kk in keys[:-1]:
+        node = _index_value(node, kk)
+        if not isinstance(node, (dict, list)):
+            return
+    _del_elem(node, keys[-1])
+
+
+def _exec_unset(tg, t, env, srec):
+    """One target of an `unset` statement (pkg/dsl/cst/statements.go
+    unset): ("field"|"oos"|"local", name, idx_exprs) | ("srec_all",) |
+    ("oos_all",)."""
+    kind = tg[0]
+    if kind == "srec_all":
+        if srec is None:
+            raise DslError("unset $* requires the sequential interpreter")
+        srec.clear()
+        return
+    if kind == "oos_all":
+        seq = env.get("\x00seq")
+        if seq is None:
+            raise DslError("unset @* requires the sequential interpreter")
+        seq["oos"].clear()
+        return
+    _k, name, idx_exprs = tg
+    keys = [_scalarize(e(t, env)) for e in idx_exprs]
+    if kind == "field":
+        if srec is None:
+            if keys:
+                raise DslError("indexed unset requires the sequential "
+                               "interpreter")
+            env[name] = None
+            return
+        if not keys:
+            srec.pop(name, None)
+        else:
+            cur = srec.get(name)
+            if isinstance(cur, (dict, list)):
+                _unset_path(cur, keys)
+        return
+    if kind == "oos":
+        seq = env.get("\x00seq")
+        if seq is None:
+            raise DslError("unset @var requires the sequential interpreter")
+        if not keys:
+            seq["oos"].pop(name, None)
+        else:
+            cur = seq["oos"].get(name)
+            if isinstance(cur, (dict, list)):
+                _unset_path(cur, keys)
+        return
+    # local
+    scs = _scopes(env)
+    for sc in reversed(scs):
+        if name in sc:
+            if not keys:
+                del sc[name]
+            elif isinstance(sc[name], (dict, list)):
+                _unset_path(sc[name], keys)
+            return
 
 
 def _flatten_into(out: dict, prefix, v):
@@ -1195,18 +2013,25 @@ def _print_render(v, ofmt: str | None = None) -> str:
     return str(v)
 
 
-def _run_sequential_impl(self, t: pa.Table, seed_env=None, quiet=False,
-                         ofmt: str | None = None):
-    """Row-at-a-time execution with full cross-record semantics
-    (@oosvars, begin/end, emit, dump/print). Returns (records, texts):
-    emitted + passed-through records in stream order, and raw text
-    output lines. Conformance-scale only — the distributed engine path
-    for the aggregating-put idiom is verbs.put_oosvar."""
+def _run_records_impl(self, records: list[dict], seeds: list[dict] | None
+                      = None, quiet=False, ofmt: str | None = None,
+                      want_filter=False):
+    """Row-at-a-time execution over ordered record dicts with full
+    cross-record semantics (@oosvars, begin/end, emit, dump/print,
+    locals, loops, user functions). Returns (records, texts): emitted +
+    passed-through records in stream order, and raw text output lines.
+    Conformance-scale only — the distributed engine path for the
+    aggregating-put idiom is verbs.put_oosvar.
+
+    seeds: optional per-record context dicts ({'\\x00NR': ..}).
+    want_filter: treat the program as a ``filter`` verb — keep a record
+    when the final bare expression (or filter-keyword mask) is truthy."""
     oos: dict = {}
     seq = {"oos": oos, "emitted": [], "texts": [], "ofmt": ofmt}
+    funcs = getattr(self, "funcs", {})
     out_records: list[dict] = []
     texts: list[str] = []
-    seed_env = seed_env or {}
+    empty = pa.table({})
 
     def drain():
         out_records.extend(seq["emitted"])
@@ -1214,48 +2039,82 @@ def _run_sequential_impl(self, t: pa.Table, seed_env=None, quiet=False,
         texts.extend(seq["texts"])
         seq["texts"].clear()
 
-    empty = t.slice(0, 0)
+    def base_env():
+        return {"\x00seq": seq, "\x00funcs": funcs, "\x00scopes": [{}],
+                "\x00prog": self}
+
     if self.begin:
-        env = {"\x00seq": seq}
+        env = base_env()
+        env["\x00srec"] = {}  # no current record: $reads absent,
+        # $writes discarded; keeps control flow on the scalar path
         state = {"mask": None, "bare": None}
         self._exec(self.begin, empty, env, None, state)
         drain()
-    for i in range(t.num_rows):
-        row = t.slice(i, 1)
-        env = {"\x00seq": seq}
-        for kk, vv in seed_env.items():
-            if _is_arr(vv) and len(vv) == t.num_rows:
-                env[kk] = _scalarize(vv.slice(i, 1) if isinstance(
-                    vv, pa.Array) else vv.combine_chunks().slice(i, 1))
-            else:
-                env[kk] = vv
+    nr = 0
+    for i, rec in enumerate(records):
+        nr = i + 1
+        srec = dict(rec)
+        env = base_env()
+        env["\x00srec"] = srec
+        env["\x00NR"] = nr
+        env["\x00FNR"] = nr
+        if seeds and i < len(seeds):
+            env.update(seeds[i])
         state = {"mask": None, "bare": None}
-        self._exec(self.statements, row, env, None, state)
+        self._exec(self.statements, empty, env, None, state)
         drain()
         if not quiet:
             keep = True
-            if state["mask"] is not None:
-                m = state["mask"]
-                keep = bool(_scalarize(m)) if _is_arr(m) else bool(m)
+            pred = state["bare"] if want_filter and \
+                state["bare"] is not None else state["mask"]
+            if want_filter and state["bare"] is None and \
+                    state["mask"] is None:
+                keep = False
+            if pred is not None:
+                keep = bool(_scalarize(pred)) if _is_arr(pred) \
+                    else bool(pred)
             if keep:
-                rec: dict = {}
-                for c in row.column_names:
-                    v = env[c] if c in env else row[c]
-                    if v is not None:
-                        rec[c] = _scalarize(v)
-                for c, v in env.items():
-                    if c.startswith("\x00") or c in row.column_names:
-                        continue
-                    if v is not None:
-                        rec[c] = _scalarize(v)
-                out_records.append(rec)
+                out_records.append(srec)
     if self.end:
-        env = {"\x00seq": seq, "\x00NR": t.num_rows,
-               "\x00FNR": t.num_rows}
+        env = base_env()
+        env["\x00srec"] = {}
+        env["\x00NR"] = nr
+        env["\x00FNR"] = nr
         state = {"mask": None, "bare": None}
         self._exec(self.end, empty, env, None, state)
         drain()
     return out_records, texts
+
+
+Program.run_records = _run_records_impl
+
+
+def _table_records(t: pa.Table) -> list[dict]:
+    """Arrow table -> ordered record dicts; nulls become absent."""
+    out = []
+    for row in t.to_pylist():
+        out.append({k: v for k, v in row.items() if v is not None})
+    return out
+
+
+def _run_sequential_impl(self, t: pa.Table, seed_env=None, quiet=False,
+                         ofmt: str | None = None, want_filter=False):
+    """Back-compat wrapper: run_records over an Arrow table, exploding
+    vector-valued seed_env entries (NR arrays etc.) per row."""
+    seed_env = seed_env or {}
+    n = t.num_rows
+    seeds: list[dict] = [{} for _ in range(n)]
+    for kk, vv in seed_env.items():
+        if _is_arr(vv) and len(vv) == n:
+            pyvals = (vv.combine_chunks() if isinstance(
+                vv, pa.ChunkedArray) else vv).to_pylist()
+            for i in range(n):
+                seeds[i][kk] = pyvals[i]
+        else:
+            for i in range(n):
+                seeds[i][kk] = vv
+    return self.run_records(_table_records(t), seeds=seeds, quiet=quiet,
+                            ofmt=ofmt, want_filter=want_filter)
 
 
 Program.run_sequential = _run_sequential_impl
@@ -1377,7 +2236,86 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
                 stmts.append(("print", p.expr(), nl))
         elif k == "ident" and v == "tee":
             raise DslError("tee statements are not supported")
-        elif k == "oosvar" and _oassign_ahead(p):
+        elif k == "ident" and v in ("func", "subr") and \
+                p.toks[p.i + 1: p.i + 2] and p.toks[p.i + 1][0] == "ident":
+            # func name(params) [: rettype] { body } (pkg/dsl/cst/udf.go)
+            p.next()
+            _, fname = p.next()
+            if fname in REGISTRY or fname in _HOFS:
+                raise DslError(f"cannot redefine builtin {fname!r}")
+            params = p.params()
+            if p.peek() == ("op", ":"):
+                p.next()
+                tk, tv = p.next()
+                if tk != "ident" or tv not in _TYPE_CHECKS:
+                    raise DslError(f"bad return type {tv!r}")
+            body = _parse_block(p)
+            if top is None:
+                raise DslError(f"{v} definitions must be top-level")
+            top.setdefault("funcs", {})[fname] = \
+                ("\x00funcval", params, body)
+        elif k == "ident" and v == "call":
+            p.next()
+            ck, cname = p.next()
+            if ck != "ident":
+                raise DslError("call expects a subroutine name")
+            p.expect("(")
+            argexprs: list[Expr] = []
+            if p.peek() != ("op", ")"):
+                argexprs.append(p.expr())
+                while p.peek() == ("op", ","):
+                    p.next()
+                    argexprs.append(p.expr())
+            p.expect(")")
+            stmts.append(("callsubr", cname, argexprs))
+        elif k == "ident" and v == "while":
+            p.next()
+            p.expect("(")
+            cond = p.expr()
+            p.expect(")")
+            stmts.append(("while", cond, _parse_block(p)))
+        elif k == "ident" and v == "do":
+            p.next()
+            body = _parse_block(p)
+            if p.peek() != ("ident", "while"):
+                raise DslError("expected 'while' after do-block")
+            p.next()
+            p.expect("(")
+            cond = p.expr()
+            p.expect(")")
+            stmts.append(("dowhile", body, cond))
+        elif k == "ident" and v == "for":
+            p.next()
+            stmts.append(_parse_for(p))
+        elif k == "ident" and v == "break":
+            p.next()
+            stmts.append(("break",))
+        elif k == "ident" and v == "continue":
+            p.next()
+            stmts.append(("continue",))
+        elif k == "ident" and v == "return":
+            p.next()
+            if p.peek()[1] in (";", "}") or p.peek()[0] == "eof":
+                stmts.append(("return", None))
+            else:
+                stmts.append(("return", p.expr()))
+        elif k == "ident" and v in _TYPE_CHECKS and \
+                p.toks[p.i + 1: p.i + 2] and p.toks[p.i + 1][0] == "ident":
+            stmts.append(_parse_localdecl(p))
+        elif k == "ident" and v not in ("begin", "end") and \
+                _assign_ahead(p, p.i + 1):
+            p.next()
+            idx = []
+            while p.peek() == ("op", "["):
+                p.next()
+                idx.append(p.expr())
+                p.expect("]")
+            _, op = p.next()
+            if idx:
+                stmts.append(("lidxassign", v, idx, op, p.expr()))
+            else:
+                stmts.append(("localassign", v, op, p.expr()))
+        elif k == "oosvar" and _assign_ahead(p, p.i + 1):
             p.next()
             name = _field_name(v)
             idx: list[Expr] = []
@@ -1388,16 +2326,52 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
             _, op = p.next()
             if op not in _ASSIGN_OPS:
                 raise DslError(f"expected assignment op, got {op!r}")
-            stmts.append(("oassign", name, idx, op, p.expr()))
+            rhs = p.expr()
+            if name == "*":
+                if idx or op != "=":
+                    raise DslError("@* assignment must be plain '='")
+                stmts.append(("oall_assign", rhs))
+            else:
+                stmts.append(("oassign", name, idx, op, rhs))
         elif k == "ident" and v == "unset":
             p.next()
-            fk, fv = p.next()
-            if fk == "oosvar":
-                stmts.append(("ounset", _field_name(fv)))
-            elif fk == "field":
-                stmts.append(("unset", _field_name(fv)))
+            targets: list[tuple] = []
+            while True:
+                fk, fv = p.next()
+                idx: list[Expr] = []
+                if fk in ("field", "oosvar"):
+                    name = _field_name(fv)
+                    while p.peek() == ("op", "["):
+                        p.next()
+                        idx.append(p.expr())
+                        p.expect("]")
+                    if name == "*":
+                        targets.append(("srec_all",) if fk == "field"
+                                       else ("oos_all",))
+                    else:
+                        targets.append((
+                            "field" if fk == "field" else "oos", name, idx))
+                elif fk == "ident":
+                    while p.peek() == ("op", "["):
+                        p.next()
+                        idx.append(p.expr())
+                        p.expect("]")
+                    targets.append(("local", fv, idx))
+                else:
+                    raise DslError("unset expects $field/@oosvar/local "
+                                   "names")
+                if p.peek() == ("op", ","):
+                    p.next()
+                    continue
+                break
+            if len(targets) == 1 and targets[0][0] == "field" and \
+                    not targets[0][2]:
+                stmts.append(("unset", targets[0][1]))
+            elif len(targets) == 1 and targets[0][0] == "oos" and \
+                    not targets[0][2]:
+                stmts.append(("ounset", targets[0][1]))
             else:
-                raise DslError("unset expects a $field or @oosvar")
+                stmts.append(("unset_multi", targets))
         elif k == "ident" and v == "if":
             # if (cond) {..} [elif (cond) {..}]* [else {..}]
             p.next()
@@ -1419,14 +2393,64 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
                 p.toks[p.i + 1: p.i + 2] != [("op", "(")]:
             p.next()
             stmts.append(("filter", p.expr()))
-        elif k == "field" and p.toks[p.i + 1: p.i + 2] and \
-                p.toks[p.i + 1][0] == "op" and p.toks[p.i + 1][1] in _ASSIGN_OPS:
+        elif k == "field" and _assign_ahead(p, p.i + 1):
             _, ftok = p.next()
-            _, op = p.next()
             fname = _field_name(ftok)
+            fidx: list[Expr] = []
+            while p.peek() == ("op", "["):
+                p.next()
+                fidx.append(p.expr())
+                p.expect("]")
+            _, op = p.next()
+            rhs = p.expr()
             if fname == "*":
-                raise DslError("assignment to $* is not supported")
-            stmts.append(("assign", fname, op, p.expr()))
+                if fidx or op != "=":
+                    raise DslError("$* assignment must be plain '='")
+                stmts.append(("srec_assign", rhs))
+            elif fidx:
+                stmts.append(("fidxassign", fname, fidx, op, rhs))
+            else:
+                stmts.append(("assign", fname, op, rhs))
+        elif k == "posfield":
+            # $[[n]] = ..., $[[[n]]] = ..., $[expr] = ... statements;
+            # otherwise fall through to an expression statement below.
+            saved_i = p.i
+            p.next()
+            nexpr = p.expr()
+            nclose = {"$[": 1, "$[[": 2, "$[[[": 3}[v]
+            matched = True
+            for _ in range(nclose):
+                if p.peek() == ("op", "]"):
+                    p.next()
+                else:
+                    matched = False
+                    break
+            didx: list[Expr] = []
+            if matched and v == "$[":
+                while p.peek() == ("op", "["):
+                    p.next()
+                    didx.append(p.expr())
+                    p.expect("]")
+            if matched and p.peek()[0] == "op" and \
+                    p.peek()[1] in _ASSIGN_OPS:
+                _, op = p.next()
+                rhs = p.expr()
+                if v == "$[":
+                    stmts.append(("dynassign", nexpr, didx, op, rhs))
+                else:
+                    if op != "=":
+                        raise DslError("positional assignment must be "
+                                       "plain '='")
+                    stmts.append(("posassign",
+                                  "name" if v == "$[[" else "value",
+                                  nexpr, rhs))
+            else:
+                p.i = saved_i
+                e = p.expr()
+                if p.peek() == ("op", "{"):
+                    stmts.append(("cond", [(e, _parse_block(p))]))
+                else:
+                    stmts.append(("expr", e))
         else:
             e = p.expr()
             if p.peek() == ("op", "{"):
@@ -1438,10 +2462,10 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
             p.next()
 
 
-def _oassign_ahead(p: "_Parser") -> bool:
-    """True if the oosvar token at p.i starts an assignment statement
-    (possibly through [index] chains) rather than an expression."""
-    i = p.i + 1
+def _assign_ahead(p: "_Parser", i: int) -> bool:
+    """True if the tokens from index i (just past a $field/@oosvar/local
+    name) continue an assignment statement, possibly through [index]
+    chains, rather than an expression."""
     depth = 0
     while i < len(p.toks):
         k, v = p.toks[i]
@@ -1457,9 +2481,132 @@ def _oassign_ahead(p: "_Parser") -> bool:
     return False
 
 
+def _parse_localdecl(p: "_Parser") -> tuple:
+    """Typed local declaration: ``var x = 3``, ``str s``, ... (grammar
+    pkg/parsing typed-decl statements)."""
+    _, typ = p.next()
+    nk, name = p.next()
+    if nk != "ident":
+        raise DslError(f"expected variable name after {typ!r}")
+    expr = None
+    if p.peek() == ("op", "="):
+        p.next()
+        expr = p.expr()
+    return ("localdecl", typ, name, expr)
+
+
+def _parse_one_simple(p: "_Parser") -> tuple:
+    """One init/update statement of a C-style for loop (assignment or
+    typed declaration only)."""
+    k, v = p.peek()
+    if k == "ident" and v in _TYPE_CHECKS and \
+            p.toks[p.i + 1: p.i + 2] and p.toks[p.i + 1][0] == "ident":
+        return _parse_localdecl(p)
+    if k == "ident":
+        p.next()
+        _, op = p.next()
+        if op not in _ASSIGN_OPS:
+            raise DslError(f"expected assignment in for(;;), got {op!r}")
+        return ("localassign", v, op, p.expr())
+    if k == "field":
+        p.next()
+        _, op = p.next()
+        if op not in _ASSIGN_OPS:
+            raise DslError(f"expected assignment in for(;;), got {op!r}")
+        return ("assign", _field_name(v), op, p.expr())
+    if k == "oosvar":
+        p.next()
+        _, op = p.next()
+        if op not in _ASSIGN_OPS:
+            raise DslError(f"expected assignment in for(;;), got {op!r}")
+        return ("oassign", _field_name(v), [], op, p.expr())
+    raise DslError("unsupported statement in for(;;) header")
+
+
+def _loopvar(p: "_Parser") -> str:
+    k, v = p.next()
+    if k == "ident" and v in _TYPE_CHECKS and p.peek()[0] == "ident":
+        _, v = p.next()  # typed loop variable; type is advisory
+        k = "ident"
+    if k != "ident":
+        raise DslError(f"expected loop variable, got {v!r}")
+    return v
+
+
+def _parse_for(p: "_Parser") -> tuple:
+    """for loops (pkg/dsl/cst/for.go): ``for (k in coll)``,
+    ``for (k, v in coll)``, ``for ((k1, k2), v in coll)``, and C-style
+    ``for (init; cond; update)``."""
+    p.expect("(")
+    # decide bind-form vs C-style: a ';' at paren depth 1 before the
+    # closing ')' means C-style
+    depth = 1
+    i = p.i
+    triple = False
+    while i < len(p.toks):
+        kk, vv = p.toks[i]
+        if vv in ("(", "[", "{"):
+            depth += 1
+        elif vv in (")", "]", "}"):
+            depth -= 1
+            if depth == 0:
+                break
+        elif vv == ";" and depth == 1:
+            triple = True
+            break
+        i += 1
+    if triple:
+        init = [_parse_one_simple(p)]
+        while p.peek() == ("op", ","):
+            p.next()
+            init.append(_parse_one_simple(p))
+        p.expect(";")
+        cond = None if p.peek() == ("op", ";") else p.expr()
+        p.expect(";")
+        update = [_parse_one_simple(p)]
+        while p.peek() == ("op", ","):
+            p.next()
+            update.append(_parse_one_simple(p))
+        p.expect(")")
+        return ("for_c", init, cond, update, _parse_block(p))
+    keyvars: list[str] = []
+    valvar = None
+    if p.peek() == ("op", "("):
+        p.next()
+        while True:
+            keyvars.append(_loopvar(p))
+            if p.peek() == ("op", ","):
+                p.next()
+                continue
+            break
+        p.expect(")")
+        p.expect(",")
+        valvar = _loopvar(p)
+    else:
+        keyvars.append(_loopvar(p))
+        if p.peek() == ("op", ","):
+            p.next()
+            valvar = _loopvar(p)
+    if p.peek() != ("ident", "in"):
+        raise DslError("expected 'in' in for loop")
+    p.next()
+    coll = p.expr()
+    p.expect(")")
+    return ("for_bind", keyvars, valvar, coll, _parse_block(p))
+
+
+_SEQ_ONLY_KINDS = frozenset((
+    "oassign", "ounset", "emit", "dump", "print",
+    "localdecl", "localassign", "lidxassign", "fidxassign", "dynassign",
+    "posassign", "srec_assign", "oall_assign", "unset_multi",
+    "while", "dowhile", "for_bind", "for_c",
+    "break", "continue", "return", "callsubr",
+))
+
+
 def _stmts_need_seq(stmts) -> bool:
     for kind, *rest in stmts:
-        if kind in ("oassign", "ounset", "emit", "dump", "print"):
+        if kind in _SEQ_ONLY_KINDS:
             return True
         if kind == "cond":
             for _c, body in rest[0]:
@@ -1479,7 +2626,8 @@ def compile_program(src: str) -> Program:
     stmts = _parse_stmts(p, top=top)
     if p.peek()[0] != "eof":
         raise DslError(f"unexpected trailing token {p.peek()[1]!r}")
-    return Program(stmts, begin=top.get("begin"), end=top.get("end"))
+    return Program(stmts, begin=top.get("begin"), end=top.get("end"),
+                   funcs=top.get("funcs"))
 
 
 def _apply_mask(out: pa.Table, mask, invert: bool = False) -> pa.Table:

@@ -16,6 +16,7 @@ Functions are registered in ``REGISTRY``; ``supported()`` lists names.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Callable
 
 import numpy as np
@@ -131,9 +132,53 @@ bif("index")(lambda x, p: pc.if_else(
     pc.add(pc.find_substring(_s(x), p), 1)))
 bif("starts_with")(lambda x, p: pc.starts_with(_s(x), p))
 bif("ends_with")(lambda x, p: pc.ends_with(_s(x), p))
-bif("splitax")(lambda x, sep: pc.split_pattern(_s(x), sep))
-bif("joink")(lambda x, sep: pc.binary_join(x, sep))
-bif("joinv")(lambda x, sep: pc.binary_join(x, sep))
+def _render_scalar(v) -> str:
+    """Miller mlrval String() for join*/map-key rendering."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
+        return str(v)
+    return str(v)
+
+
+@bif("splitax")
+def _splitax(x, sep):
+    """split to array of strings, no inference (collections.go
+    BIF_splitax). Scalar string -> Python list; Arrow column ->
+    list<string> column."""
+    if isinstance(x, str):
+        return x.split(str(sep)) if x != "" else []
+    return pc.split_pattern(_s(x), sep)
+
+
+@bif("joink")
+def _joink(x, sep):
+    """join map keys (collections.go BIF_joink)."""
+    if isinstance(x, dict):
+        return str(sep).join(_render_scalar(k) for k in x)
+    if isinstance(x, list):
+        return str(sep).join(_render_scalar(v) for v in x)
+    return pc.binary_join(x, sep)
+
+
+@bif("joinv")
+def _joinv(x, sep):
+    """join map/array values (collections.go BIF_joinv)."""
+    if isinstance(x, dict):
+        return str(sep).join(_render_scalar(v) for v in x.values())
+    if isinstance(x, list):
+        return str(sep).join(_render_scalar(v) for v in x)
+    return pc.binary_join(x, sep)
+
+
+@bif("joinkv")
+def _joinkv(x, ps, fs):
+    """join map k=v pairs (collections.go BIF_joinkv)."""
+    if isinstance(x, dict):
+        return str(fs).join(
+            f"{_render_scalar(k)}{ps}{_render_scalar(v)}"
+            for k, v in x.items())
+    raise TypeError("joinkv expects a map")
 bif("format_values")(lambda x, fmt: pa.array(np.char.mod(fmt, np.asarray(x))))
 
 
@@ -745,3 +790,197 @@ def _typeof(x):
         name = "map"
     n = len(x)
     return pa.array([name] * n)
+
+
+# --- round-3: collection builtins over map/array values --------------------
+# (pkg/bifs/collections.go; scalar dict/list values flow through the DSL
+# sequential interpreter — these are per-record Python-object kernels,
+# used by UDFs/HOFs/for-loops, never in the vectorized hot path)
+
+def _infer_str(s: str):
+    """Miller scanner inference for split* variants without the x
+    suffix (pkg/mlrval/mlrval_infer.go): decimal/hex/binary ints,
+    floats; everything else stays a string."""
+    if not isinstance(s, str):
+        return s
+    if re.fullmatch(r"[+-]?(0[xX][0-9a-fA-F]+|0[bB][01]+|\d+)", s):
+        try:
+            return int(s, 0)
+        except ValueError:
+            return s
+    if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s):
+        try:
+            return float(s)
+        except ValueError:
+            return s
+    return s
+
+
+@bif("splita")
+def _splita(x, sep):
+    if isinstance(x, str):
+        return [_infer_str(p) for p in x.split(str(sep))] if x != "" else []
+    raise TypeError("splita expects a string")
+
+
+@bif("splitnv")
+def _splitnv(x, sep):
+    if isinstance(x, str):
+        parts = x.split(str(sep)) if x != "" else []
+        return {str(i): _infer_str(p) for i, p in enumerate(parts, 1)}
+    raise TypeError("splitnv expects a string")
+
+
+@bif("splitnvx")
+def _splitnvx(x, sep):
+    if isinstance(x, str):
+        parts = x.split(str(sep)) if x != "" else []
+        return {str(i): p for i, p in enumerate(parts, 1)}
+    raise TypeError("splitnvx expects a string")
+
+
+@bif("splitkv")
+def _splitkv(x, ps, fs):
+    if isinstance(x, str):
+        out = {}
+        for pair in (x.split(str(fs)) if x != "" else []):
+            k, _, v = pair.partition(str(ps))
+            out[k] = _infer_str(v)
+        return out
+    raise TypeError("splitkv expects a string")
+
+
+@bif("splitkvx")
+def _splitkvx(x, ps, fs):
+    if isinstance(x, str):
+        out = {}
+        for pair in (x.split(str(fs)) if x != "" else []):
+            k, _, v = pair.partition(str(ps))
+            out[k] = v
+        return out
+    raise TypeError("splitkvx expects a string")
+
+
+@bif("mapsum")
+def _mapsum(*maps):
+    out = {}
+    for m in maps:
+        if m is None:
+            continue
+        if not isinstance(m, dict):
+            raise TypeError("mapsum expects maps")
+        out.update(m)
+    return out
+
+
+@bif("mapdiff")
+def _mapdiff(*maps):
+    if not maps or not isinstance(maps[0], dict):
+        raise TypeError("mapdiff expects maps")
+    out = dict(maps[0])
+    for m in maps[1:]:
+        if isinstance(m, dict):
+            for k in m:
+                out.pop(k, None)
+    return out
+
+
+def _keylist(args):
+    keys = []
+    for a in args:
+        if isinstance(a, list):
+            keys.extend(a)
+        else:
+            keys.append(a)
+    return [k if isinstance(k, str) else _render_scalar(k) for k in keys]
+
+
+@bif("mapexcept")
+def _mapexcept(m, *keys):
+    if not isinstance(m, dict):
+        raise TypeError("mapexcept expects a map")
+    drop = set(_keylist(keys))
+    return {k: v for k, v in m.items() if k not in drop}
+
+
+@bif("mapselect")
+def _mapselect(m, *keys):
+    if not isinstance(m, dict):
+        raise TypeError("mapselect expects a map")
+    keep = _keylist(keys)
+    return {k: m[k] for k in keep if k in m}
+
+
+@bif("get_keys")
+def _get_keys(m):
+    if isinstance(m, dict):
+        return list(m.keys())
+    raise TypeError("get_keys expects a map")
+
+
+@bif("get_values")
+def _get_values(m):
+    if isinstance(m, dict):
+        return list(m.values())
+    raise TypeError("get_values expects a map")
+
+
+@bif("haskey")
+def _haskey(m, k):
+    """map: key present (int keys and their string renderings
+    interconvert); array: 1-based or negative index in range."""
+    if isinstance(m, dict):
+        return k in m or (not isinstance(k, str) and str(k) in m)
+    if isinstance(m, list):
+        if isinstance(k, bool) or not isinstance(k, (int, np.integer)):
+            return False
+        i = int(k)
+        return (1 <= i <= len(m)) or (-len(m) <= i <= -1)
+    return False
+
+
+@bif("append")
+def _append(arr, v):
+    if not isinstance(arr, list):
+        raise TypeError("append expects an array")
+    return [*arr, v]
+
+
+@bif("concat")
+def _concat(*args):
+    """Variadic array concat; non-array args are appended as elements;
+    absent args are skipped (collections.go BIF_concat)."""
+    out = []
+    for a in args:
+        if a is None:
+            continue
+        if isinstance(a, list):
+            out.extend(a)
+        else:
+            out.append(a)
+    return out
+
+
+@bif("arrayify")
+def _arrayify(v):
+    """Convert maps with consecutive "1","2",... keys to arrays,
+    recursively (collections.go BIF_arrayify)."""
+    if isinstance(v, dict):
+        vals = {k: _arrayify(x) for k, x in v.items()}
+        if vals and all(
+                str(i) == k for i, k in enumerate(vals.keys(), 1)):
+            return list(vals.values())
+        return vals
+    if isinstance(v, list):
+        return [_arrayify(x) for x in v]
+    return v
+
+
+@bif("depth")
+def _depth(v):
+    """Max nesting depth: scalar -> 0 (collections.go BIF_depth)."""
+    if isinstance(v, dict):
+        return 1 + max((_depth(x) for x in v.values()), default=0)
+    if isinstance(v, list):
+        return 1 + max((_depth(x) for x in v), default=0)
+    return 0

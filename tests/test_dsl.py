@@ -109,7 +109,9 @@ def test_errors():
     with pytest.raises(dsl.DslError):
         dsl.compile_program('tee > "f", $*')
     with pytest.raises(dsl.DslError):
-        dsl.compile_program("$z = nofn($x)")
+        # unknown function: parses (could be a forward-defined UDF) but
+        # fails at evaluation time
+        run("$z = nofn($x)")
     with pytest.raises(dsl.DslError):
         dsl.compile_program("$z = $x +")
     with pytest.raises(dsl.DslError):
