@@ -1176,7 +1176,7 @@ def execute(case: Case, df: pd.DataFrame):
         return pd.DataFrame(rows), True
 
     if v in ("put", "filter"):
-        return _exec_put_filter(v, a, df)
+        return _exec_put_filter(v, a, df, ofmt=case.ofmt)
 
     if v == "join":
         return _exec_join(a, df)
@@ -1402,12 +1402,46 @@ def _mlr_regexes(spec: str):
     return out
 
 
+def _render_rec_lines(rec: dict, ofmt: str) -> list[str]:
+    """Render one record as output lines for mixed text+record
+    comparison (xtab: padded key column; dkvp: k=v,k=v)."""
+    from miller_ray import dsl as DSL
+
+    flat: dict = {}
+    for k, v in rec.items():
+        if str(k).startswith("__"):
+            continue
+        if isinstance(v, (dict, list)) and len(v):
+            DSL._flatten_into(flat, str(k), v)
+        elif isinstance(v, dict):
+            flat[k] = "{}"
+        elif isinstance(v, list):
+            flat[k] = "[]"
+        else:
+            flat[k] = v
+    def rv(v):
+        # integral floats are ints that went through a union-schema
+        # promotion (NaN fill) — render without the float formatter
+        if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
+            return str(int(v))
+        return DSL._print_render(v, "%.8f")
+
+    items = [(str(k), rv(v)) for k, v in flat.items()]
+    if not items:
+        return []
+    if ofmt == "dkvp":
+        return [",".join(f"{k}={v}" for k, v in items)]
+    w = max(len(k) for k, _ in items)
+    return [f"{k.ljust(w)} {v}" for k, v in items]
+
+
 class RawText(str):
     """Sentinel for verbatim text output (dump/print) compared
     literally against expout instead of through record parsers."""
 
 
-def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame):
+def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
+                     ofmt: str = "dkvp"):
     from miller_ray import dsl as DSL
 
     if _has(a, "-f"):
@@ -1476,18 +1510,63 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame):
         try:
             # the reference regtest exports MLR_OFMT=%.8f globally
             # (regtester.go:161) — float-typed prints render through it
-            recs, texts = prog.run_sequential(t, seed_env=seed, quiet=quiet,
-                                              ofmt="%.8f")
+            recs, texts, stream = prog.run_sequential(
+                t, seed_env=seed, quiet=quiet, ofmt="%.8f")
         except DSL.DslError as e:
             raise Unsupported(f"dsl seq: {e}")
         except (TypeError, KeyError, IndexError) as e:
             raise Unsupported(f"dsl seq {type(e).__name__}: {e}")
         if texts:
             if recs:
-                raise Unsupported("mixed dump/print and record output")
+                # mixed text + record output: render records into the
+                # stream in order (xtab/dkvp writers only)
+                if ofmt not in ("xtab", "dkvp"):
+                    raise Unsupported(
+                        f"mixed dump/print and {ofmt} record output")
+                lines: list[str] = []
+                prev_rec = False
+                pend = ""
+                for kind2, payload in stream:
+                    if kind2 == "textn":
+                        pend += payload
+                        continue
+                    if kind2 == "text":
+                        lines.append(pend + payload)
+                        pend = ""
+                        prev_rec = False
+                    else:
+                        rl = _render_rec_lines(payload, ofmt)
+                        if not rl:
+                            continue
+                        if ofmt == "xtab" and prev_rec:
+                            lines.append("")  # blank line between recs
+                        if pend:
+                            rl[0] = pend + rl[0]
+                            pend = ""
+                        lines.extend(rl)
+                        prev_rec = True
+                if pend:
+                    lines.append(pend)
+                return RawText("\n".join(lines)), True
             return RawText("\n".join(texts)), True
         recs = [{k: v2 for k, v2 in r.items()
                  if not str(k).startswith("__")} for r in recs]
+        if ofmt != "json":
+            # non-JSON output auto-flattens collection-valued fields
+            # with "." (mlr auto-flatten; record_writer non-JSON path)
+            flat = []
+            for r in recs:
+                fr: dict = {}
+                for k, v2 in r.items():
+                    if isinstance(v2, (dict, list)):
+                        if len(v2) == 0:
+                            fr[k] = "{}" if isinstance(v2, dict) else "[]"
+                        else:
+                            DSL._flatten_into(fr, str(k), v2)
+                    else:
+                        fr[k] = v2
+                flat.append(fr)
+            recs = flat
         return pd.DataFrame(recs), True
 
     def apply_mask(out_t, m):
@@ -1958,6 +2037,16 @@ def _norm_num(x: float) -> str:
     return "%.5g" % x
 
 
+def _norm_coll(v):
+    """Normalize numbers inside collection values so our full-precision
+    floats compare equal to Miller's %.8f-rendered expout JSON."""
+    if isinstance(v, dict):
+        return {str(k): _norm_coll(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_norm_coll(x) for x in v]
+    return _norm(v)
+
+
 def _norm(v) -> str:
     # 5 significant digits for non-integers: Miller renders floats at 8
     # DECIMALS (already rounded), so comparing more precision than that
@@ -1978,8 +2067,15 @@ def _norm(v) -> str:
 def _rec_key(rec: dict) -> tuple:
     # Miller emits VOID ("") where an accumulator has no value (e.g.
     # stddev of one sample); treat void == absent for comparison
-    return tuple(sorted((k, _norm(v)) for k, v in rec.items()
-                        if _norm(v) not in ("\x00absent", "")))
+    out = []
+    for k, v in rec.items():
+        if isinstance(v, (dict, list)):
+            out.append((k, str(_norm_coll(v))))
+            continue
+        nv = _norm(v)
+        if nv not in ("\x00absent", ""):
+            out.append((k, nv))
+    return tuple(sorted(out))
 
 
 def compare(ours: pd.DataFrame, expected: list[dict], ordered: bool) -> tuple[bool, str]:
@@ -2077,6 +2173,27 @@ def _freqify_modes(recs: list[dict], df: pd.DataFrame, gb: list[str] | None):
     return out
 
 
+def _auto_unflatten(rec: dict) -> dict:
+    from miller_ray.functions import _arrayify, _infer_str
+
+    out: dict = {}
+    for k, v in rec.items():
+        parts = str(k).split(".")
+        if len(parts) == 1:
+            out[k] = v
+            continue
+        node = out
+        for p in parts[:-1]:
+            nxt = node.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[p] = nxt
+            node = nxt
+        node[parts[-1]] = _infer_str(v) if isinstance(v, str) else v
+    return {k: (_arrayify(v) if isinstance(v, dict) else v)
+            for k, v in out.items()}
+
+
 def run_case(case_dir: str) -> tuple[str, str]:
     """Returns (status, detail); status in {pass, fail, skip}."""
     if os.path.exists(os.path.join(case_dir, "should-fail")):
@@ -2131,6 +2248,11 @@ def run_case(case_dir: str) -> tuple[str, str]:
     with open(os.path.join(case_dir, "expout")) as f:
         expected = EXPOUT_PARSERS[case.ofmt](f.read())
     our_recs = [] if ours is None or ours.empty else ours.to_dict("records")
+    if case.ofmt == "json" and case.ifmt != "json" and any(
+            "." in str(k) for r in our_recs for k in r):
+        # JSON output auto-unflattens dotted field names into nested
+        # collections (mlr auto-unflatten, record_writer_json)
+        our_recs = [_auto_unflatten(r) for r in our_recs]
     if case.ofmt in ("xtab", "dkvp", "pprint") and any(
             isinstance(x, str) and "\n" in x
             for r in our_recs for x in r.values()):

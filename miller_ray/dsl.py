@@ -34,6 +34,7 @@ Deliberate divergences (documented, consistent with SURVEY §1.6):
 
 from __future__ import annotations
 
+import copy as _copy
 import functools
 import re
 from collections.abc import Callable
@@ -173,6 +174,14 @@ def _wrap64(x):
 
 
 def _arith_scalar(op: str, a, b):
+    if a is None or b is None:
+        # absent is the identity: absent op x = x, x op absent = x
+        # (bifs/arithmetic.go *_dispositions ABSENT rows)
+        if a is None and b is None:
+            return None
+        return b if a is None else a
+    if isinstance(a, str) or isinstance(b, str):
+        return "(error)"  # arithmetic on non-numeric strings
     if op == ".+":
         return _wrap64(a + b)
     if op == ".-":
@@ -278,11 +287,37 @@ def _arith_raw(op: str, a: Value, b: Value) -> Value:
 
 def _compare(op: str, a: Value, b: Value) -> Value:
     a, b = _unscalar(a), _unscalar(b)
+    if isinstance(a, (dict, list)) or isinstance(b, (dict, list)):
+        # collection equality is deep (mlrval cmp.go); ordering on
+        # collections is not supported
+        if op == "==":
+            return _deep_eq(a, b)
+        if op == "!=":
+            return not _deep_eq(a, b)
+        raise DslError(f"{op} is not defined on collections")
     fn = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
           "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
     if _is_str(a) != _is_str(b):
         a, b = _to_str(a), _to_str(b)
     return _unscalar(fn(a, b))
+
+
+def _deep_eq(a, b) -> bool:
+    if isinstance(a, dict) and isinstance(b, dict):
+        # map equality is order-insensitive (dsl-collection-equality)
+        return set(a.keys()) == set(b.keys()) and all(
+            _deep_eq(a[k], b[k]) for k in a)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(
+            _deep_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, (dict, list)) != isinstance(b, (dict, list)):
+        return False
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    try:
+        return a == b
+    except TypeError:
+        return False
 
 
 def _unify_types(a: Value, b: Value) -> tuple[Value, Value]:
@@ -340,10 +375,20 @@ def _scalarize(v):
     return v
 
 
+# builtins whose arguments or results are Python collections — programs
+# calling them route to the sequential interpreter (no Arrow kernel)
+_SEQ_FNS = frozenset((
+    "splita", "splitnv", "splitnvx", "splitkv", "splitkvx", "joinkv",
+    "mapsum", "mapdiff", "mapexcept", "mapselect", "get_keys",
+    "get_values", "haskey", "append", "concat", "arrayify", "depth",
+))
+
+
 class _Parser:
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
         self.i = 0
+        self.force_seq = False
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
@@ -402,10 +447,23 @@ class _Parser:
             right = self.and_()
 
             def f(t, env, left=left, right=right):
-                a, b = left(t, env), right(t, env)
-                if not _is_arr(a) and not _is_arr(b):
-                    return bool(a) or bool(b)
-                return pc.or_kleene(a, b)
+                a = _unscalar(left(t, env))
+                if not _is_arr(a):
+                    # scalar: strict booleans, short-circuit on true
+                    # (bifs/booleans.go BIF_logical_OR; CST short-circuit)
+                    if isinstance(a, np.bool_):
+                        a = bool(a)
+                    if a is True:
+                        return True
+                    if a is not False:
+                        return "(error)"
+                    b = _unscalar(right(t, env))
+                    if _is_arr(b):
+                        return pc.or_kleene(a, b)
+                    if isinstance(b, np.bool_):
+                        b = bool(b)
+                    return b if isinstance(b, bool) else "(error)"
+                return pc.or_kleene(a, right(t, env))
             left = f
         return left
 
@@ -416,10 +474,22 @@ class _Parser:
             right = self.match_()
 
             def f(t, env, left=left, right=right):
-                a, b = left(t, env), right(t, env)
-                if not _is_arr(a) and not _is_arr(b):
-                    return bool(a) and bool(b)
-                return pc.and_kleene(a, b)
+                a = _unscalar(left(t, env))
+                if not _is_arr(a):
+                    # scalar: strict booleans, short-circuit on false
+                    if isinstance(a, np.bool_):
+                        a = bool(a)
+                    if a is False:
+                        return False
+                    if a is not True:
+                        return "(error)"
+                    b = _unscalar(right(t, env))
+                    if _is_arr(b):
+                        return pc.and_kleene(a, b)
+                    if isinstance(b, np.bool_):
+                        b = bool(b)
+                    return b if isinstance(b, bool) else "(error)"
+                return pc.and_kleene(a, right(t, env))
             left = f
         return left
 
@@ -476,7 +546,9 @@ class _Parser:
             right = self.additive()
 
             def f(t, env, left=left, right=right):
-                a, b = _to_str(left(t, env)), _to_str(right(t, env))
+                a, b = left(t, env), right(t, env)
+                a = "" if a is None else _to_str(a)
+                b = "" if b is None else _to_str(b)
                 if _is_arr(a) and _is_arr(b):
                     return pc.binary_join_element_wise(a, b, "")
                 if _is_arr(a):
@@ -571,7 +643,10 @@ class _Parser:
     def primary(self) -> Expr:
         k, v = self.next()
         if k == "int":
-            val = int(v, 0)
+            try:
+                val = int(v, 0)
+            except ValueError:  # e.g. "0021": not octal, plain decimal
+                val = int(v, 10)
             return lambda t, env: val
         if k == "float":
             val = float(v)
@@ -609,7 +684,7 @@ class _Parser:
                 def fstar(t, env):
                     srec = env.get("\x00srec")
                     if srec is not None:
-                        return dict(srec)
+                        return {k: _copyval(v) for k, v in srec.items()}
                     if "\x00seq" not in env:
                         raise DslError("$* is only available in the "
                                        "sequential interpreter")
@@ -645,7 +720,7 @@ class _Parser:
                     raise DslError("@oosvars require the sequential "
                                    "interpreter or an accumulator plan")
                 if name == "*":
-                    return dict(seq["oos"])
+                    return {k: _copyval(v) for k, v in seq["oos"].items()}
                 return seq["oos"].get(name)
             return fo
         if k == "ident":
@@ -657,6 +732,14 @@ class _Parser:
                 return lambda t, env: float(np.pi)
             if v == "M_E":
                 return lambda t, env: float(np.e)
+            if v == "NF":
+                def fnf(t, env):
+                    srec = env.get("\x00srec")
+                    if srec is None:
+                        raise DslError("NF requires the sequential "
+                                       "interpreter")
+                    return len(srec)
+                return fnf
             if v in ("NR", "FNR", "FILENAME", "FILENUM"):
                 # AWK-style context vars (pkg/types/context.go:91-98);
                 # available only when the caller seeds them (stream
@@ -739,7 +822,7 @@ class _Parser:
             def fmap(t, env, pairs=pairs):
                 out = {}
                 for ke, ve in pairs:
-                    kv = _scalarize(ke(t, env))
+                    kv = _fmt_key(_scalarize(ke(t, env)))
                     vv = ve(t, env)
                     out[kv] = _scalarize(vv) if not isinstance(
                         vv, (dict, list)) else vv
@@ -798,9 +881,13 @@ class _Parser:
                 self.next()
                 args.append(self.expr())
         self.expect(")")
+        if name in _SEQ_FNS:
+            self.force_seq = True
         if name not in REGISTRY:
             # UDF or HOF — resolved at runtime against env
             # (pkg/dsl/cst/udf.go callsites; hofs.go)
+            if name in _HOFS:
+                self.force_seq = True
             hof = _HOFS.get(name)
 
             def fudf(t, env, name=name, args=args, hof=hof):
@@ -846,13 +933,13 @@ class Program:
     """Compiled DSL program: ordered statements over a batch + env."""
 
     def __init__(self, statements: list[tuple], begin=None, end=None,
-                 funcs=None):
+                 funcs=None, force_seq=False):
         self.statements = statements
         self.begin = begin or []
         self.end = end or []
         self.funcs = funcs or {}
         self.needs_seq = bool(self.begin or self.end or self.funcs) or \
-            _stmts_need_seq(statements)
+            force_seq or _stmts_need_seq(statements)
 
     def run(self, t: pa.Table,
             seed_env: dict[str, Value] | None = None
@@ -997,7 +1084,7 @@ def _call_func(self, fv, argvals, t, env):
     frame = {}
     for (ptyp, pname), av in zip(params, argvals):
         _typecheck(ptyp, pname, av)
-        frame[pname] = av
+        frame[pname] = _copyval(av)
     saved = env.get("\x00scopes")
     saved_caps = env.get("\x00caps")
     env["\x00scopes"] = [frame]
@@ -1260,7 +1347,7 @@ def _exec_impl(self, stmts, t, env, mask, state):
                     cur = srec.get(name)
                     val = _oos_combine(op, cur, val)
                 if val is not None:
-                    srec[name] = val
+                    srec[name] = _copyval(val)
                 continue
             if "\x00seq" in env and isinstance(val, (dict, list)) \
                     and op == "=":
@@ -1356,25 +1443,56 @@ def _exec_impl(self, stmts, t, env, mask, state):
             if seq is None:
                 raise DslError("emit requires the sequential interpreter")
             _seq_emit(variant, targets, keyexprs, t, env, seq)
+        elif kind == "emit1":
+            (eexpr,) = rest
+            seq = env.get("\x00seq")
+            if seq is None:
+                raise DslError("emit1 requires the sequential interpreter")
+            ev = _unseq_val(eexpr(t, env))
+            if isinstance(ev, dict) and ev:
+                _seq_push_recs(seq, [dict(ev)])
         elif kind == "dump":
+            (dexpr,) = rest if rest else (None,)
             seq = env.get("\x00seq")
             if seq is None:
                 raise DslError("dump requires the sequential interpreter")
-            import json
-
-            seq["texts"].append(json.dumps(seq["oos"], indent=2,
-                                           default=str))
+            if dexpr is None:
+                _seq_push_text(seq, _mlr_json(seq["oos"],
+                                              ofmt=seq.get("ofmt")))
+            else:
+                dv = _unseq_val(dexpr(t, env))
+                if dv is not None:  # dump of absent prints nothing
+                    _seq_push_text(seq, _mlr_json(dv,
+                                                  ofmt=seq.get("ofmt")))
+        elif kind == "edump":
+            (dexpr,) = rest
+            if env.get("\x00seq") is None:
+                raise DslError("edump requires the sequential interpreter")
+            if dexpr is not None:
+                dexpr(t, env)  # stderr output: evaluated, not captured
+        elif kind == "eprint":
+            expr, _nl = rest
+            if env.get("\x00seq") is None:
+                raise DslError("eprint requires the sequential "
+                               "interpreter")
+            if expr is not None:
+                expr(t, env)  # stderr output: evaluated, not captured
         elif kind == "print":
             expr, nl = rest
             seq = env.get("\x00seq")
             if seq is None:
                 raise DslError("print requires the sequential interpreter")
             if expr is None:
-                seq["texts"].append("" if nl else "")
+                rendered = ""
             else:
                 v = expr(t, env)
                 v = v if isinstance(v, (dict, list)) else _scalarize(v)
-                seq["texts"].append(_print_render(v, seq.get("ofmt")))
+                rendered = _print_render(v, seq.get("ofmt"))
+            if nl:
+                _seq_push_text(seq, seq.get("buf", "") + rendered)
+                seq["buf"] = ""
+            else:  # printn: accumulate an unterminated line
+                seq["buf"] = seq.get("buf", "") + rendered
         elif kind == "localdecl":
             typ, name, expr = rest
             if "\x00seq" not in env:
@@ -1386,7 +1504,7 @@ def _exec_impl(self, stmts, t, env, mask, state):
                 if not isinstance(val, (dict, list, tuple)):
                     val = _scalarize(val)
                 _typecheck(typ, name, val)
-            _scopes(env)[-1][name] = val
+            _scopes(env)[-1][name] = _copyval(val)
         elif kind == "localassign":
             name, op, expr = rest
             if "\x00seq" not in env:
@@ -1401,7 +1519,7 @@ def _exec_impl(self, stmts, t, env, mask, state):
                 cur = _scope_lookup(env, name)
                 cur = None if cur is _ABSENT else cur
                 val = _oos_combine(op, cur, val)
-            _scope_assign(env, name, val)
+            _scope_assign(env, name, _copyval(val))
         elif kind == "lidxassign":
             name, idx_exprs, op, expr = rest
             if "\x00seq" not in env:
@@ -1410,12 +1528,11 @@ def _exec_impl(self, stmts, t, env, mask, state):
             val = expr(t, env)
             if not isinstance(val, (dict, list, tuple)):
                 val = _scalarize(val)
+            keys = [_scalarize(e(t, env)) for e in idx_exprs]
             cur = _scope_lookup(env, name)
-            if cur is _ABSENT or not isinstance(cur, (dict, list)):
-                cur = {}
-                _scope_assign(env, name, cur)
-            _assign_path(cur, [_scalarize(e(t, env)) for e in idx_exprs],
-                         op, val)
+            cur = _deepen_base(None if cur is _ABSENT else cur, keys[0])
+            _scope_assign(env, name, cur)
+            _assign_path(cur, keys, op, val)
         elif kind == "fidxassign":
             fname, idx_exprs, op, expr = rest
             if srec is None:
@@ -1424,12 +1541,10 @@ def _exec_impl(self, stmts, t, env, mask, state):
             val = expr(t, env)
             if not isinstance(val, (dict, list, tuple)):
                 val = _scalarize(val)
-            cur = srec.get(fname)
-            if not isinstance(cur, (dict, list)):
-                cur = {}
-                srec[fname] = cur
-            _assign_path(cur, [_scalarize(e(t, env)) for e in idx_exprs],
-                         op, val)
+            keys = [_scalarize(e(t, env)) for e in idx_exprs]
+            cur = _deepen_base(srec.get(fname), keys[0])
+            srec[fname] = cur
+            _assign_path(cur, keys, op, val)
         elif kind == "dynassign":
             nameexpr, idx_exprs, op, expr = rest
             if srec is None:
@@ -1443,17 +1558,15 @@ def _exec_impl(self, stmts, t, env, mask, state):
             if not isinstance(val, (dict, list, tuple)):
                 val = _scalarize(val)
             if idx_exprs:
-                cur = srec.get(name)
-                if not isinstance(cur, (dict, list)):
-                    cur = {}
-                    srec[name] = cur
-                _assign_path(cur, [_scalarize(e(t, env))
-                                   for e in idx_exprs], op, val)
+                keys = [_scalarize(e(t, env)) for e in idx_exprs]
+                cur = _deepen_base(srec.get(name), keys[0])
+                srec[name] = cur
+                _assign_path(cur, keys, op, val)
             else:
                 if op != "=":
                     val = _oos_combine(op, srec.get(name), val)
                 if val is not None:
-                    srec[name] = val
+                    srec[name] = _copyval(val)
         elif kind == "posassign":
             form, nexpr, expr = rest
             if srec is None:
@@ -1485,7 +1598,7 @@ def _exec_impl(self, stmts, t, env, mask, state):
                     srec.clear()
                     srec.update(out2)
             else:
-                srec[names[i]] = val
+                srec[names[i]] = _copyval(val)
         elif kind == "srec_assign":
             (expr,) = rest
             if srec is None:
@@ -1496,7 +1609,7 @@ def _exec_impl(self, stmts, t, env, mask, state):
                 raise DslError("$* must be assigned a map")
             srec.clear()
             for kk, vv in val.items():
-                srec[_fmt_key(kk)] = vv
+                srec[_fmt_key(kk)] = _copyval(vv)
         elif kind == "oall_assign":
             (expr,) = rest
             seq = env.get("\x00seq")
@@ -1506,7 +1619,8 @@ def _exec_impl(self, stmts, t, env, mask, state):
             if not isinstance(val, dict):
                 raise DslError("@* must be assigned a map")
             seq["oos"].clear()
-            seq["oos"].update(val)
+            for kk, vv in val.items():
+                seq["oos"][_fmt_key(kk)] = _copyval(vv)
         elif kind == "unset_multi":
             targets = rest[0]
             for tg in targets:
@@ -1555,7 +1669,7 @@ def _exec_impl(self, stmts, t, env, mask, state):
                 coll = _scalarize(coll)
             scs = _scopes(env)
             for binding in _iter_bindings(keyvars, valvar, coll):
-                scs.append(dict(binding))
+                scs.append({k: _copyval(x) for k, x in binding.items()})
                 try:
                     _exec_impl(self, body, t, env, None, state)
                 except _Break:
@@ -1587,6 +1701,9 @@ def _exec_impl(self, stmts, t, env, mask, state):
                     _exec_impl(self, update_stmts, t, env, None, state)
             finally:
                 scs.pop()
+        elif kind == "scopeblock":
+            (body,) = rest
+            _exec_scoped(self, body, t, env, state)
         elif kind == "break":
             raise _Break()
         elif kind == "continue":
@@ -1630,12 +1747,20 @@ def _oos_combine(op: str, cur, val):
     return _unscalar(_arith(base, cur, val))
 
 
+def _copyval(v):
+    """Mlrvals assign by value (mlrval Copy()): collections are
+    deep-copied at every assignment so later mutation of @x does not
+    rewrite records that already captured it."""
+    return _copy.deepcopy(v) if isinstance(v, (dict, list)) else v
+
+
 def _set_elem(node, key, val):
     if isinstance(node, dict):
-        # int keys and their string renderings are the same slot
-        if key not in node and not isinstance(key, str) and \
-                str(key) in node:
-            key = str(key)
+        # Miller map keys are strings (mlrmap): stringify non-string
+        # keys so @m[1] and @m["1"] are the same slot and output
+        # renders "1"
+        if not isinstance(key, str):
+            key = _fmt_key(key)
         node[key] = val
         return
     if isinstance(node, list):
@@ -1643,14 +1768,37 @@ def _set_elem(node, key, val):
             raise DslError("array index must be an int")
         k = int(key)
         i = k - 1 if k > 0 else len(node) + k
-        if i == len(node):
-            node.append(val)
-        elif 0 <= i < len(node):
+        if 0 <= i < len(node):
             node[i] = val
+        elif k > 0:
+            # auto-lengthen with absent fill
+            # (mlrval_collections.go LengthenMlrvalArray)
+            node.extend([None] * (k - len(node)))
+            node[k - 1] = val
         else:
-            raise DslError("array index out of bounds")
+            raise DslError("cannot use negative indices to "
+                           "auto-lengthen arrays")
         return
     raise DslError("indexed assignment into a non-collection")
+
+
+def _new_level(key):
+    """Auto-deepen level type follows the index type: int makes an
+    array, string makes a map (mlrval_collections.go PutIndexed)."""
+    return [] if isinstance(key, (int, np.integer)) and \
+        not isinstance(key, bool) else {}
+
+
+def _deepen_base(cur, first_key):
+    """Container for an indexed assignment whose base is not a
+    collection: absent -> map (map auto-deepen,
+    NewMlrvalForAutoDeepen); scalar -> replaced by array-or-map per the
+    first index type (Mlrval.PutIndexed non-collection branch)."""
+    if isinstance(cur, (dict, list)):
+        return cur
+    if cur is None:
+        return {}
+    return _new_level(first_key)
 
 
 def _seq_oassign(name, idx_exprs, op, rhs, t, env, seq):
@@ -1661,31 +1809,16 @@ def _seq_oassign(name, idx_exprs, op, rhs, t, env, seq):
     if not idx_exprs:
         if op == "=":
             if val is not None:
-                oos[name] = val
+                oos[name] = _copyval(val)
         else:
             nv = _oos_combine(op, oos.get(name), val)
             if nv is not None:
-                oos[name] = nv
+                oos[name] = _copyval(nv)
         return
     keys = [_scalarize(e(t, env)) for e in idx_exprs]
-    node = oos.get(name)
-    if not isinstance(node, (dict, list)):
-        node = {}
-        oos[name] = node
-    for kk in keys[:-1]:
-        nxt = _index_value(node, kk)
-        if not isinstance(nxt, (dict, list)):
-            nxt = {}
-            _set_elem(node, kk, nxt)
-        node = nxt
-    last = keys[-1]
-    if op == "=":
-        if val is not None:
-            _set_elem(node, last, val)
-    else:
-        nv = _oos_combine(op, _index_value(node, last), val)
-        if nv is not None:
-            _set_elem(node, last, nv)
+    node = _deepen_base(oos.get(name), keys[0])
+    oos[name] = node
+    _assign_path(node, keys, op, val)
 
 
 def _fmt_key(v) -> str:
@@ -1711,22 +1844,27 @@ def _unseq_val(v):
 
 
 def _assign_path(node, keys: list, op: str, val):
-    """In-place indexed assignment through nested maps/arrays, creating
-    intermediate maps (pkg/mlrval/mlrmap.go PutIndexed semantics)."""
-    for kk in keys[:-1]:
+    """In-place indexed assignment through nested maps/arrays
+    (mlrval_collections.go PutIndexed): a missing map key auto-deepens
+    to a map; a scalar or absent-array-slot is replaced by an array or
+    map per the NEXT index's type."""
+    for j, kk in enumerate(keys[:-1]):
         nxt = _index_value(node, kk)
         if not isinstance(nxt, (dict, list)):
-            nxt = {}
+            if nxt is None and isinstance(node, dict):
+                nxt = {}
+            else:
+                nxt = _new_level(keys[j + 1])
             _set_elem(node, kk, nxt)
         node = nxt
     last = keys[-1]
     if op == "=":
         if val is not None:
-            _set_elem(node, last, val)
+            _set_elem(node, last, _copyval(val))
     else:
         nv = _oos_combine(op, _index_value(node, last), val)
         if nv is not None:
-            _set_elem(node, last, nv)
+            _set_elem(node, last, _copyval(nv))
 
 
 def _del_elem(node, key):
@@ -1880,6 +2018,22 @@ def _emit_records(prefixed: bool, names, vals, keynames) -> list[dict]:
     return [rec] if rec else []
 
 
+def _seq_push_recs(seq, recs):
+    if not recs:
+        return
+    if seq.get("buf"):  # pending printn output joins the next line
+        seq.setdefault("outq", []).append(("textn", seq["buf"]))
+        seq["texts"].append(seq["buf"])
+        seq["buf"] = ""
+    seq["emitted"].extend(recs)
+    seq.setdefault("outq", []).extend(("rec", r) for r in recs)
+
+
+def _seq_push_text(seq, line):
+    seq["texts"].append(line)
+    seq.setdefault("outq", []).append(("text", line))
+
+
 def _seq_emit(variant, targets, keyexprs, t, env, seq):
     oos = seq["oos"]
     if variant == "emitf":
@@ -1889,21 +2043,36 @@ def _seq_emit(variant, targets, keyexprs, t, env, seq):
             if v is not None:
                 rec[name] = v
         if rec:
-            seq["emitted"].append(rec)
+            _seq_push_recs(seq, [rec])
         return
     prefixed = variant == "emitp"
     keynames = [str(_scalarize(e(t, env))) for e in keyexprs]
+    if any(tg == ("all",) or (tg[0] == "ref" and tg[1] == "*"
+                              and not tg[2]) for tg in targets):
+        if keyexprs:
+            return  # `emit all, "k"` emits nothing
+            # (dsl-parameterized-emit/0058)
+        # `emit all` / `emit @*`: each oosvar emits separately, NOT
+        # lashed (emit_emitp.go; dsl-parameterized-emit/0045)
+        for nm in list(oos):
+            _seq_emit(variant, [("ref", nm, [])], keyexprs, t, env, seq)
+        return
     names, vals = [], []
     for tg in targets:
-        if tg[0] == "ref":
+        if tg[0] == "lref":
+            lv = _scope_lookup(env, tg[1])
+            names.append((tg[1], tg[1]))
+            vals.append(None if lv is _ABSENT else lv)
+        elif tg[0] == "ref":
             _, name, idx = tg
-            v = dict(oos) if name == "*" else oos.get(name)
-            pname = name
+            v = oos.get(name)
             for ie in idx:
                 kk = _scalarize(ie(t, env))
                 v = _index_value(v, kk)
-                pname = f"{pname}.{kk}"
-            names.append((name, pname))
+            # indexed targets keep the BASE name as the emitted column
+            # prefix (dsl-lashed-emitp-singles/0013: emitp @a[111],"t"
+            # -> t=...,a=...)
+            names.append((name, name))
             vals.append(v)
         else:
             v = tg[1](t, env)
@@ -1911,13 +2080,30 @@ def _seq_emit(variant, targets, keyexprs, t, env, seq):
                 v = _scalarize(v)
             names.append((None, None))
             vals.append(v)
-    if not prefixed and not keynames and len(names) > 1:
-        # lashed emit without keynames: each target emits its own
-        # record stream in sequence (dsl-emit/0010)
-        for nm, v in zip(names, vals):
-            seq["emitted"].extend(_emit_records(False, [nm], [v], []))
-        return
-    seq["emitted"].extend(_emit_records(prefixed, names, vals, keynames))
+    if keynames and not isinstance(vals[0], (dict, list)):
+        return  # keynames demand a map target; scalar emits nothing
+        # (dsl-parameterized-emit/0021)
+    if len(names) > 1 and any(v is None for v in vals):
+        return  # a lashed target that is absent kills the whole emit
+        # (dsl-lashed-emitp-singles/0037)
+    if not keynames and len(names) > 1:
+        if all(not isinstance(v, (dict, list)) for v in vals):
+            # lashed scalars merge into ONE record (dsl-emit/0009,
+            # dsl-lashed-emitp-singles/0024)
+            rec = {nm[1] if prefixed else (nm[1] or "_"): v
+                   for nm, v in zip(names, vals) if v is not None}
+            if rec:
+                _seq_push_recs(seq, [rec])
+            return
+        if not prefixed:
+            # lashed maps without keynames: each target emits its own
+            # record stream in sequence (dsl-emit/0010)
+            for nm, v in zip(names, vals):
+                _seq_push_recs(seq, _emit_records(False, [nm], [v], []))
+            return
+        # emitp lashed maps merge into ONE flattened record
+        # (dsl-emit/0008)
+    _seq_push_recs(seq, _emit_records(prefixed, names, vals, keynames))
 
 
 _ACC_OPS = {"+=": "sum", "-=": "sum", "*=": "prod"}
@@ -1983,13 +2169,52 @@ def _acc_oassign(name, idx_exprs, op, rhs, t, env, mask, acc):
 _FLOAT_STR_RE = None
 
 
+def _json_scalar(v, ofmt: str | None = None) -> str:
+    """One scalar in Miller's JSON output (pkg/mlrval json); ofmt is
+    the MLR_OFMT float formatter (regtester.go:161 sets %.8f)."""
+    import json
+
+    if v is None:
+        return '""'
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f.is_integer() and abs(f) < 1e15:
+            return str(int(f))
+        return (ofmt % f) if ofmt else repr(f)
+    return json.dumps(str(v))
+
+
+def _mlr_json(v, level: int = 0, ofmt: str | None = None) -> str:
+    """Miller's vertical JSON rendering (dump / print of collections;
+    pkg/output json): maps always multiline with 2-space indent,
+    arrays single-line when all elements are scalars."""
+    pad = "  " * level
+    if isinstance(v, dict):
+        if not v:
+            return "{}"
+        inner = ",\n".join(
+            f'{"  " * (level + 1)}"{_fmt_key(k)}": '
+            f"{_mlr_json(vv, level + 1, ofmt)}" for k, vv in v.items())
+        return "{\n" + inner + "\n" + pad + "}"
+    if isinstance(v, list):
+        if all(not isinstance(e, (dict, list)) for e in v):
+            return "[" + ", ".join(_json_scalar(e, ofmt) for e in v) + "]"
+        inner = ",\n".join(
+            f'{"  " * (level + 1)}{_mlr_json(e, level + 1, ofmt)}'
+            for e in v)
+        return "[\n" + inner + "\n" + pad + "]"
+    return _json_scalar(v, ofmt)
+
+
 def _print_render(v, ofmt: str | None = None) -> str:
     if v is None:
         return ""
     if isinstance(v, (dict, list)):
-        import json
-
-        return json.dumps(v, indent=2, default=str)
+        return _mlr_json(v, ofmt=ofmt)
     if isinstance(v, bool):
         return "true" if v else "false"
     if ofmt is not None:
@@ -2007,6 +2232,13 @@ def _print_render(v, ofmt: str | None = None) -> str:
                     r"\d+\.\d*[eE][-+]?\d+|\.\d+[eE][-+]?\d+)")
             if _FLOAT_STR_RE.fullmatch(v):
                 return ofmt % float(v)
+            # concatenations like "y is ".string($y) stringified a
+            # float BEFORE the formatter could see it — re-render
+            # embedded float literals (they were float-typed values:
+            # DKVP inference makes float-looking text float anyway)
+            if _FLOAT_STR_RE.search(v):
+                return _FLOAT_STR_RE.sub(
+                    lambda m: ofmt % float(m.group(0)), v)
     if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
         # Go FormatFloat('f', -1) renders integral floats without ".0"
         return str(int(v))
@@ -2015,6 +2247,22 @@ def _print_render(v, ofmt: str | None = None) -> str:
 
 def _run_records_impl(self, records: list[dict], seeds: list[dict] | None
                       = None, quiet=False, ofmt: str | None = None,
+                      want_filter=False):
+    """Wrapper installing the process-wide float formatter (MLR_OFMT
+    analogue) for the duration of the run; see _run_records_body."""
+    from miller_ray import functions as _bifs
+
+    saved = _bifs.OFMT
+    if ofmt is not None:
+        _bifs.OFMT = ofmt
+    try:
+        return _run_records_body(self, records, seeds, quiet, ofmt,
+                                 want_filter)
+    finally:
+        _bifs.OFMT = saved
+
+
+def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
                       want_filter=False):
     """Row-at-a-time execution over ordered record dicts with full
     cross-record semantics (@oosvars, begin/end, emit, dump/print,
@@ -2031,9 +2279,12 @@ def _run_records_impl(self, records: list[dict], seeds: list[dict] | None
     funcs = getattr(self, "funcs", {})
     out_records: list[dict] = []
     texts: list[str] = []
+    stream: list[tuple] = []  # ("rec", dict) | ("text", str) in order
     empty = pa.table({})
 
     def drain():
+        stream.extend(seq.get("outq") or [])
+        seq["outq"] = []
         out_records.extend(seq["emitted"])
         seq["emitted"].clear()
         texts.extend(seq["texts"])
@@ -2075,6 +2326,11 @@ def _run_records_impl(self, records: list[dict], seeds: list[dict] | None
                     else bool(pred)
             if keep:
                 out_records.append(srec)
+                if seq.get("buf"):  # printn output joins this line
+                    stream.append(("textn", seq["buf"]))
+                    texts.append(seq["buf"])
+                    seq["buf"] = ""
+                stream.append(("rec", srec))
     if self.end:
         env = base_env()
         env["\x00srec"] = {}
@@ -2083,17 +2339,24 @@ def _run_records_impl(self, records: list[dict], seeds: list[dict] | None
         state = {"mask": None, "bare": None}
         self._exec(self.end, empty, env, None, state)
         drain()
-    return out_records, texts
+    if seq.get("buf"):  # unterminated printn output
+        buf = seq.pop("buf")
+        texts.append(buf)
+        stream.append(("text", buf))
+    return out_records, texts, stream
 
 
 Program.run_records = _run_records_impl
 
 
 def _table_records(t: pa.Table) -> list[dict]:
-    """Arrow table -> ordered record dicts; nulls become absent."""
+    """Arrow table -> ordered record dicts; nulls/NaN (union-schema
+    fill for heterogeneous inputs) become absent."""
     out = []
     for row in t.to_pylist():
-        out.append({k: v for k, v in row.items() if v is not None})
+        out.append({k: v for k, v in row.items()
+                    if v is not None and not (
+                        isinstance(v, float) and np.isnan(v))})
     return out
 
 
@@ -2152,9 +2415,16 @@ def _parse_block(p: "_Parser") -> list[tuple]:
 
 def _parse_emit_target(p: "_Parser"):
     """One emittable: an @oosvar reference (possibly indexed) parsed
-    structurally so emit can name output fields, or a general
-    expression (map literal, function call, $*)."""
+    structurally so emit can name output fields, `all` (every
+    oosvar), or a general expression (map literal, function call,
+    $*)."""
     k, v = p.peek()
+    if (k, v) == ("ident", "all"):
+        p.next()
+        return ("all",)
+    if k == "ident" and p.toks[p.i + 1: p.i + 2] != [("op", "(")]:
+        p.next()
+        return ("lref", v)
     if k == "oosvar":
         p.next()
         name = _field_name(v)
@@ -2219,21 +2489,34 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
             body = _parse_block(p)
             if top is None:
                 raise DslError(f"{v} block not allowed here")
-            top.setdefault(v, []).extend(body)
+            # each begin/end block is its own local scope (udf.go
+            # stack frames; dsl-user-defined-functions-and-subroutines
+            # 0031: a local from one begin block is absent in the next)
+            top.setdefault(v, []).append(("scopeblock", body))
             continue
-        if k == "ident" and v in ("emit", "emitp", "emitf"):
+        if k == "ident" and v == "emit1":
+            p.next()
+            stmts.append(("emit1", p.expr()))
+        elif k == "ident" and v in ("emit", "emitp", "emitf"):
             p.next()
             stmts.append(_parse_emit(p, v))
         elif k == "ident" and v in ("dump", "edump"):
             p.next()
-            stmts.append(("dump",))
-        elif k == "ident" and v in ("print", "printn"):
-            p.next()
-            nl = v == "print"
+            stderr = v == "edump"
             if p.peek()[1] in (";", "}") or p.peek()[0] == "eof":
-                stmts.append(("print", None, nl))
+                stmts.append(("edump", None) if stderr else ("dump", None))
             else:
-                stmts.append(("print", p.expr(), nl))
+                e0 = p.expr()
+                stmts.append(("edump", e0) if stderr else ("dump", e0))
+        elif k == "ident" and v in ("print", "printn", "eprint",
+                                    "eprintn"):
+            p.next()
+            nl = v in ("print", "eprint")
+            kind2 = "eprint" if v.startswith("e") else "print"
+            if p.peek()[1] in (";", "}") or p.peek()[0] == "eof":
+                stmts.append((kind2, None, nl))
+            else:
+                stmts.append((kind2, p.expr(), nl))
         elif k == "ident" and v == "tee":
             raise DslError("tee statements are not supported")
         elif k == "ident" and v in ("func", "subr") and \
@@ -2351,6 +2634,10 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
                     else:
                         targets.append((
                             "field" if fk == "field" else "oos", name, idx))
+                elif fk == "ident" and fv == "all":
+                    # `unset all` clears every @oosvar
+                    # (pkg/dsl/cst unset-all)
+                    targets.append(("oos_all",))
                 elif fk == "ident":
                     while p.peek() == ("op", "["):
                         p.next()
@@ -2596,7 +2883,8 @@ def _parse_for(p: "_Parser") -> tuple:
 
 
 _SEQ_ONLY_KINDS = frozenset((
-    "oassign", "ounset", "emit", "dump", "print",
+    "oassign", "ounset", "emit", "emit1", "dump", "edump", "print",
+    "eprint",
     "localdecl", "localassign", "lidxassign", "fidxassign", "dynassign",
     "posassign", "srec_assign", "oall_assign", "unset_multi",
     "while", "dowhile", "for_bind", "for_c",
@@ -2627,7 +2915,7 @@ def compile_program(src: str) -> Program:
     if p.peek()[0] != "eof":
         raise DslError(f"unexpected trailing token {p.peek()[1]!r}")
     return Program(stmts, begin=top.get("begin"), end=top.get("end"),
-                   funcs=top.get("funcs"))
+                   funcs=top.get("funcs"), force_seq=p.force_seq)
 
 
 def _apply_mask(out: pa.Table, mask, invert: bool = False) -> pa.Table:

@@ -25,6 +25,11 @@ import pyarrow.compute as pc
 
 REGISTRY: dict[str, Callable] = {}
 
+# Process-wide float output format, mirroring the reference's MLR_OFMT
+# environment variable (regtester.go:161 sets %.8f for golden tests).
+# None outside conformance runs.
+OFMT: str | None = None
+
 
 def bif(name):
     def deco(fn):
@@ -87,7 +92,17 @@ def _truncate(x, n):
     if int(n) < 0:
         return pa.array(["(error)"] * len(x), type=pa.string())
     return pc.utf8_slice_codeunits(_s(x), 0, int(n))
-bif("leafcount")(lambda x: pa.array(np.ones(len(x), dtype=np.int64)))
+@bif("leafcount")
+def _leafcount(x):
+    """Recursive scalar-leaf count (bifs/collections.go BIF_leafcount);
+    Arrow scalar columns count 1 per row."""
+    if isinstance(x, dict):
+        return sum(_leafcount(v) for v in x.values())
+    if isinstance(x, list):
+        return sum(_leafcount(v) for v in x)
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pa.array(np.ones(len(x), dtype=np.int64))
+    return 1
 
 
 def _slice_incl(x, lo, hi):
@@ -286,7 +301,24 @@ def _max_fn(*xs):
     return nums[0] if len(nums) == 1 else pc.max_element_wise(*nums)
 bif("int")(lambda x: pc.cast(pc.trunc(_f(x)), pa.int64()))
 bif("float")(lambda x: _f(x))
-bif("string")(lambda x: _s(x))
+@bif("string")
+def _string(x):
+    """Cast to string (bifs/types.go BIF_string); scalar floats render
+    through OFMT when set (mlrval String() honors --ofmt)."""
+    if x is None:
+        return "(absent)"
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    if isinstance(x, float):
+        if x.is_integer() and abs(x) < 1e15:
+            return str(int(x))
+        return (OFMT % x) if OFMT else str(x)
+    if isinstance(x, (int, str)):
+        return str(x)
+    if isinstance(x, (dict, list)):
+        return x  # Miller string() of a collection JSON-encodes; the
+        # sequential renderer handles it downstream
+    return _s(x)
 bif("boolean")(lambda x: pc.cast(x, pa.bool_()))
 @bif("hexfmt")
 def _hexfmt(x):
@@ -298,9 +330,18 @@ def _hexfmt(x):
         return _s(x)
     return pa.array(["0x%x" % (int(v) & 0xFFFFFFFFFFFFFFFF)
                      for v in np.asarray(x)])
-bif("bitcount")(lambda x: pa.array(np.array(
-    [bin(int(v) & 0xFFFFFFFFFFFFFFFF).count("1") for v in np.asarray(x)],
-    dtype=np.int64)))
+@bif("bitcount")
+def _bitcount(x):
+    """popcount of int values; non-int input is the error VALUE
+    (bifs/bits.go BIF_bitcount int-only dispositions)."""
+    if isinstance(x, (pa.Array, pa.ChunkedArray)) and not \
+            pa.types.is_integer(x.type):
+        return pa.array(["(error)"] * len(x), type=pa.string())
+    if isinstance(x, float) and not float(x).is_integer():
+        return "(error)"
+    return pa.array(np.array(
+        [bin(int(v) & 0xFFFFFFFFFFFFFFFF).count("1")
+         for v in np.asarray(x)], dtype=np.int64))
 def _mod_arr(m):
     if hasattr(m, "to_numpy"):
         return m.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -803,6 +844,8 @@ def _infer_str(s: str):
     floats; everything else stays a string."""
     if not isinstance(s, str):
         return s
+    if re.fullmatch(r"[+-]?0\d+", s):
+        return s  # leading-zero decimals stay strings (zip codes)
     if re.fullmatch(r"[+-]?(0[xX][0-9a-fA-F]+|0[bB][01]+|\d+)", s):
         try:
             return int(s, 0)
@@ -818,47 +861,49 @@ def _infer_str(s: str):
 
 @bif("splita")
 def _splita(x, sep):
-    if isinstance(x, str):
-        return [_infer_str(p) for p in x.split(str(sep))] if x != "" else []
-    raise TypeError("splita expects a string")
+    if not isinstance(x, str):
+        x = _render_scalar(x)
+    return [_infer_str(p) for p in x.split(str(sep))] if x != "" else []
 
 
 @bif("splitnv")
 def _splitnv(x, sep):
-    if isinstance(x, str):
-        parts = x.split(str(sep)) if x != "" else []
-        return {str(i): _infer_str(p) for i, p in enumerate(parts, 1)}
-    raise TypeError("splitnv expects a string")
+    if not isinstance(x, str):
+        x = _render_scalar(x)
+    parts = x.split(str(sep)) if x != "" else []
+    return {str(i): _infer_str(p) for i, p in enumerate(parts, 1)}
 
 
 @bif("splitnvx")
 def _splitnvx(x, sep):
-    if isinstance(x, str):
-        parts = x.split(str(sep)) if x != "" else []
-        return {str(i): p for i, p in enumerate(parts, 1)}
-    raise TypeError("splitnvx expects a string")
+    if not isinstance(x, str):
+        x = _render_scalar(x)
+    parts = x.split(str(sep)) if x != "" else []
+    return {str(i): p for i, p in enumerate(parts, 1)}
+
+
+def _splitkv_impl(x, ps, fs, infer):
+    out = {}
+    for i, pair in enumerate((x.split(str(fs)) if x != "" else []), 1):
+        k, sep, v = pair.partition(str(ps))
+        if not sep:  # no pair separator: positional key, whole piece
+            k, v = str(i), pair
+        out[k] = _infer_str(v) if infer else v
+    return out
 
 
 @bif("splitkv")
 def _splitkv(x, ps, fs):
-    if isinstance(x, str):
-        out = {}
-        for pair in (x.split(str(fs)) if x != "" else []):
-            k, _, v = pair.partition(str(ps))
-            out[k] = _infer_str(v)
-        return out
-    raise TypeError("splitkv expects a string")
+    if not isinstance(x, str):
+        x = _render_scalar(x)
+    return _splitkv_impl(x, ps, fs, True)
 
 
 @bif("splitkvx")
 def _splitkvx(x, ps, fs):
-    if isinstance(x, str):
-        out = {}
-        for pair in (x.split(str(fs)) if x != "" else []):
-            k, _, v = pair.partition(str(ps))
-            out[k] = v
-        return out
-    raise TypeError("splitkvx expects a string")
+    if not isinstance(x, str):
+        x = _render_scalar(x)
+    return _splitkv_impl(x, ps, fs, False)
 
 
 @bif("mapsum")
@@ -915,14 +960,18 @@ def _mapselect(m, *keys):
 def _get_keys(m):
     if isinstance(m, dict):
         return list(m.keys())
-    raise TypeError("get_keys expects a map")
+    if isinstance(m, list):  # array keys are the 1-up indices
+        return list(range(1, len(m) + 1))
+    raise TypeError("get_keys expects a collection")
 
 
 @bif("get_values")
 def _get_values(m):
     if isinstance(m, dict):
         return list(m.values())
-    raise TypeError("get_values expects a map")
+    if isinstance(m, list):
+        return list(m)
+    raise TypeError("get_values expects a collection")
 
 
 @bif("haskey")
@@ -936,7 +985,7 @@ def _haskey(m, k):
             return False
         i = int(k)
         return (1 <= i <= len(m)) or (-len(m) <= i <= -1)
-    return False
+    return "(error)"  # absent/scalar base (haskey dispositions)
 
 
 @bif("append")

@@ -52,7 +52,33 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           # round 2c: if/elif/else + pattern-action blocks and fixes
           "dsl-empty", "dsl-modular-arithmetic", "dsl-if-chain",
           "dsl-length", "io-utf8-bom", "io-uri-schemes",
-          "io-format-conversion-keystroke-savers"]
+          "io-format-conversion-keystroke-savers",
+          # round 3: locals/loops/UDFs/subroutines/HOFs/positional fields
+          "dsl-argpass-typedecl", "dsl-block-exit", "dsl-break-continue",
+          "dsl-do-while", "dsl-emit-het", "dsl-env", "dsl-for-map-depth",
+          "dsl-for-one", "dsl-for-oosvar-loops", "dsl-for-two",
+          "dsl-for-variants", "dsl-forbind-typedecl", "dsl-func-decl-hoist",
+          "dsl-indexing", "dsl-local-map-variable-typedecl",
+          "dsl-local-map-variable-write-read", "dsl-localvar-scope-and-extent",
+          "dsl-localvar-typedecl", "dsl-mapvar-emit",
+          "dsl-mapvars-udfs-subroutines", "dsl-min-max-types",
+          "dsl-null-empty-handling", "dsl-put-dash-s", "dsl-scope",
+          "dsl-stack-allocation", "dsl-string-array-indexing-slicing",
+          "dsl-subr", "dsl-triple-for-loops", "dsl-typedecl",
+          "dsl-user-defined-functions",
+          # round 3b: dump/print/emit semantics, collections, map values
+          "dsl-begin-end", "dsl-collection-equality", "dsl-concat",
+          "dsl-dump-print", "dsl-emit", "dsl-emit1",
+          "dsl-flatten-unflatten", "dsl-haskey",
+          "dsl-indirect-srec-assignments", "dsl-lashed-emitp-singles",
+          "dsl-length-depth-leafcount", "dsl-lhs-indexing",
+          "dsl-localvar-unsets", "dsl-mapsum-mapdiff-mapexcept",
+          "dsl-mapvar-assignments", "dsl-mathy", "dsl-oosvar-assignments",
+          "dsl-oosvars", "dsl-output-redirects", "dsl-parameterized-emit",
+          "dsl-print", "dsl-short-circuit", "dsl-sorts", "dsl-split-join",
+          "dsl-type-inference", "dsl-type-reflect", "dsl-unset",
+          "dsl-user-defined-functions-and-subroutines",
+          "dsl-first-class-functions"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
