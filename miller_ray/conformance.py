@@ -52,7 +52,7 @@ def _infer(v: str):
     return v
 
 
-def read_dkvp(path: str) -> list[dict]:
+def read_dkvp(path: str, sep: str = ",") -> list[dict]:
     recs = []
     with open(path) as f:
         for line in f:
@@ -61,7 +61,7 @@ def read_dkvp(path: str) -> list[dict]:
                 continue
             rec = {}
             seen: dict[str, int] = {}
-            for pos, pair in enumerate(line.split(","), 1):
+            for pos, pair in enumerate(line.split(sep), 1):
                 if "=" in pair:
                     k, _, v = pair.partition("=")
                     seen[k] = seen.get(k, 0) + 1
@@ -99,12 +99,27 @@ def read_csv(path: str, sep: str = ",") -> list[dict]:
 
 def read_csvlite(path: str, sep: str = ",") -> list[dict]:
     """csvlite: a blank line starts a NEW header block (heterogeneous
-    schema support; record_reader_csvlite.go)."""
+    schema support; record_reader_csvlite.go). Multi-character
+    separators split literally (no quoting)."""
     import csv
     import io
 
     with open(path) as f:
         text = f.read()
+    if len(sep) > 1:
+        recs2: list[dict] = []
+        hdr2: list[str] | None = None
+        for line in text.split("\n"):
+            line = line.rstrip("\r")
+            if line == "":
+                hdr2 = None
+                continue
+            parts = line.split(sep)
+            if hdr2 is None:
+                hdr2 = _dedupe_header(parts)
+                continue
+            recs2.append({k: _infer(v) for k, v in zip(hdr2, parts)})
+        return recs2
     recs: list[dict] = []
     for block in re.split(r"\n\s*\n", text):
         if not block.strip():
@@ -414,8 +429,14 @@ def parse_cmd(cmd: str) -> Case:
             # value for previous flag OR a file path
             if t.startswith("file://"):
                 t = t[len("file://"):]
+            if t == "<":
+                j += 1
+                continue  # stdin redirect: next token is the file
             if t and (t.startswith("test/input")
-                      or (os.path.isfile(os.path.join(REFERENCE, t)))):
+                      or os.path.isfile(os.path.join(REFERENCE, t))
+                      or ("/" in t and any(ch in t for ch in "*?[")
+                          and any(os.path.isfile(h) for h in __import__(
+                              "glob").glob(os.path.join(REFERENCE, t))))):
                 files.append(t)
             else:
                 args.append(t)
@@ -428,6 +449,42 @@ def parse_cmd(cmd: str) -> Case:
 # ---------------------------------------------------------------------------
 
 
+def _maybe_decompress(p: str, args: list[str]) -> str:
+    """gzip/bzip2/flate inputs (reference lib/readerwriter.go: .gz,
+    .bz2, .z extensions and --gzin/--bz2in/--zin flags): decompress to
+    a temp file and return its path."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import tempfile
+    import zlib as _zlib
+
+    raw = None
+    if p.endswith(".zst") or "--zstdin" in args:
+        try:
+            import zstandard as _zstd
+        except ImportError:
+            raise Unsupported("zstd input (no zstandard module)")
+        raw = _zstd.ZstdDecompressor().decompress(open(p, "rb").read())
+    elif p.endswith(".gz") or "--gzin" in args:
+        with _gzip.open(p, "rb") as fh:
+            raw = fh.read()
+    elif p.endswith(".bz2") or "--bz2in" in args:
+        with _bz2.open(p, "rb") as fh:
+            raw = fh.read()
+    elif p.endswith(".z") or "--zin" in args:
+        data = open(p, "rb").read()
+        try:
+            raw = _zlib.decompress(data)
+        except _zlib.error:
+            raw = _zlib.decompress(data, -15)  # raw deflate
+    if raw is None:
+        return p
+    tf = tempfile.NamedTemporaryFile("wb", delete=False, suffix=".txt")
+    tf.write(raw)
+    tf.close()
+    return tf.name
+
+
 def load_df(case: Case) -> pd.DataFrame:
     if "__NO_INPUT__" in case.args:
         d = pd.DataFrame()
@@ -435,22 +492,38 @@ def load_df(case: Case) -> pd.DataFrame:
         return d
     frames = []
     korder: dict[int, list[str]] = {}
-    for fnum, f in enumerate(case.files, 1):
+    files = []
+    for f in case.files:
+        if any(ch in f for ch in "*?["):
+            import glob as _glob
+
+            hits = sorted(_glob.glob(os.path.join(REFERENCE, f)))
+            files.extend(os.path.relpath(h, REFERENCE) for h in hits)
+        else:
+            files.append(f)
+    left_fmt = None
+    if case.verb == "join" and _has(case.args, "-i"):
+        # join -i FMT: the -f left file has its own input format
+        # (join.go per-verb input options)
+        left_fmt = _flagvals(case.args, "-i")
+    for fnum, f in enumerate(files, 1):
         p = os.path.join(REFERENCE, f)
-        if case.ifmt == "csv":
+        p = _maybe_decompress(p, case.args)
+        fmt = left_fmt if (left_fmt and fnum == 1) else case.ifmt
+        if fmt == "csv":
             recs = read_csv(p, sep=case.ifs or ",")
-        elif case.ifmt == "csvlite":
+        elif fmt == "csvlite":
             recs = read_csvlite(p, sep=case.ifs or ",")
-        elif case.ifmt == "tsv":
+        elif fmt == "tsv":
             recs = read_tsv(p)
-        elif case.ifmt == "nidx":
+        elif fmt == "nidx":
             recs = read_nidx(p, sep=case.ifs)
-        elif case.ifmt == "json":
+        elif fmt == "json":
             recs = read_json_in(p)
-        elif case.ifmt == "pprint":
+        elif fmt == "pprint":
             recs = read_pprint(p)
         else:
-            recs = read_dkvp(p)
+            recs = read_dkvp(p, sep=case.ifs or ",")
         korder[fnum] = list(recs[0].keys()) if recs else []
         for r in recs:
             r["__file__"] = f
@@ -485,6 +558,26 @@ _SUPPORTED_ACCS = {"mean", "sum", "count", "min", "max", "var", "stddev",
                    "meaneb", "median", "mode", "antimode", "mad",
                    "distinct_count", "null_count", "skewness", "kurtosis",
                    "minlen", "maxlen"}
+
+
+def _void_to_nan(df, fields):
+    """Miller stats accumulators skip VOID (empty-string) values
+    (bifs/stats.go ingests only non-void); blank entries in numeric
+    columns become NaN so Arrow gets a clean numeric column. Cleans
+    every otherwise-numeric object column: mixed int/"" columns break
+    the Arrow conversion even when unreferenced."""
+    import pandas as _pd
+
+    df = df.copy()
+    fields = [f for f in df.columns if not str(f).startswith("__")]
+    for f in fields:
+        if f in df.columns and df[f].dtype == object:
+            col = df[f].replace("", np.nan)
+            num = _pd.to_numeric(col, errors="coerce")
+            if num.notna().sum() == col.notna().sum():
+                col = num
+            df[f] = col
+    return df
 
 
 def execute(case: Case, df: pd.DataFrame):
@@ -536,6 +629,7 @@ def execute(case: Case, df: pd.DataFrame):
     if v == "stats1":
         if _has(a, "-s") or _has(a, "-w"):
             raise Unsupported("stats1 -s/-w")
+        df = _void_to_nan(df, (_flagvals(a, "-f") or "").split(","))
         interpolated = _has(a, "-i")
         accs = _flagvals(a, "-a").split(",")
         for acc in accs:
@@ -626,7 +720,18 @@ def execute(case: Case, df: pd.DataFrame):
                     want = f"{f}_{acc}"
                     if ours_name != want and ours_name in out.columns:
                         ren[ours_name] = want
-        return (out.rename(columns=ren) if ren else out), False
+        out = out.rename(columns=ren) if ren else out
+        # Miller accumulators over an all-void group: sum renders 0,
+        # mode/antimode render VOID (mix-null-field-input golden cases)
+        for f in usable:
+            if f + "_sum" in out.columns:
+                out[f + "_sum"] = out[f + "_sum"].fillna(0)
+            for acc in ("mode", "antimode"):
+                c2 = f"{f}_{acc}"
+                if c2 in out.columns and out[c2].isna().any():
+                    out[c2] = out[c2].astype(object).where(
+                        out[c2].notna(), "")
+        return out, False
 
     if v == "top":
         fields = _flagvals(a, "-f").split(",")
@@ -637,14 +742,24 @@ def execute(case: Case, df: pd.DataFrame):
             raise Unsupported("top -a")
         smallest = "--min" in a
         # Miller skips records missing ANY sought field (top.go:208-211)
+        # but INGESTS void values, which outrank numbers in the mlrval
+        # total order (mix-null-field-input/0021): map "" to +inf and
+        # back to VOID on output
         base = df.copy()
+        had_void = False
         for f in fields:
             vals = base[f]
+            if (vals == "").any():
+                had_void = True
+                vals = vals.replace("", np.inf)
             if vals.dropna().map(lambda v: isinstance(v, (int, np.integer))).all():
                 base[f] = vals.astype("Int64")  # int64-exact (near-ovf cases)
             else:
                 base[f] = pd.to_numeric(vals, errors="coerce")
         base = base.dropna(subset=fields + (gb or []))
+        keep_cols = fields + (gb or []) + \
+            [c for c in ("__row__",) if c in base.columns]
+        base = base[keep_cols]  # other columns may be mixed-type
         merged = None
         for f in fields:
             sub = base
@@ -666,6 +781,12 @@ def execute(case: Case, df: pd.DataFrame):
         vcols = [c for c in merged.columns if c.endswith("_top")]
         merged[vcols] = merged[vcols].astype(object).where(
             merged[vcols].notna(), "")
+        if had_void:
+            merged[vcols] = merged[vcols].where(
+                merged[vcols].ne(np.inf), "")
+        oname = _flagvals(a, "-o", "top_idx")
+        if oname != "top_idx":
+            merged = merged.rename(columns={"top_idx": oname})
         return merged, False
 
     if v == "sort":
@@ -828,6 +949,17 @@ def execute(case: Case, df: pd.DataFrame):
         return pd.DataFrame(), False
 
     if v == "stats2":
+        df = _void_to_nan(df, (_flagvals(a, "-f") or "").split(","))
+        _f2 = [f for f in (_flagvals(a, "-f") or "").split(",") if f]
+        if _f2 and df.dropna(subset=[f for f in _f2
+                                     if f in df.columns]).empty:
+            # no complete pairs: groups emit with VOID stats, the
+            # ungrouped form emits nothing
+            _g2 = _flagvals(a, "-g")
+            if _g2:
+                return df[_g2.split(",")].drop_duplicates() \
+                    .reset_index(drop=True), False
+            return pd.DataFrame(), False
         if _has(a, "-s") or "--fit" in a:
             raise Unsupported("stats2 -s/--fit")
         accs = _flagvals(a, "-a").split(",")
@@ -866,6 +998,10 @@ def execute(case: Case, df: pd.DataFrame):
         return out, False
 
     if v == "merge-fields":
+        # presence BEFORE void-cleaning: a void field still creates its
+        # accumulator (sum renders 0); an absent field does not
+        present = df.notna()
+        df = _void_to_nan(df, (_flagvals(a, "-f") or "").split(","))
         accs = _flagvals(a, "-a").split(",")
         keep = _has(a, "-k")
         interp = _has(a, "-i")
@@ -884,7 +1020,8 @@ def execute(case: Case, df: pd.DataFrame):
             out = verbs.merge_fields_collapse(_ds(work), accs, subs,
                                               keep_inputs=keep,
                                               interpolated=interp).to_pandas()
-            out = _mask_empty_groups(out, work, accs, subs)
+            out = _mask_empty_groups(out, work, accs, subs,
+                                      present=present)
             return out, False
         if _has(a, "-r"):
             raise Unsupported("merge-fields -r")
@@ -1057,6 +1194,7 @@ def execute(case: Case, df: pd.DataFrame):
         return work[sel].drop(columns=["__row__", "__file__", "__filenum__"], errors="ignore"), True
 
     if v == "step":
+        df = _void_to_nan(df, (_flagvals(a, "-f") or "").split(","))
         steppers = _flagvals(a, "-a").split(",")
         supported = {"delta", "shift", "shift_lag", "shift_lead", "rsum",
                      "rprod", "counter", "ratio", "from-first"}
@@ -1619,8 +1757,8 @@ def _exec_join(a: list[str], df: pd.DataFrame):
     jout = j or lf
     if lf is None or rf is None:
         raise Unsupported("join without key names")
-    if _has(a, "--lk") or _has(a, "--rk") or _has(a, "-i"):
-        raise Unsupported("join --lk/--rk/-i")
+    if _has(a, "--lk") or _has(a, "--rk"):
+        raise Unsupported("join --lk/--rk")
     # join.go:74-75: prefixes default EMPTY and, when given, apply to
     # ALL non-join fields of that side, paired and unpaired records
     # alike; colliding names without prefixes overwrite (map semantics)
@@ -1978,12 +2116,18 @@ def _collapse_groups(columns, subs):
     return groups
 
 
-def _mask_empty_groups(out, work, accs, subs):
-    """A record with NO fields in a collapse group emits NO stats for it
-    (no accumulator is created) — mask count=0 artifacts to absent."""
+def _mask_empty_groups(out, work, accs, subs, present=None):
+    """A record with NO fields in a collapse group emits NO stats for
+    it (no accumulator is created) — mask count=0 artifacts to absent.
+    Fields that are PRESENT but void still create the accumulator, so
+    sum renders 0 for them (mix-null-field-input/0014)."""
     for stem, cols in _collapse_groups(
             [c for c in work.columns], subs).items():
-        valid = work[cols].notna().any(axis=1).to_numpy()
+        if present is not None:
+            valid = present[[c for c in cols if c in present.columns]] \
+                .any(axis=1).to_numpy()
+        else:
+            valid = work[cols].notna().any(axis=1).to_numpy()
         for acc in accs:
             col = f"{stem}_{acc}"
             if col in out.columns:
@@ -2179,7 +2323,7 @@ def _auto_unflatten(rec: dict) -> dict:
     out: dict = {}
     for k, v in rec.items():
         parts = str(k).split(".")
-        if len(parts) == 1:
+        if len(parts) == 1 or any(p == "" for p in parts):
             out[k] = v
             continue
         node = out

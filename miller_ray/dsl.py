@@ -630,6 +630,12 @@ class _Parser:
                 c = base(t, env)
                 k2 = _unscalar(idx(t, env))
                 if isinstance(c, (dict, list)) or c is None:
+                    if isinstance(k2, list):  # array index = key path
+                        for kk in k2:
+                            c = _index_value(c, kk)
+                            if c is None:
+                                return None
+                        return c
                     return _index_value(c, k2)
                 if _is_arr(c) and pa.types.is_list(c.type):
                     if not isinstance(k2, (int, np.integer)):
@@ -1528,7 +1534,8 @@ def _exec_impl(self, stmts, t, env, mask, state):
             val = expr(t, env)
             if not isinstance(val, (dict, list, tuple)):
                 val = _scalarize(val)
-            keys = [_scalarize(e(t, env)) for e in idx_exprs]
+            keys = _splice_keys([_unseq_val(e(t, env))
+                                 for e in idx_exprs])
             cur = _scope_lookup(env, name)
             cur = _deepen_base(None if cur is _ABSENT else cur, keys[0])
             _scope_assign(env, name, cur)
@@ -1541,7 +1548,8 @@ def _exec_impl(self, stmts, t, env, mask, state):
             val = expr(t, env)
             if not isinstance(val, (dict, list, tuple)):
                 val = _scalarize(val)
-            keys = [_scalarize(e(t, env)) for e in idx_exprs]
+            keys = _splice_keys([_unseq_val(e(t, env))
+                                 for e in idx_exprs])
             cur = _deepen_base(srec.get(fname), keys[0])
             srec[fname] = cur
             _assign_path(cur, keys, op, val)
@@ -1558,7 +1566,8 @@ def _exec_impl(self, stmts, t, env, mask, state):
             if not isinstance(val, (dict, list, tuple)):
                 val = _scalarize(val)
             if idx_exprs:
-                keys = [_scalarize(e(t, env)) for e in idx_exprs]
+                keys = _splice_keys([_unseq_val(e(t, env))
+                                      for e in idx_exprs])
                 cur = _deepen_base(srec.get(name), keys[0])
                 srec[name] = cur
                 _assign_path(cur, keys, op, val)
@@ -1815,7 +1824,7 @@ def _seq_oassign(name, idx_exprs, op, rhs, t, env, seq):
             if nv is not None:
                 oos[name] = _copyval(nv)
         return
-    keys = [_scalarize(e(t, env)) for e in idx_exprs]
+    keys = _splice_keys([_unseq_val(e(t, env)) for e in idx_exprs])
     node = _deepen_base(oos.get(name), keys[0])
     oos[name] = node
     _assign_path(node, keys, op, val)
@@ -1843,11 +1852,24 @@ def _unseq_val(v):
     return _scalarize(v)
 
 
+def _splice_keys(keys: list) -> list:
+    """An array-valued index splices its elements into the key path
+    (mlrval PutIndexed with array-of-indices; golden dsl-multi-index)."""
+    out = []
+    for k in keys:
+        if isinstance(k, list):
+            out.extend(k)
+        else:
+            out.append(k)
+    return out
+
+
 def _assign_path(node, keys: list, op: str, val):
     """In-place indexed assignment through nested maps/arrays
     (mlrval_collections.go PutIndexed): a missing map key auto-deepens
     to a map; a scalar or absent-array-slot is replaced by an array or
     map per the NEXT index's type."""
+    keys = _splice_keys(keys)
     for j, kk in enumerate(keys[:-1]):
         nxt = _index_value(node, kk)
         if not isinstance(nxt, (dict, list)):
@@ -1982,7 +2004,8 @@ def _emit_split(base, v) -> list[dict]:
     return recs
 
 
-def _emit_records(prefixed: bool, names, vals, keynames) -> list[dict]:
+def _emit_records(prefixed: bool, names, vals, keynames,
+                  rooted: bool = False) -> list[dict]:
     """Expand emit targets into records (emit_emitp.go; golden suites
     dsl-emit / dsl-parameterized-emit): N keynames consume the first N
     map levels into keyname fields (consumed keys drop out of emitp
@@ -1998,11 +2021,12 @@ def _emit_records(prefixed: bool, names, vals, keynames) -> list[dict]:
             for kk in first.keys():
                 subvals = [_index_value(v, kk) if isinstance(v, (dict, list))
                            else None for v in vals]
-                for r in _emit_records(prefixed, names, subvals, rest):
+                for r in _emit_records(prefixed, names, subvals, rest,
+                                       rooted=True):
                     recs.append({kn: kk, **r})
             return recs
         # scalar with keynames remaining: extras ignored (dsl-emit/0015)
-    if not prefixed and len(names) == 1:
+    if not prefixed and len(names) == 1 and not rooted:
         base, _path = names[0]
         return _emit_split(base, vals[0])
     rec: dict = {}
@@ -2049,11 +2073,13 @@ def _seq_emit(variant, targets, keyexprs, t, env, seq):
     keynames = [str(_scalarize(e(t, env))) for e in keyexprs]
     if any(tg == ("all",) or (tg[0] == "ref" and tg[1] == "*"
                               and not tg[2]) for tg in targets):
-        if keyexprs:
-            return  # `emit all, "k"` emits nothing
-            # (dsl-parameterized-emit/0058)
-        # `emit all` / `emit @*`: each oosvar emits separately, NOT
-        # lashed (emit_emitp.go; dsl-parameterized-emit/0045)
+        # `emit all` / `emit @*`: every oosvar, non-lashed
+        # (emit_emitp.go Execute topLevelEvaluableMap path). With
+        # keynames, executeIndexed demands EVERY value be a map —
+        # one scalar kills the whole emit (dsl-parameterized-emit/0058)
+        if keyexprs and any(not isinstance(v, dict)
+                            for v in oos.values()):
+            return
         for nm in list(oos):
             _seq_emit(variant, [("ref", nm, [])], keyexprs, t, env, seq)
         return

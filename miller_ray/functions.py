@@ -1027,7 +1027,10 @@ def _arrayify(v):
 
 @bif("depth")
 def _depth(v):
-    """Max nesting depth: scalar -> 0 (collections.go BIF_depth)."""
+    """Max nesting depth: scalar -> 0, absent -> absent
+    (collections.go BIF_depth)."""
+    if v is None:
+        return None
     if isinstance(v, dict):
         return 1 + max((_depth(x) for x in v.values()), default=0)
     if isinstance(v, list):

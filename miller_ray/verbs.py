@@ -139,7 +139,8 @@ def stats1(ds, accs: list[str], fields: list[str],
 
     out = results[0]
     for r in results[1:]:
-        out = out.merge(r, on=group_by) if group_by else pd.concat([out, r], axis=1)
+        out = out.merge(r, on=group_by, how="outer") if group_by \
+            else pd.concat([out, r], axis=1)
     # Miller emits fields in (field, acc) request order
     ordered = list(group_by)
     for f in fields:
@@ -163,6 +164,10 @@ def _value_stats(ds, group_by: list[str], field: str, modes: list[str]) -> pd.Da
     gcols = keys + [field]
 
     def partial(t: pa.Table) -> pa.Table:
+        # null values never enter the accumulator (Miller ingests
+        # non-void only, stats1_accumulators.go) — without this filter
+        # an all-null group reports mode=null
+        t = t.filter(pc.is_valid(t[field]))
         out = t.group_by(gcols).aggregate([([], "count_all")])
         return out.select(sorted(out.column_names))
 
@@ -194,6 +199,8 @@ def _value_stats(ds, group_by: list[str], field: str, modes: list[str]) -> pd.Da
             else out[cand_cols[len(keys):]]
 
     cand = merged.map_batches(candidates, batch_format="pandas").to_pandas()
+    if cand.empty:  # every value null: no mode/antimode rows at all
+        cand = pd.DataFrame({c: [] for c in cand_cols})
     if not keys:
         cand = cand.assign(__g=0)
     kk = keys or ["__g"]
@@ -443,6 +450,23 @@ def merge_fields(ds, accs: list[str], in_fields: list[str], out_name: str,
                     idx = np.minimum((pp * cnt / 100.0).astype(np.int64),
                                      np.maximum(cnt - 1, 0))
                     vals = srt[np.arange(mat.shape[0]), idx]
+            elif a in ("mode", "antimode"):
+                # per-row frequency vote over <=k fields; first-seen
+                # tie-break follows field order (stats1_accumulators.go
+                # mode). k is tiny so the row loop is bounded.
+                picks = []
+                for rowv in mat:
+                    vv = rowv[~np.isnan(rowv)]
+                    if vv.size == 0:
+                        picks.append(np.nan)
+                        continue
+                    cnts: dict = {}
+                    for x in vv.tolist():
+                        cnts[x] = cnts.get(x, 0) + 1
+                    tgt = max(cnts.values()) if a == "mode" \
+                        else min(cnts.values())
+                    picks.append(next(x for x in cnts if cnts[x] == tgt))
+                vals = np.array(picks, dtype=np.float64)
             else:
                 raise ValueError(f"merge-fields acc not supported: {a}")
             t = t.append_column(f"{out_name}_{a}", pa.array(vals))

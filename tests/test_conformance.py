@@ -78,7 +78,13 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "dsl-print", "dsl-short-circuit", "dsl-sorts", "dsl-split-join",
           "dsl-type-inference", "dsl-type-reflect", "dsl-unset",
           "dsl-user-defined-functions-and-subroutines",
-          "dsl-first-class-functions"]
+          "dsl-first-class-functions",
+          # round 3c: void semantics, mixed-format join, emit indexing
+          "mix-null-field-input", "verb-join-mixed-format", "globbing",
+          "dsl-depth", "dsl-multi-index", "io-ixs-regex",
+          "io-implicit-header-csv-input", "verb-flatten-unflatten",
+          "dsl-prefixed-unprefixed-emit", "dsl-emit-basic-indexing",
+          "io-compressed-input"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
