@@ -629,6 +629,47 @@ def q_dkvp_io(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_xtab_io(sf_dir: str):
+    """XTAB sink + source round-trip (record_reader_xtab.go /
+    record_writer_xtab.go): key-value lines, blank-line-separated
+    records, per-file parse parallelism."""
+    import os
+    import shutil
+    import tempfile
+
+    from miller_ray import io as MIO
+
+    out = tempfile.mkdtemp(prefix="mr_xtab_")
+    try:
+        MIO.write_xtab(_t(sf_dir, "region", ["r_regionkey", "r_name"]), out)
+        back = MIO.read_xtab([f"{out}/{f}" for f in sorted(os.listdir(out))])
+        return back.to_pandas().sort_values("r_regionkey") \
+            .reset_index(drop=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_markdown_io(sf_dir: str):
+    """Markdown-table sink + source round-trip
+    (record_reader_markdown.go / record_writer_markdown.go)."""
+    import os
+    import shutil
+    import tempfile
+
+    from miller_ray import io as MIO
+
+    out = tempfile.mkdtemp(prefix="mr_md_")
+    try:
+        MIO.write_markdown(_t(sf_dir, "nation",
+                              ["n_nationkey", "n_regionkey"]), out)
+        back = MIO.read_markdown(
+            [f"{out}/{f}" for f in sorted(os.listdir(out))])
+        return back.to_pandas().sort_values("n_nationkey") \
+            .reset_index(drop=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # ----- sketch / approximate / non-SQL queries (rows-only checks) -----------
 
 def q_sketch_flagship(sf_dir: str):
@@ -1024,6 +1065,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_anti": q_join_anti,
         "csv_io": q_csv_io,
         "dkvp_io": q_dkvp_io,
+        "xtab_io": q_xtab_io,
+        "markdown_io": q_markdown_io,
         "sort_head": q_sort_head,
         "filter_project": q_filter_project,
         "put_expr": q_put_expr,
@@ -1405,6 +1448,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority",
         "dkvp_io":
             "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "xtab_io":
+            "SELECT r_regionkey, r_name FROM region",
+        "markdown_io":
+            "SELECT n_nationkey, n_regionkey FROM nation",
         "json_flatten":
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS props_k "
             "FROM events",
