@@ -107,6 +107,18 @@ def _flagship_rows(sf_dir: str) -> int:
     return sf_to_tokens_rows(sf_dir)
 
 
+def _noise_canary() -> float:
+    """Fixed pure-ALU spin (no allocation, no syscalls): wall seconds
+    for a constant workload. Compare across runs/hosts — a canary far
+    above its usual ~baseline means the host was contended and the
+    pipeline numbers are inflated too."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x = (x * 1103515245 + i) & 0x7FFFFFFF
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_bench(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dict:
     _init_ray(num_cpus)
     # warm the tokens-table cache, the Ray worker pool AND the workers'
@@ -124,26 +136,36 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
     if names:
         queries = {n: queries[n] for n in names}
     # inner reps: the metric is steady-state THROUGHPUT (north rule:
-    # sequences/sec), so take the best of k in-session runs — the first
-    # run absorbs cold-start (block scheduling, per-worker import) and
-    # transient host noise on this shared VM. Default 2 so the driver's
-    # recorded number and BASELINE.md's claims share ONE protocol.
-    inner = int(os.environ.get("GRAFT_BENCH_INNER_REPS", "2"))
+    # sequences/sec). Each query runs >=3 in-session reps; the headline
+    # number is the MEDIAN, and min + IQR are recorded alongside so a
+    # noisy host is visible in the artifact itself (a large IQR or a
+    # median far above min flags interference — the round-2 bench
+    # dispute was exactly an unflagged 2x host-noise inflation).
+    inner = int(os.environ.get("GRAFT_BENCH_INNER_REPS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name, fn in queries.items():
-        best = None
+        reps: list[float] = []
         for _ in range(max(inner, 1)):
             t0 = time.perf_counter()
             _consume(fn())
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        k = len(reps)
+        med = reps[k // 2] if k % 2 else (reps[k // 2 - 1] + reps[k // 2]) / 2
+        iqr = (reps[(3 * k) // 4] - reps[k // 4]) if k >= 3 else 0.0
+        timings[name] = round(med, 3)
+        spread[name] = {"min": round(reps[0], 3), "median": round(med, 3),
+                        "iqr": round(iqr, 3), "reps": k}
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline pipelines wall time (sf%s, %d cpus)" % (_sf_of(sf_dir), num_cpus),
+        "metric": "headline pipelines wall time (sf%s, %d cpus, "
+                  "median of %d)" % (_sf_of(sf_dir), num_cpus, inner),
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_spread": spread,
+        "noise_canary": _noise_canary(),
         "sf": _sf_of(sf_dir),
         "num_cpus": num_cpus,
     }

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -534,6 +536,11 @@ def tail(ds, n: int = 10, group_by: list[str] | None = None,
     back to block-order skip (conformance-scale only; Miller's stream
     order does not exist distributed)."""
     if group_by:
+        if order_by is not None:
+            return tail_by(ds, n, order_by, group_by)
+        # block-stream order fallback: conformance-scale ONLY (full
+        # shuffle + per-group pandas; distributed "stream order" does
+        # not exist — declare an order column for the scale path)
         return ds.groupby(group_by).map_groups(
             lambda df: df.tail(n), batch_format="pandas")
     if order_by is not None:
@@ -1423,7 +1430,8 @@ def top_full_records(ds, field: str, n: int = 1,
     return pdf.head(n).reset_index(drop=True)
 
 
-def cumulative_fraction(ds, field: str, group_by: list[str] | None = None) -> pd.DataFrame:
+def cumulative_fraction(ds, field: str, group_by: list[str] | None = None,
+                        out_dir: str | None = None):
     """Verb ``fraction -c`` (fraction.go:44-45, two-pass): cumulative
     fraction of the per-group column total, in descending value order
     (Miller: stream order — distributed needs a declared order).
@@ -1431,39 +1439,58 @@ def cumulative_fraction(ds, field: str, group_by: list[str] | None = None) -> pd
     Two-pass shape: pass 1 = tiny distributed grouped sums; pass 2 =
     DISTRIBUTED sort by (group, value desc), then the ordered block
     stream is folded with per-group running offsets — the driver never
-    holds more than one block plus the O(groups) offset table. The
-    output is inherently ordered/record-level, returned as a DataFrame;
-    at 100 TB write each sorted block with its offset instead."""
+    holds more than one block plus the O(groups) offset table. With
+    ``out_dir`` each finished block streams straight to a parquet part
+    and a lazy Dataset over the parts is returned (the 100-TB path);
+    without it the folded blocks concatenate to a DataFrame (small
+    results only)."""
     group_by = group_by or []
     name = f"{field}_cumfrac"
     totals = grouped_stats(ds, group_by, [field], ["sum"])
     srt = ds.sort(group_by + [field],
                   descending=[False] * len(group_by) + [True])
-    if not group_by:
-        total = float(totals[f"{field}_sum"].iloc[0])
-        run = 0.0
-        frames = []
-        for df in srt.iter_batches(batch_format="pandas"):
-            cs = df[field].cumsum()
-            df[name] = (cs + run) / total
-            run += float(df[field].sum())
-            frames.append(df)
-        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 
-    tot_df = totals[group_by + [f"{field}_sum"]].rename(
-        columns={f"{field}_sum": "__tot"})
-    run = tot_df[group_by].assign(__off=0.0)
-    frames = []
-    for df in srt.iter_batches(batch_format="pandas"):
-        g = df.groupby(group_by, sort=False)
-        cs = g[field].cumsum().to_numpy()
-        m = df[group_by].merge(run, on=group_by, how="left") \
-                        .merge(tot_df, on=group_by, how="left")
-        df[name] = (cs + m["__off"].to_numpy()) / m["__tot"].to_numpy()
-        bsums = g[field].sum().reset_index().rename(columns={field: "__b"})
-        run = run.merge(bsums, on=group_by, how="left")
-        run["__off"] += run.pop("__b").fillna(0.0)
-        frames.append(df)
+    def folded_blocks():
+        """Yield finished blocks one at a time: the driver holds ONE
+        block plus the O(groups) offset table, never the full stream."""
+        if not group_by:
+            total = float(totals[f"{field}_sum"].iloc[0])
+            run = 0.0
+            for df in srt.iter_batches(batch_format="pandas"):
+                cs = df[field].cumsum()
+                df[name] = (cs + run) / total
+                run += float(df[field].sum())
+                yield df
+            return
+        tot_df = totals[group_by + [f"{field}_sum"]].rename(
+            columns={f"{field}_sum": "__tot"})
+        run = tot_df[group_by].assign(__off=0.0)
+        for df in srt.iter_batches(batch_format="pandas"):
+            g = df.groupby(group_by, sort=False)
+            cs = g[field].cumsum().to_numpy()
+            m = df[group_by].merge(run, on=group_by, how="left") \
+                            .merge(tot_df, on=group_by, how="left")
+            df[name] = (cs + m["__off"].to_numpy()) / m["__tot"].to_numpy()
+            bsums = g[field].sum().reset_index().rename(
+                columns={field: "__b"})
+            run = run.merge(bsums, on=group_by, how="left")
+            run["__off"] += run.pop("__b").fillna(0.0)
+            yield df
+    if out_dir is not None:
+        # the 100-TB path: stream each finished block straight to a
+        # parquet part and hand back a lazy Dataset over the parts
+        import ray.data as rd
+
+        os.makedirs(out_dir, exist_ok=True)
+        npart = 0
+        for i, df in enumerate(folded_blocks()):
+            df.to_parquet(os.path.join(out_dir, f"part-{i:06d}.parquet"),
+                          index=False)
+            npart += 1
+        if npart == 0:
+            return rd.from_pandas(pd.DataFrame())
+        return rd.read_parquet(out_dir)
+    frames = list(folded_blocks())
     return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 
 
@@ -1473,7 +1500,12 @@ def stats1_windowed(ds, accs: list[str], fields: list[str], group_by: list[str],
     window of the last n records, re-emitting per record. Miller keeps a
     ring buffer per group; here it is a per-group pandas rolling over an
     explicit order column (stream order is not stable distributed).
-    Supported accs: count, sum, mean, min, max, var, stddev."""
+    Supported accs: count, sum, mean, min, max, var, stddev.
+
+    NOT a scale path: each group shuffles whole to one reducer and
+    rolls in pandas. The 100-TB shape is sort by (group, order) +
+    map_batches with a (window-1)-row boundary carry per group —
+    unimplemented; this facade is conformance/small-data only."""
     roll_fns = {"count": "count", "sum": "sum", "mean": "mean", "min": "min",
                 "max": "max", "var": "var", "stddev": "std"}
     bad = [a for a in accs if a not in roll_fns]
@@ -1632,12 +1664,22 @@ def least_frequent(ds, fields: list[str], n: int = 1,
 
 def tail_by(ds, n: int, order_by: str, group_by: list[str]):
     """Verb ``tail -n -g`` with a declared order: last n records per
-    group by ``order_by`` (tail.go keeps a ring buffer in stream order)."""
+    group by ``order_by`` (tail.go keeps a ring buffer in stream
+    order). Scale shape: a per-BLOCK top-n-per-group prune first, so
+    the groupby shuffle moves at most n rows per (group, block) —
+    candidates, never the full input."""
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_by)
+                  .groupby(group_by, sort=False, dropna=False)
+                  .tail(n))
+
+    pruned = ds.map_batches(per_block, batch_format="pandas")
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(order_by).tail(n)
 
-    return ds.groupby(group_by).map_groups(f, batch_format="pandas")
+    return pruned.groupby(group_by).map_groups(f, batch_format="pandas")
 
 
 def step_slwin(ds, fields: list[str], m: int, n: int, group_by: list[str],
