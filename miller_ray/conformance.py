@@ -2342,6 +2342,27 @@ def run_case(case_dir: str) -> tuple[str, str]:
     """Returns (status, detail); status in {pass, fail, skip}."""
     if os.path.exists(os.path.join(case_dir, "should-fail")):
         return "skip", "case expects mlr to fail"
+    envfile = os.path.join(case_dir, "env")
+    saved_env: dict = {}
+    if os.path.exists(envfile):
+        # per-case environment (regtester.go EnvName): set for the
+        # duration of the case, restored after
+        for line in open(envfile).read().splitlines():
+            k, sep, v2 = line.partition("=")
+            if sep and k.strip():
+                saved_env[k.strip()] = os.environ.get(k.strip())
+                os.environ[k.strip()] = v2
+    try:
+        return _run_case_inner(case_dir)
+    finally:
+        for k, old in saved_env.items():
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
+
+
+def _run_case_inner(case_dir: str) -> tuple[str, str]:
     with open(os.path.join(case_dir, "cmd")) as f:
         cmd = f.read().strip()
     rel = os.path.relpath(case_dir, REFERENCE)

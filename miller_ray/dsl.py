@@ -381,6 +381,18 @@ _SEQ_FNS = frozenset((
     "splita", "splitnv", "splitnvx", "splitkv", "splitkvx", "joinkv",
     "mapsum", "mapdiff", "mapexcept", "mapselect", "get_keys",
     "get_values", "haskey", "append", "concat", "arrayify", "depth",
+    # collection-stats / map-shaped results (round 3)
+    "count", "sum", "sum2", "sum3", "sum4", "mean", "meaneb", "median",
+    "variance", "stddev", "skewness", "kurtosis", "mode", "antimode",
+    "percentile", "percentiles", "distinct_count", "null_count",
+    "minlen", "maxlen", "sort_collection", "hasvalue", "is_empty_map",
+    "is_nonempty_map", "format", "unformat", "unformatx", "strmatchx",
+    "flatten", "unflatten",
+    # scalar-only local-time implementations
+    "sec2localtime", "sec2localdate", "localtime2sec", "localtime2gmt",
+    "gmt2localtime", "localtime2nsec", "nsec2localtime",
+    "nsec2localdate", "strptime_local", "strfntime_local",
+    "strpntime_local", "strpntime",
 ))
 
 
@@ -746,6 +758,12 @@ class _Parser:
                                        "interpreter")
                     return len(srec)
                 return fnf
+            if v == "ENV":
+                def fenv(t, env):
+                    import os as _os
+
+                    return dict(_os.environ)
+                return fenv
             if v in ("NR", "FNR", "FILENAME", "FILENUM"):
                 # AWK-style context vars (pkg/types/context.go:91-98);
                 # available only when the caller seeds them (stream

@@ -237,9 +237,7 @@ def _strrev(x):
     return pc.utf8_reverse(_s(x))
 
 
-@bif("unformat")
-def _unformat(x):
-    return pc.cast(_s(x), pa.float64())
+
 
 
 # --- arithmetic / math (pkg/bifs/arithmetic.go, mathlib.go) ----------------
@@ -1036,3 +1034,655 @@ def _depth(v):
     if isinstance(v, list):
         return 1 + max((_depth(x) for x in v), default=0)
     return 0
+
+
+# --- round-3: predicates, assertions, collection stats, format, local
+# time, system info (builtin_function_manager.go; bifs/types.go,
+# stats.go, strings.go, datetime.go, system.go) ------------------------------
+
+bif("is_empty_map")(lambda v: isinstance(v, dict) and len(v) == 0)
+bif("is_nonempty_map")(lambda v: isinstance(v, dict) and len(v) > 0)
+bif("is_error")(lambda v: isinstance(v, str) and v == "(error)")
+
+
+@bif("hasvalue")
+def _hasvalue(m, v):
+    if isinstance(m, dict):
+        return v in m.values()
+    if isinstance(m, list):
+        return v in m
+    return "(error)"
+
+
+def _mk_asserting(name: str, pred):
+    def f(v):
+        ok = pred(v)
+        if isinstance(ok, (pa.Array, pa.ChunkedArray)):
+            import pyarrow.compute as _pc
+
+            if not _pc.all(ok).as_py():
+                raise ValueError(f"mlr: {name} failed")
+            return v
+        if not ok:
+            raise ValueError(f"mlr: {name} failed")
+        return v
+    REGISTRY[name] = f
+    f.__name__ = name
+    return f
+
+
+# asserting_X(v) = v if is_X(v) else fatal (types.go assertions)
+for _nm, _base in [
+    ("asserting_absent", "is_absent"),
+    ("asserting_array", "is_array"),
+    ("asserting_bool", "is_bool"),
+    ("asserting_boolean", "is_boolean"),
+    ("asserting_empty", "is_empty"),
+    ("asserting_empty_map", "is_empty_map"),
+    ("asserting_error", "is_error"),
+    ("asserting_float", "is_float"),
+    ("asserting_int", "is_int"),
+    ("asserting_map", "is_map"),
+    ("asserting_nonempty_map", "is_nonempty_map"),
+    ("asserting_not_array", "is_not_array"),
+    ("asserting_not_empty", "is_not_empty"),
+    ("asserting_not_map", "is_not_map"),
+    ("asserting_not_null", "is_not_null"),
+    ("asserting_null", "is_null"),
+    ("asserting_numeric", "is_numeric"),
+    ("asserting_present", "is_present"),
+    ("asserting_string", "is_string"),
+]:
+    _mk_asserting(_nm, REGISTRY[_base])
+
+
+def _coll_nums(v) -> list:
+    """Numeric values of a collection argument (bifs/stats.go ingest:
+    non-numeric and void values are skipped)."""
+    vals = v.values() if isinstance(v, dict) else v
+    if not isinstance(vals, (list, type({}.values()))):
+        raise TypeError("collection-stats function expects map/array")
+    out = []
+    for x in vals:
+        if isinstance(x, bool) or x is None:
+            continue
+        if isinstance(x, (int, float, np.integer, np.floating)):
+            out.append(float(x))
+        elif isinstance(x, str):
+            ix = _infer_str(x)
+            if not isinstance(ix, str):
+                out.append(float(ix))
+    return out
+
+
+def _coll_stat(name):
+    def deco(fn):
+        def f(v, *args):
+            return fn(_coll_nums(v), *args)
+        REGISTRY[name] = f
+        f.__name__ = name
+        return fn
+    return deco
+
+
+def _int_if_whole(x: float):
+    return int(x) if float(x).is_integer() and abs(x) < 1e15 else x
+
+
+@_coll_stat("count")
+def _c_count(xs):
+    return len(xs)
+
+
+@_coll_stat("sum")
+def _c_sum(xs):
+    return _int_if_whole(sum(xs))
+
+
+@_coll_stat("sum2")
+def _c_sum2(xs):
+    return _int_if_whole(sum(x * x for x in xs))
+
+
+@_coll_stat("sum3")
+def _c_sum3(xs):
+    return _int_if_whole(sum(x ** 3 for x in xs))
+
+
+@_coll_stat("sum4")
+def _c_sum4(xs):
+    return _int_if_whole(sum(x ** 4 for x in xs))
+
+
+@_coll_stat("mean")
+def _c_mean(xs):
+    return sum(xs) / len(xs) if xs else None
+
+
+@_coll_stat("meaneb")
+def _c_meaneb(xs):
+    """mean with error bar: map {mean, var-of-mean} (bifs/stats.go
+    BIF_meaneb)."""
+    n = len(xs)
+    if n < 2:
+        return {"mean": xs[0] if xs else None, "meaneb": None}
+    m = sum(xs) / n
+    var = sum((x - m) ** 2 for x in xs) / (n - 1)
+    return {"mean": m, "meaneb": (var / n) ** 0.5}
+
+
+@_coll_stat("variance")
+def _c_var(xs):
+    n = len(xs)
+    if n < 2:
+        return None
+    m = sum(xs) / n
+    return sum((x - m) ** 2 for x in xs) / (n - 1)
+
+
+@_coll_stat("stddev")
+def _c_std(xs):
+    v = _c_var(xs)
+    return None if v is None else v ** 0.5
+
+
+@_coll_stat("skewness")
+def _c_skew(xs):
+    n = len(xs)
+    if n < 2:
+        return None
+    m = sum(xs) / n
+    num = sum((x - m) ** 3 for x in xs) / n
+    den = (sum((x - m) ** 2 for x in xs) / n) ** 1.5
+    return num / den if den else None
+
+
+@_coll_stat("kurtosis")
+def _c_kurt(xs):
+    n = len(xs)
+    if n < 2:
+        return None
+    m = sum(xs) / n
+    num = sum((x - m) ** 4 for x in xs) / n
+    den = (sum((x - m) ** 2 for x in xs) / n) ** 2
+    return num / den - 3.0 if den else None
+
+
+def _pctl_type1(xs: list, p: float):
+    """Miller R-type-1 percentile over an already-ingested list."""
+    if not xs:
+        return None
+    s = sorted(xs)
+    idx = int(p / 100.0 * len(s))
+    return s[min(idx, len(s) - 1)]
+
+
+@_coll_stat("median")
+def _c_median(xs):
+    return _pctl_type1(xs, 50)
+
+
+@_coll_stat("percentile")
+def _c_pctl(xs, p):
+    return _pctl_type1(xs, float(p))
+
+
+@_coll_stat("percentiles")
+def _c_pctls(xs, ps):
+    if not isinstance(ps, list):
+        ps = [ps]
+    return {_render_scalar(_int_if_whole(float(p))): _pctl_type1(
+        xs, float(p)) for p in ps}
+
+
+@_coll_stat("mode")
+def _c_mode(xs):
+    if not xs:
+        return None
+    cnts: dict = {}
+    for x in xs:
+        cnts[x] = cnts.get(x, 0) + 1
+    tgt = max(cnts.values())
+    return _int_if_whole(next(x for x in cnts if cnts[x] == tgt))
+
+
+@_coll_stat("antimode")
+def _c_antimode(xs):
+    if not xs:
+        return None
+    cnts: dict = {}
+    for x in xs:
+        cnts[x] = cnts.get(x, 0) + 1
+    tgt = min(cnts.values())
+    return _int_if_whole(next(x for x in cnts if cnts[x] == tgt))
+
+
+@bif("distinct_count")
+def _c_distinct(v):
+    vals = list(v.values()) if isinstance(v, dict) else list(v)
+    seen = set()
+    for x in vals:
+        if x is not None:
+            seen.add(_render_scalar(x))
+    return len(seen)
+
+
+@bif("null_count")
+def _c_nullcount(v):
+    vals = list(v.values()) if isinstance(v, dict) else list(v)
+    return sum(1 for x in vals if x is None or x == "")
+
+
+@bif("minlen")
+def _c_minlen(v):
+    vals = list(v.values()) if isinstance(v, dict) else list(v)
+    lens = [len(_render_scalar(x)) for x in vals if x is not None]
+    return min(lens) if lens else None
+
+
+@bif("maxlen")
+def _c_maxlen(v):
+    vals = list(v.values()) if isinstance(v, dict) else list(v)
+    lens = [len(_render_scalar(x)) for x in vals if x is not None]
+    return max(lens) if lens else None
+
+
+@bif("sort_collection")
+def _sort_collection(v):
+    """Natural ascending sort of an array (bifs BIF_sort_collection)."""
+    if isinstance(v, list):
+        def key(x):
+            if isinstance(x, bool):
+                return (2, str(x))
+            if isinstance(x, (int, float, np.integer, np.floating)):
+                return (0, float(x), "")
+            return (1, 0.0, str(x))
+        return sorted(v, key=key)
+    return v
+
+
+@bif("logifit")
+def _logifit(x, m, b):
+    """Logistic fit evaluator 1/(1+exp(-m*x-b)) (bifs/stats.go
+    BIF_logifit); vectorizes over any Arrow-array argument."""
+    def np_of(a):
+        if isinstance(a, (pa.Array, pa.ChunkedArray)):
+            return _f(a).to_numpy(zero_copy_only=False)
+        return float(a)
+    xx, mm, bb = np_of(x), np_of(m), np_of(b)
+    out = 1.0 / (1.0 + np.exp(-mm * xx - bb))
+    return pa.array(out) if isinstance(out, np.ndarray) else float(out)
+
+
+@bif("format")
+def _format(fmt, *args):
+    """format("{}:{}", a, b) — brace-pair substitution
+    (bifs/strings.go BIF_format). A non-string format is the error
+    VALUE; {} beyond the argument list substitute empty."""
+    if not isinstance(fmt, str):
+        return "(error)"
+    counter = [0]
+
+    def sub(m):
+        num = m.group(1)
+        if num:  # numbered {1}..{n}, 1-up, reusable
+            i = int(num) - 1
+        else:
+            i = counter[0]
+            counter[0] += 1
+        if 0 <= i < len(args) and args[i] is not None:
+            return _render_scalar(args[i])
+        return ""
+    if re.search(r"\{0\}", fmt):
+        return "(error)"  # numbered braces are 1-up (dsl-format/0014)
+    return re.sub(r"\{(\d*)\}", sub, fmt)
+
+
+def _unformat_impl(fmt, s, infer: bool):
+    """Inverse of format: extract the {}-matched pieces as an array;
+    no match -> error value (bifs/strings.go BIF_unformat)."""
+    pat = re.escape(str(fmt)).replace(re.escape("{}"), "(.*?)")
+    m = re.fullmatch(pat, str(s))
+    if m is None:
+        return "(error)"
+    return [_infer_str(g) if infer else g for g in m.groups()]
+
+
+bif("unformatx")(lambda fmt, s: _unformat_impl(fmt, s, False))
+bif("unformat")(lambda fmt, s: _unformat_impl(fmt, s, True))
+
+
+@bif("strmatchx")
+def _strmatchx(s, pattern):
+    """Rich regex-match result map (bifs/strings.go BIF_strmatchx):
+    {matched, full_capture, full_start, full_end, captures[],
+    starts[], ends[]} with 1-up positions."""
+    m = re.search(str(pattern), str(s))
+    if m is None:
+        return {"matched": False}
+    out = {"matched": True, "full_capture": m.group(0),
+           "full_start": m.start() + 1, "full_end": m.end()}
+    if m.groups():
+        out["captures"] = [_infer_str(g) if g is not None else ""
+                           for g in m.groups()]
+        out["starts"] = [m.start(i) + 1 for i in range(1, m.lastindex + 1)]
+        out["ends"] = [m.end(i) for i in range(1, m.lastindex + 1)]
+    return out
+
+
+# --- local-time family and ns-resolution strptime/strftime
+# (bifs/datetime.go; the optional trailing arg is an IANA timezone,
+# else $TZ from the environment) --------------------------------------------
+
+def _tzinfo(tzname=None):
+    import os as _os
+    from zoneinfo import ZoneInfo
+
+    name = tzname or _os.environ.get("TZ") or "UTC"
+    return ZoneInfo(str(name))
+
+
+def _fmt_local(epoch_s: float, fmt: str, tzname=None) -> str:
+    from datetime import datetime
+
+    dt = datetime.fromtimestamp(float(epoch_s), tz=_tzinfo(tzname))
+    return dt.strftime(fmt)
+
+
+@bif("strftime_local")
+def _strftime_local(x, fmt, tzname=None):
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pa.array([_fmt_local(v, fmt, tzname) if v is not None
+                         else None for v in _f(x).to_pylist()])
+    return _fmt_local(x, fmt, tzname)
+
+
+@bif("strptime_local")
+def _strptime_local(s, fmt, tzname=None):
+    from datetime import datetime
+
+    tz = _tzinfo(tzname)
+    try:
+        naive = datetime.strptime(str(s), fmt)
+    except ValueError:
+        return "(error)"
+    dt = naive.replace(tzinfo=tz)
+    ts = dt.timestamp()
+    back = datetime.fromtimestamp(ts, tz).replace(tzinfo=None)
+    if back != naive:
+        # nonexistent local time (DST gap): Go resolves with the
+        # post-transition offset — PEP495 fold=1 reproduces it
+        ts = naive.replace(tzinfo=tz, fold=1).timestamp()
+    return ts  # float: Miller renders via OFMT (10800.00000000)
+
+
+def _opt_dec_tz(args):
+    """sec2localtime(x [, ndecimals] [, tz]): middle int = fractional
+    digits, trailing string = timezone (bifs/datetime.go)."""
+    nd, tzname = 0, None
+    for a in args:
+        if isinstance(a, str):
+            tzname = a
+        elif a is not None:
+            nd = int(a)
+    return nd, tzname
+
+
+def _one_sec2local(v, fmt, nd, tzname):
+    out = _fmt_local(v, fmt, tzname)
+    if nd:
+        frac = abs(float(v)) % 1.0
+        out += ("%.*f" % (nd, frac))[1:]  # truncate-style suffix .ddd
+    return out
+
+
+@bif("sec2localtime")
+def _sec2localtime(x, *args):
+    nd, tzname = _opt_dec_tz(args)
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pa.array([_one_sec2local(v, "%Y-%m-%d %H:%M:%S", nd, tzname)
+                         if v is not None else None
+                         for v in _f(x).to_pylist()])
+    return _one_sec2local(x, "%Y-%m-%d %H:%M:%S", nd, tzname)
+
+
+@bif("sec2localdate")
+def _sec2localdate(x, *args):
+    _nd, tzname = _opt_dec_tz(args)
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pa.array([_fmt_local(v, "%Y-%m-%d", tzname)
+                         if v is not None else None
+                         for v in _f(x).to_pylist()])
+    return _fmt_local(x, "%Y-%m-%d", tzname)
+
+
+@bif("localtime2sec")
+def _localtime2sec(s, *tz):
+    return _strptime_local(s, "%Y-%m-%d %H:%M:%S", tz[0] if tz else None)
+
+
+@bif("localtime2gmt")
+def _localtime2gmt(s, *tz):
+    sec = _localtime2sec(s, *tz)
+    if sec == "(error)":
+        return sec
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(float(sec), tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ")
+
+
+@bif("gmt2localtime")
+def _gmt2localtime(s, *tz):
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.strptime(str(s), "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc)
+    except ValueError:
+        return "(error)"
+    return _fmt_local(dt.timestamp(), "%Y-%m-%d %H:%M:%S",
+                      tz[0] if tz else None)
+
+
+bif("localtime2nsec")(lambda s, *tz: (
+    lambda v: v if v == "(error)" else int(round(float(v) * 1e9)))(
+        _localtime2sec(s, *tz)))
+bif("nsec2localtime")(lambda x, *tz: _sec2localtime(
+    float(x) / 1e9 if not isinstance(x, (pa.Array, pa.ChunkedArray))
+    else pc.divide(_f(x), 1e9), *tz))
+bif("nsec2localdate")(lambda x, *tz: _sec2localdate(
+    float(x) / 1e9 if not isinstance(x, (pa.Array, pa.ChunkedArray))
+    else pc.divide(_f(x), 1e9), *tz))
+
+
+@bif("strfntime")
+def _strfntime(x, fmt):
+    return REGISTRY["strftime"](
+        pc.divide(_f(x), 1e9) if isinstance(x, (pa.Array, pa.ChunkedArray))
+        else float(x) / 1e9, fmt)
+
+
+@bif("strfntime_local")
+def _strfntime_local(x, fmt, *tz):
+    return _strftime_local(
+        pc.divide(_f(x), 1e9) if isinstance(x, (pa.Array, pa.ChunkedArray))
+        else float(x) / 1e9, fmt, tz[0] if tz else None)
+
+
+@bif("strpntime")
+def _strpntime(s, fmt):
+    sec = REGISTRY["strptime"](s, fmt)
+    if isinstance(sec, str):
+        return sec
+    return int(round(float(sec) * 1e9))
+
+
+@bif("strpntime_local")
+def _strpntime_local(s, fmt, *tz):
+    sec = _strptime_local(s, fmt, tz[0] if tz else None)
+    if sec == "(error)":
+        return sec
+    return int(round(float(sec) * 1e9))
+
+
+# --- aliases, system info, wall clock, randoms (bifs/system.go,
+# random.go; nondeterministic fns exist for API completeness and are
+# excluded from golden comparisons) ------------------------------------------
+
+if "json_decode" in REGISTRY:
+    bif("json_parse")(REGISTRY["json_decode"])
+if "json_encode" in REGISTRY:
+    bif("json_stringify")(REGISTRY["json_encode"])
+
+
+@bif("flatten")
+def _flatten_fn(*args):
+    """flatten(map, sep) or flatten(prefix, sep, map)
+    (collections.go BIF_flatten)."""
+    if len(args) == 2:
+        prefix, (m, sep) = "", args
+    elif len(args) == 3:
+        prefix, sep, m = args
+    else:
+        raise TypeError("flatten takes 2 or 3 arguments")
+    if not isinstance(m, (dict, list)):
+        return m
+    out: dict = {}
+
+    def rec(node, pre):
+        if isinstance(node, dict):
+            if not node:
+                out[pre or ""] = {}
+                return
+            for k, v in node.items():
+                rec(v, f"{pre}{sep}{k}" if pre else str(k))
+        elif isinstance(node, list):
+            if not node:
+                out[pre or ""] = []
+                return
+            for i, v in enumerate(node, 1):
+                rec(v, f"{pre}{sep}{i}" if pre else str(i))
+        else:
+            out[pre] = node
+    rec(m, str(prefix) if prefix else "")
+    return out
+
+
+@bif("unflatten")
+def _unflatten_fn(m, sep):
+    """Inverse of flatten (collections.go BIF_unflatten)."""
+    if not isinstance(m, dict):
+        return m
+    out: dict = {}
+    for k, v in m.items():
+        parts = str(k).split(str(sep))
+        if len(parts) == 1 or any(p == "" for p in parts):
+            out[k] = v
+            continue
+        node = out
+        for p in parts[:-1]:
+            nxt = node.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[p] = nxt
+            node = nxt
+        node[parts[-1]] = v
+    return out
+
+
+@bif("system")
+def _system(cmd):
+    import subprocess
+
+    r = subprocess.run(str(cmd), shell=True, capture_output=True, text=True)
+    return r.stdout.rstrip("\n")
+
+
+@bif("exec")
+def _exec_fn(prog, argv, *rest):
+    import subprocess
+
+    args = [str(prog)] + [str(a) for a in (argv or [])]
+    r = subprocess.run(args, capture_output=True, text=True)
+    return r.stdout.rstrip("\n")
+
+
+bif("hostname")(lambda: __import__("socket").gethostname())
+bif("os")(lambda: __import__("platform").system().lower())
+bif("version")(lambda: "6.8.0-miller-ray")
+bif("systime")(lambda: __import__("time").time())
+bif("systimeint")(lambda: int(__import__("time").time()))
+bif("sysntime")(lambda: __import__("time").time_ns())
+bif("uptime")(lambda: __import__("time").monotonic())
+bif("upntime")(lambda: int(__import__("time").monotonic() * 1e9))
+bif("urand")(lambda: float(np.random.random()))
+bif("urand32")(lambda: int(np.random.randint(0, 2**32)))
+bif("urandint")(lambda lo, hi: int(np.random.randint(int(lo), int(hi) + 1)))
+bif("urandrange")(lambda lo, hi: float(lo) + float(np.random.random())
+                  * (float(hi) - float(lo)))
+bif("urandelement")(lambda arr: arr[int(np.random.randint(0, len(arr)))]
+                    if isinstance(arr, list) and arr else None)
+
+
+# --- scalar dispatch for the is_* predicates (sequential-interpreter
+# values are Python scalars; mlrval type semantics from bifs/types.go:
+# absent=None, void="", is_string counts void, is_null = absent|void) -------
+
+def _scalar_pred(name, scalar_fn):
+    arr_fn = REGISTRY[name]
+
+    def f(x):
+        if isinstance(x, (pa.Array, pa.ChunkedArray)):
+            return arr_fn(x)
+        return scalar_fn(x)
+    f.__name__ = name
+    REGISTRY[name] = f
+
+
+_scalar_pred("is_absent", lambda x: x is None)
+_scalar_pred("is_present", lambda x: x is not None)
+_scalar_pred("is_empty", lambda x: isinstance(x, str) and x == "")
+_scalar_pred("is_not_empty", lambda x: x is not None and x != "")
+_scalar_pred("is_null", lambda x: x is None or x == "")
+_scalar_pred("is_not_null", lambda x: not (x is None or x == ""))
+_scalar_pred("is_bool", lambda x: isinstance(x, bool))
+_scalar_pred("is_boolean", lambda x: isinstance(x, bool))
+_scalar_pred("is_int", lambda x: isinstance(x, (int, np.integer))
+             and not isinstance(x, bool))
+_scalar_pred("is_float", lambda x: isinstance(x, (float, np.floating)))
+_scalar_pred("is_numeric", lambda x: isinstance(
+    x, (int, float, np.integer, np.floating)) and not isinstance(x, bool))
+_scalar_pred("is_string", lambda x: isinstance(x, str))
+_scalar_pred("is_map", lambda x: isinstance(x, dict))
+_scalar_pred("is_not_map", lambda x: not isinstance(x, dict))
+_scalar_pred("is_array", lambda x: isinstance(x, list))
+_scalar_pred("is_not_array", lambda x: not isinstance(x, list))
+_scalar_pred("is_nan", lambda x: isinstance(
+    x, (float, np.floating)) and np.isnan(x))
+
+
+# asserting_* must wrap the SCALAR-DISPATCHED predicates registered just
+# above (the first registration captured the array-only versions)
+for _nm, _base in [
+    ("asserting_absent", "is_absent"),
+    ("asserting_array", "is_array"),
+    ("asserting_bool", "is_bool"),
+    ("asserting_boolean", "is_boolean"),
+    ("asserting_empty", "is_empty"),
+    ("asserting_empty_map", "is_empty_map"),
+    ("asserting_error", "is_error"),
+    ("asserting_float", "is_float"),
+    ("asserting_int", "is_int"),
+    ("asserting_map", "is_map"),
+    ("asserting_nonempty_map", "is_nonempty_map"),
+    ("asserting_not_array", "is_not_array"),
+    ("asserting_not_empty", "is_not_empty"),
+    ("asserting_not_map", "is_not_map"),
+    ("asserting_not_null", "is_not_null"),
+    ("asserting_null", "is_null"),
+    ("asserting_numeric", "is_numeric"),
+    ("asserting_present", "is_present"),
+    ("asserting_string", "is_string"),
+]:
+    _mk_asserting(_nm, REGISTRY[_base])

@@ -84,7 +84,11 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "dsl-depth", "dsl-multi-index", "io-ixs-regex",
           "io-implicit-header-csv-input", "verb-flatten-unflatten",
           "dsl-prefixed-unprefixed-emit", "dsl-emit-basic-indexing",
-          "io-compressed-input"]
+          "io-compressed-input",
+          # round 3d: format/unformat, scalar type predicates,
+          # local-time family with per-case env files
+          "dsl-format", "dsl-unformat", "dsl-type-predicates",
+          "dsl-local-date-time-functions"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
