@@ -270,12 +270,30 @@ def parse_pprint(text: str) -> list[dict]:
 
 
 def parse_json_out(text: str) -> list[dict]:
+    # Miller writes the error VALUE bare even in JSON output
+    text = re.sub(r"(:\s*)\(error\)", r'\1"(error)"', text)
     try:
         data = json.loads(text)
         if isinstance(data, dict):
             data = [data]
     except json.JSONDecodeError:
-        data = [json.loads(line) for line in text.splitlines() if line.strip()]
+        try:
+            data = [json.loads(line)
+                    for line in text.splitlines() if line.strip()]
+        except json.JSONDecodeError:
+            # concatenated documents (the JSON writer restarts `[...]`
+            # blocks on schema change): raw_decode in a loop
+            dec = json.JSONDecoder()
+            data = []
+            i = 0
+            while i < len(text):
+                while i < len(text) and text[i] in " \t\r\n":
+                    i += 1
+                if i >= len(text):
+                    break
+                obj, j = dec.raw_decode(text, i)
+                data.extend(obj if isinstance(obj, list) else [obj])
+                i = j
     return [{k: ("" if v is None else v) for k, v in r.items()} for r in data]
 
 
@@ -533,6 +551,12 @@ def load_df(case: Case) -> pd.DataFrame:
     df["__row__"] = np.arange(len(df))
     df.attrs["korder"] = korder  # per-FILE field order (files are
     # rectangular per header; the union frame loses record key order)
+    # per-ROW records with original key order and scalar types (the
+    # union frame appends new columns last and promotes int->float on
+    # NaN fill); the sequential DSL path needs the true record shape
+    df.attrs["raw_records"] = [
+        {k: v for k, v in r.items() if not str(k).startswith("__")}
+        for r in frames]
     return df
 
 
@@ -883,7 +907,15 @@ def execute(case: Case, df: pd.DataFrame):
         return out, False
 
     if v == "fill-empty":
-        val = _flagvals(a, "-v", "N/A")
+        val = _flagvals(a, "-v", None)
+        if val is None:
+            val = _flagvals(a, "-Sv", None)  # combined -Sv VALUE form
+        if val is None:
+            val = "N/A"
+        if not (_has(a, "-S") or _has(a, "-Sv")):
+            # the fill value is type-inferred unless -S forces string
+            # (fill_empty.go; verb-fill-empty/0003 typeof=int)
+            val = _infer(val)
         fields = [c for c in df.columns if c not in ("__row__", "__file__", "__filenum__")]
         out = df.drop(columns=["__row__", "__file__", "__filenum__"], errors="ignore").copy()
         for c in fields:
@@ -1613,43 +1645,65 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         prog = DSL.compile_program(src)
     except DSL.DslError as e:
         raise Unsupported(f"dsl parse: {e}")
+    if "__row__" in df.columns:
+        df = df.sort_values("__row__")
     work = _drop_meta(df)
+    meta = df
     cols = {}
+    mixed_col = None
     for c in work.columns:
         try:
             cols[c] = pa.array(work[c].tolist())
         except (pa.ArrowInvalid, pa.ArrowTypeError):
-            raise Unsupported(f"mixed-type column {c}")
-    t = pa.table(cols)
-    meta = df.sort_values("__row__") if "__row__" in df.columns else df
-    seed = {}
-    if "__row__" in meta.columns:
-        seed["\x00NR"] = pa.array(meta["__row__"].to_numpy() + 1)
-    if "__filenum__" in meta.columns:
-        seed["\x00FNR"] = pa.array(
-            meta.groupby("__filenum__", sort=False).cumcount().to_numpy() + 1)
-        seed["\x00FILENUM"] = pa.array(meta["__filenum__"].to_numpy())
-    elif "\x00NR" in seed:
-        seed["\x00FNR"] = seed["\x00NR"]
-    if "__file__" in meta.columns:
-        seed["\x00FILENAME"] = pa.array(meta["__file__"].astype(str))
+            mixed_col = c
+            break
     invert = "-x" in flags
     quiet = "-q" in flags
 
-    if prog.needs_seq:
-        # cross-record programs (@oosvars, begin/end, emit, dump/print)
-        # run through the sequential interpreter — full reference
-        # semantics at conformance scale (the distributed engine path
-        # for the associative subset is dsl.put_oosvar)
-        if v != "put":
-            raise Unsupported("sequential filter program")
+    if prog.needs_seq or mixed_col is not None:
+        # cross-record programs (@oosvars, begin/end, emit, dump/print,
+        # locals/loops/UDFs) AND mixed-type inputs (no Arrow column
+        # type) run through the record-dict sequential interpreter —
+        # full reference semantics at conformance scale (the
+        # distributed engine path for the associative subset is
+        # dsl.put_oosvar)
         if invert:
-            raise Unsupported("put -x with cross-record state")
+            raise Unsupported(f"{v} -x with sequential execution")
+        raw = df.attrs.get("raw_records")
+        if raw is not None and len(raw) == len(df):
+            # pristine input records: true per-record key order and
+            # scalar types (attrs do not survive then-chain stages)
+            records = [dict(r) for r in raw]
+        else:
+            records = []
+            for _, row in work.iterrows():
+                records.append({k: x for k, x in row.items()
+                                if x is not None and not (
+                                    isinstance(x, float) and np.isnan(x))})
+        seeds: list[dict] = [{} for _ in records]
+        if "__row__" in meta.columns:
+            for i, nr in enumerate(meta["__row__"].to_numpy() + 1):
+                seeds[i]["\x00NR"] = int(nr)
+        if "__filenum__" in meta.columns:
+            fnr = meta.groupby("__filenum__",
+                               sort=False).cumcount().to_numpy() + 1
+            for i in range(len(records)):
+                seeds[i]["\x00FNR"] = int(fnr[i])
+                seeds[i]["\x00FILENUM"] = int(
+                    meta["__filenum__"].iloc[i])
+        else:
+            for s2 in seeds:
+                if "\x00NR" in s2:
+                    s2["\x00FNR"] = s2["\x00NR"]
+        if "__file__" in meta.columns:
+            for i in range(len(records)):
+                seeds[i]["\x00FILENAME"] = str(meta["__file__"].iloc[i])
         try:
             # the reference regtest exports MLR_OFMT=%.8f globally
             # (regtester.go:161) — float-typed prints render through it
-            recs, texts, stream = prog.run_sequential(
-                t, seed_env=seed, quiet=quiet, ofmt="%.8f")
+            recs, texts, stream = prog.run_records(
+                records, seeds=seeds, quiet=quiet, ofmt="%.8f",
+                want_filter=(v == "filter"))
         except DSL.DslError as e:
             raise Unsupported(f"dsl seq: {e}")
         except (TypeError, KeyError, IndexError) as e:
@@ -1662,7 +1716,7 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                     raise Unsupported(
                         f"mixed dump/print and {ofmt} record output")
                 lines: list[str] = []
-                prev_rec = False
+                wrote_rec = False
                 pend = ""
                 for kind2, payload in stream:
                     if kind2 == "textn":
@@ -1671,18 +1725,20 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                     if kind2 == "text":
                         lines.append(pend + payload)
                         pend = ""
-                        prev_rec = False
                     else:
                         rl = _render_rec_lines(payload, ofmt)
                         if not rl:
                             continue
-                        if ofmt == "xtab" and prev_rec:
-                            lines.append("")  # blank line between recs
+                        if ofmt == "xtab" and wrote_rec:
+                            # the xtab writer separates records with a
+                            # blank line regardless of interleaved
+                            # prints (record_writer_xtab.go onFirst)
+                            lines.append("")
                         if pend:
                             rl[0] = pend + rl[0]
                             pend = ""
                         lines.extend(rl)
-                        prev_rec = True
+                        wrote_rec = True
                 if pend:
                     lines.append(pend)
                 return RawText("\n".join(lines)), True
@@ -1706,6 +1762,21 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                 flat.append(fr)
             recs = flat
         return pd.DataFrame(recs), True
+
+    if mixed_col is not None:  # pragma: no cover — routed above
+        raise Unsupported(f"mixed-type column {mixed_col}")
+    t = pa.table(cols)
+    seed = {}
+    if "__row__" in meta.columns:
+        seed["\x00NR"] = pa.array(meta["__row__"].to_numpy() + 1)
+    if "__filenum__" in meta.columns:
+        seed["\x00FNR"] = pa.array(
+            meta.groupby("__filenum__", sort=False).cumcount().to_numpy() + 1)
+        seed["\x00FILENUM"] = pa.array(meta["__filenum__"].to_numpy())
+    elif "\x00NR" in seed:
+        seed["\x00FNR"] = seed["\x00NR"]
+    if "__file__" in meta.columns:
+        seed["\x00FILENAME"] = pa.array(meta["__file__"].astype(str))
 
     def apply_mask(out_t, m):
         if m is None:
@@ -2392,6 +2463,9 @@ def _run_case_inner(case_dir: str) -> tuple[str, str]:
                 break
             ordered = ordered and seg_ordered
             df = ours.copy()
+            # a verb stage rewrites values: the pristine input records
+            # (pandas propagates .attrs through copy) no longer apply
+            df.attrs.pop("raw_records", None)
             df["__row__"] = np.arange(len(df))
         ordered = ordered if len(segments) == 1 else (ordered and seg_ordered)
     except Unsupported as e:

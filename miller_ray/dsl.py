@@ -106,6 +106,18 @@ Value = object  # pa.Array | pa.ChunkedArray | python scalar
 Expr = Callable[[pa.Table, dict], Value]
 
 
+class _LitStr(str):
+    """A string literal carrying its pre-unescape form in ``.raw`` for
+    regex-position arguments (Miller compiles regex literals from the
+    raw token; lib/regex.go)."""
+
+    raw: str
+
+
+def _regex_of(v):
+    return getattr(v, "raw", v)
+
+
 def _field_name(tok: str) -> str:
     body = tok[1:]
     return body[1:-1] if body.startswith("{") else body
@@ -173,13 +185,42 @@ def _wrap64(x):
     return x
 
 
+def _to_str_ofmt(v):
+    """Stringify for dot-concat: scalar floats render through the
+    process OFMT when set (mlrval String() honors --ofmt)."""
+    if isinstance(v, float) and not v.is_integer():
+        from miller_ray import functions as _bifs
+
+        if _bifs.OFMT:
+            return _bifs.OFMT % v
+    return _to_str(v)
+
+
 def _arith_scalar(op: str, a, b):
     if a is None or b is None:
-        # absent is the identity: absent op x = x, x op absent = x
-        # (bifs/arithmetic.go *_dispositions ABSENT rows)
+        # absent dispositions (arithmetic.go / mathlib.go tables):
+        # identity against numbers for + - * .; absent as the LEFT
+        # operand of / // % ** collapses to typed zero (_i0__/_f0__);
+        # absent against void is absent
         if a is None and b is None:
             return None
-        return b if a is None else a
+        other = b if a is None else a
+        if other == "":
+            return None
+        if a is None and op in ("/", "//", "%", "**"):
+            return 0 if isinstance(other, (int, np.integer)) \
+                and not isinstance(other, bool) else 0.0
+        return other
+    if a == "" or b == "":
+        # VOID dispositions: void op void = void, void op number =
+        # number (arithmetic.go plus_dispositions VOID row;
+        # dsl-null-empty-handling/0005)
+        if a == "" and b == "":
+            return ""
+        other = b if a == "" else a
+        return other if isinstance(
+            other, (int, float, np.integer, np.floating)) \
+            and not isinstance(other, bool) else "(error)"
     if isinstance(a, str) or isinstance(b, str):
         return "(error)"  # arithmetic on non-numeric strings
     if op == ".+":
@@ -439,13 +480,19 @@ class _Parser:
     def coalesce(self) -> Expr:
         left = self.or_()
         while self.peek()[1] in ("??", "???"):
-            self.next()
+            _, op = self.next()
             right = self.or_()
 
-            def f(t, env, left=left, right=right):
+            def f(t, env, left=left, right=right, op=op):
                 a = left(t, env)
                 if not _is_arr(a):
-                    return a if a is not None else right(t, env)
+                    a = _unscalar(a)
+                    if a is None:
+                        return right(t, env)
+                    if op == "???" and (a == "" or a == "(error)"):
+                        # absent-empty-error coalesce (cst ???)
+                        return right(t, env)
+                    return a
                 b = right(t, env)
                 a2, b2 = _unify_types(a, b)
                 return pc.coalesce(a2, b2)
@@ -516,8 +563,10 @@ class _Parser:
                 pat = right(t, env)
                 if _is_arr(pat):
                     raise DslError("=~ pattern must be a literal")
-                pat = str(pat)
+                pat = str(_regex_of(pat))
                 if not _is_arr(a):
+                    if a is None:
+                        return None  # absent =~ pattern is absent
                     m0 = re.search(pat, str(a))
                     if op == "=~" and m0:
                         env["\x00caps"] = [m0.group(0)] + \
@@ -559,8 +608,10 @@ class _Parser:
 
             def f(t, env, left=left, right=right):
                 a, b = left(t, env), right(t, env)
-                a = "" if a is None else _to_str(a)
-                b = "" if b is None else _to_str(b)
+                if a is None and b is None:
+                    return None  # absent . absent = absent
+                a = "" if a is None else _to_str_ofmt(a)
+                b = "" if b is None else _to_str_ofmt(b)
                 if _is_arr(a) and _is_arr(b):
                     return pc.binary_join_element_wise(a, b, "")
                 if _is_arr(a):
@@ -672,6 +723,10 @@ class _Parser:
         if k == "string":
             raw = v[1:-1]
             pieces = re.split(r"(\\[0-9])", raw)
+            # regex-position consumers (sub/gsub/=~ ...) need the RAW
+            # literal: Miller does not unescape regex strings, so
+            # "\\t" matches a literal backslash-t, not a TAB
+            # (dsl-filter-pattern-action/0031)
             if len(pieces) > 1:
                 # capture-interpolating literal: "\1-\2" concatenates the
                 # last =~ match's groups, \0 = full match (unescape only
@@ -694,7 +749,8 @@ class _Parser:
                         out = part if out is None else _concat_vals(out, part)
                     return out if out is not None else ""
                 return f
-            val = raw.encode().decode("unicode_escape")
+            val = _LitStr(raw.encode().decode("unicode_escape"))
+            val.raw = raw.replace('\\"', '"')
             return lambda t, env: val
         if k == "field":
             name = _field_name(v)
@@ -758,6 +814,15 @@ class _Parser:
                                        "interpreter")
                     return len(srec)
                 return fnf
+            if v in ("IFS", "OFS", "IPS", "OPS", "IRS", "ORS",
+                     "FLATSEP"):
+                defaults = {"IFS": ",", "OFS": ",", "IPS": "=",
+                            "OPS": "=", "IRS": "\n", "ORS": "\n",
+                            "FLATSEP": "."}
+
+                def fsep(t, env, v=v, d=defaults[v]):
+                    return env.get("\x00" + v, d)
+                return fsep
             if v == "ENV":
                 def fenv(t, env):
                     import os as _os
@@ -846,10 +911,15 @@ class _Parser:
             def fmap(t, env, pairs=pairs):
                 out = {}
                 for ke, ve in pairs:
-                    kv = _fmt_key(_scalarize(ke(t, env)))
+                    kraw = _scalarize(ke(t, env))
                     vv = ve(t, env)
-                    out[kv] = _scalarize(vv) if not isinstance(
-                        vv, (dict, list)) else vv
+                    if not isinstance(vv, (dict, list)):
+                        vv = _scalarize(vv)
+                    if kraw is None or vv is None:
+                        continue  # absent key or value: pair omitted
+                        # (mlrval maps cannot hold absent;
+                        # dsl-map-variant-dumps/0001)
+                    out[_fmt_key(kraw)] = vv
                 return out
             return fmap
         if v == "[":
@@ -943,9 +1013,18 @@ class _Parser:
                 # retry with the first arg lifted to a length-1 array
                 if vals and not isinstance(
                         vals[0], (pa.Array, pa.ChunkedArray, dict, list)):
-                    lifted = [pa.array([vals[0]]), *vals[1:]]
-                    return _unscalar(fn(*lifted))
+                    try:
+                        lifted = [pa.array([vals[0]]), *vals[1:]]
+                        return _unscalar(fn(*lifted))
+                    except pa.ArrowInvalid:
+                        if vals[0] == "":
+                            return ""  # void in, void out (most bifs)
+                        raise DslError(f"{fn.__name__}: bad input")
                 raise
+            except pa.ArrowInvalid:
+                if vals and vals[0] == "":
+                    return ""  # void in, void out
+                raise DslError(f"{fn.__name__}: bad input")
         return f
 
 
@@ -1886,8 +1965,12 @@ def _assign_path(node, keys: list, op: str, val):
     """In-place indexed assignment through nested maps/arrays
     (mlrval_collections.go PutIndexed): a missing map key auto-deepens
     to a map; a scalar or absent-array-slot is replaced by an array or
-    map per the NEXT index's type."""
+    map per the NEXT index's type. An ABSENT index skips the whole
+    assignment (executeIndexed absent-index guard;
+    dsl-absent-empty/0005)."""
     keys = _splice_keys(keys)
+    if any(k is None for k in keys):
+        return
     for j, kk in enumerate(keys[:-1]):
         nxt = _index_value(node, kk)
         if not isinstance(nxt, (dict, list)):
@@ -2107,6 +2190,12 @@ def _seq_emit(variant, targets, keyexprs, t, env, seq):
             lv = _scope_lookup(env, tg[1])
             names.append((tg[1], tg[1]))
             vals.append(None if lv is _ABSENT else lv)
+        elif tg[0] == "named_expr":
+            ev = tg[2](t, env)
+            if not isinstance(ev, (dict, list)):
+                ev = _scalarize(ev)
+            names.append((tg[1], tg[1]))
+            vals.append(ev)
         elif tg[0] == "ref":
             _, name, idx = tg
             v = oos.get(name)
@@ -2127,6 +2216,10 @@ def _seq_emit(variant, targets, keyexprs, t, env, seq):
     if keynames and not isinstance(vals[0], (dict, list)):
         return  # keynames demand a map target; scalar emits nothing
         # (dsl-parameterized-emit/0021)
+    if prefixed and len(names) > 1 and any(
+            nm[0] is None for nm in names):
+        return  # emitp lash requires NAMED targets
+        # (dsl-lashed-emitp-singles/0075)
     if len(names) > 1 and any(v is None for v in vals):
         return  # a lashed target that is absent kills the whole emit
         # (dsl-lashed-emitp-singles/0037)
@@ -2469,6 +2562,17 @@ def _parse_emit_target(p: "_Parser"):
     if k == "ident" and p.toks[p.i + 1: p.i + 2] != [("op", "(")]:
         p.next()
         return ("lref", v)
+    if k == "ident" and v not in ("all",):
+        # function-call emittable: named by the function
+        # (emitKeyName of a callsite; dsl-lashed-emitp-singles/0060)
+        e = p.expr()
+        return ("named_expr", v, e)
+    if k == "field" and v != "$*":
+        # field-rooted emittable: named by the base field
+        # (emit_emitp.go emitKeyName; dsl-lashed-emitp-singles/0057)
+        name = _field_name(v)
+        e = p.expr()
+        return ("named_expr", name, e)
     if k == "oosvar":
         p.next()
         name = _field_name(v)

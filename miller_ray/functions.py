@@ -95,7 +95,9 @@ def _truncate(x, n):
 @bif("leafcount")
 def _leafcount(x):
     """Recursive scalar-leaf count (bifs/collections.go BIF_leafcount);
-    Arrow scalar columns count 1 per row."""
+    Arrow scalar columns count 1 per row; absent stays absent."""
+    if x is None:
+        return None
     if isinstance(x, dict):
         return sum(_leafcount(v) for v in x.values())
     if isinstance(x, list):
@@ -133,10 +135,39 @@ def _substr1(x, lo, hi):
     return _slice_incl(x, lo - 1 if lo > 0 else lo, hi - 1 if hi > 0 else hi)
 bif("ssub")(lambda x, a, b: pc.replace_substring(_s(x), pattern=a, replacement=b,
                                                  max_replacements=1))
-bif("sub")(lambda x, a, b: pc.replace_substring_regex(_s(x), pattern=a, replacement=b,
-                                                      max_replacements=1))
-bif("gsub")(lambda x, a, b: pc.replace_substring_regex(_s(x), pattern=a, replacement=b))
-bif("matches")(lambda x, p: pc.match_substring_regex(_s(x), p))
+def _raw_pat(p):
+    """Regex-position strings are compiled from the RAW literal (Miller
+    does not unescape regex strings; lib/regex.go)."""
+    return getattr(p, "raw", p)
+
+
+@bif("sub")
+def _sub(x, a, b):
+    if not isinstance(x, (pa.Array, pa.ChunkedArray)):
+        if x is None:
+            return None
+        return re.sub(str(_raw_pat(a)), _go_repl(b), str(x), count=1)
+    return pc.replace_substring_regex(_s(x), pattern=_raw_pat(a),
+                                      replacement=b, max_replacements=1)
+
+
+@bif("gsub")
+def _gsub(x, a, b):
+    if not isinstance(x, (pa.Array, pa.ChunkedArray)):
+        if x is None:
+            return None
+        return re.sub(str(_raw_pat(a)), _go_repl(b), str(x))
+    return pc.replace_substring_regex(_s(x), pattern=_raw_pat(a),
+                                      replacement=b)
+
+
+def _go_repl(b) -> str:
+    # Miller replacement strings use \1..\9 backrefs; python re.sub
+    # uses the same syntax, just escape stray backslashes otherwise
+    return str(b)
+
+
+bif("matches")(lambda x, p: pc.match_substring_regex(_s(x), _raw_pat(p)))
 bif("contains")(lambda x, p: pc.match_substring(_s(x), p))
 # 1-up position; -1 when absent (BIF_index, pkg/bifs/strings.go — note:
 # byte offsets here vs the reference's UTF-8 codepoint offsets; they
@@ -516,8 +547,26 @@ def _strptime(x, fmt):
         return pa.array(out, type=pa.string())
     # reference strptime is FLOAT-typed always (datetime.go:501)
     return pa.array(secs)
-bif("dhms2sec")(lambda x: pa.array(np.array([_dhms2sec(v) for v in np.asarray(_s(x))],
-                                            dtype=np.int64)))
+@bif("dhms2sec")
+def _dhms2sec_bif(x):
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pa.array(np.array([_dhms2sec(v) for v in np.asarray(_s(x))],
+                                 dtype=np.int64))
+    # scalar: strict unit parse; unitless or empty input is the error
+    # VALUE (lib/time.go; dsl-gmt-date-time-functions/0021). Repeated
+    # units sum (1h2h = 3h).
+    if x is None:
+        return None
+    s = str(x)
+    sign = -1 if s.startswith("-") else 1
+    body = s.lstrip("+-")
+    toks = re.findall(r"(\d+(?:\.\d+)?)([dhms])", body)
+    if not toks or "".join(n + u for n, u in toks) != body:
+        return "(error)"
+    mult = {"d": 86400, "h": 3600, "m": 60, "s": 1}
+    total = sum(float(n) * mult[u] for n, u in toks)
+    total *= sign
+    return int(total) if float(total).is_integer() else total
 
 
 def _dhms2sec(s: str) -> float:
@@ -627,11 +676,21 @@ def _length(x):
         return pc.list_value_length(x)
     if isinstance(x, (pa.Array, pa.ChunkedArray)):
         return pa.array(np.ones(len(x), dtype=np.int64))
+    if x is None:
+        return 0  # length(absent) = 0 (BIF_length absent row)
     return 1
 bif("gssub")(lambda x, a, b: pc.replace_substring(_s(x), pattern=a, replacement=b))
 bif("leftpad")(lambda x, n, p: pc.utf8_lpad(_s(x), width=int(n), padding=p))
 bif("rightpad")(lambda x, n, p: pc.utf8_rpad(_s(x), width=int(n), padding=p))
-bif("strmatch")(lambda x, p: pc.match_substring_regex(_s(x), p))
+@bif("strmatch")
+def _strmatch(x, p):
+    """Boolean regex match (bifs/strings.go BIF_strmatch); an absent
+    operand is the error VALUE (dsl-match/0002)."""
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pc.match_substring_regex(_s(x), p)
+    if x is None or p is None:
+        return "(error)"
+    return bool(re.search(str(p), str(x)))
 bif("format_values_like")(lambda x: x)
 
 
@@ -814,6 +873,28 @@ bif("is_numeric")(lambda x: pc.match_substring_regex(_s(x), _NUM_RE))
 
 @bif("typeof")
 def _typeof(x):
+    if not isinstance(x, (pa.Array, pa.ChunkedArray)):
+        # scalar (sequential-interpreter) mlrval type names
+        # (mlrval_type.go)
+        if x is None:
+            return "absent"
+        if isinstance(x, tuple) and len(x) == 3 and x[0] == "\x00funcval":
+            return "funct"
+        if isinstance(x, bool):
+            return "boolean"
+        if isinstance(x, (int, np.integer)):
+            return "int"
+        if isinstance(x, (float, np.floating)):
+            return "float"
+        if isinstance(x, dict):
+            return "map"
+        if isinstance(x, list):
+            return "array"
+        if x == "":
+            return "empty"
+        if x == "(error)":
+            return "error"
+        return "string"
     t = x.type if hasattr(x, "type") else pa.array(x).type
     if pa.types.is_integer(t):
         name = "int"
@@ -1357,6 +1438,8 @@ def _strmatchx(s, pattern):
     """Rich regex-match result map (bifs/strings.go BIF_strmatchx):
     {matched, full_capture, full_start, full_end, captures[],
     starts[], ends[]} with 1-up positions."""
+    if s is None or pattern is None:
+        return "(error)"
     m = re.search(str(pattern), str(s))
     if m is None:
         return {"matched": False}

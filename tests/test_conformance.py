@@ -88,7 +88,13 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           # round 3d: format/unformat, scalar type predicates,
           # local-time family with per-case env files
           "dsl-format", "dsl-unformat", "dsl-type-predicates",
-          "dsl-local-date-time-functions"]
+          "dsl-local-date-time-functions",
+          # round 3e: mixed-type records via the record-dict path,
+          # void/absent arithmetic dispositions, scalar typeof/strmatch
+          "dsl-asserting", "dsl-context-specific-validation",
+          "dsl-is-predicates", "dsl-map-funcs", "dsl-split-join-more",
+          "dsl-for-bind-loops-for-valgrind", "dsl-more-type-predicates",
+          "dsl-map-variant-dumps", "dsl-match", "dsl-extended-typeof"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
