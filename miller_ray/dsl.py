@@ -336,6 +336,18 @@ def _compare(op: str, a: Value, b: Value) -> Value:
         if op == "!=":
             return not _deep_eq(a, b)
         raise DslError(f"{op} is not defined on collections")
+    a_bool = isinstance(a, (bool, np.bool_)) or (
+        _is_arr(a) and pa.types.is_boolean(a.type))
+    b_bool = isinstance(b, (bool, np.bool_)) or (
+        _is_arr(b) and pa.types.is_boolean(b.type))
+    if a_bool != b_bool:
+        # bool vs non-bool never matches: == false, != true, orderings
+        # false (bifs/cmp.go disposition matrices, BOOL row/column)
+        res = op == "!="
+        if _is_arr(a) or _is_arr(b):
+            n = len(a) if _is_arr(a) else len(b)
+            return pa.array(np.full(n, res))
+        return res
     fn = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
           "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
     if _is_str(a) != _is_str(b):
@@ -1036,12 +1048,17 @@ class Program:
     """Compiled DSL program: ordered statements over a batch + env."""
 
     def __init__(self, statements: list[tuple], begin=None, end=None,
-                 funcs=None, force_seq=False):
+                 funcs=None, force_seq=False, subrs=None):
         self.statements = statements
         self.begin = begin or []
         self.end = end or []
         self.funcs = funcs or {}
-        self.needs_seq = bool(self.begin or self.end or self.funcs) or \
+        # subroutines live in their own namespace (cst/udf.go keeps
+        # separate function/subroutine managers; dsl-subr/0016 defines
+        # BOTH func s and subr s)
+        self.subrs = subrs or {}
+        self.needs_seq = bool(self.begin or self.end or self.funcs
+                              or self.subrs) or \
             force_seq or _stmts_need_seq(statements)
 
     def run(self, t: pa.Table,
@@ -1819,8 +1836,8 @@ def _exec_impl(self, stmts, t, env, mask, state):
             raise _Return(None if expr is None else _unseq_val(expr(t, env)))
         elif kind == "callsubr":
             name, argexprs = rest
-            funcs = env.get("\x00funcs") or {}
-            fv = funcs.get(name)
+            subrs = env.get("\x00subrs") or {}
+            fv = subrs.get(name)
             if fv is None:
                 lv = _scope_lookup(env, name)
                 fv = None if lv is _ABSENT else lv
@@ -2414,6 +2431,7 @@ def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
     oos: dict = {}
     seq = {"oos": oos, "emitted": [], "texts": [], "ofmt": ofmt}
     funcs = getattr(self, "funcs", {})
+    subrs = getattr(self, "subrs", {})
     out_records: list[dict] = []
     texts: list[str] = []
     stream: list[tuple] = []  # ("rec", dict) | ("text", str) in order
@@ -2428,7 +2446,8 @@ def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
         seq["texts"].clear()
 
     def base_env():
-        return {"\x00seq": seq, "\x00funcs": funcs, "\x00scopes": [{}],
+        return {"\x00seq": seq, "\x00funcs": funcs,
+                "\x00subrs": subrs, "\x00scopes": [{}],
                 "\x00prog": self}
 
     if self.begin:
@@ -2683,7 +2702,8 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
             body = _parse_block(p)
             if top is None:
                 raise DslError(f"{v} definitions must be top-level")
-            top.setdefault("funcs", {})[fname] = \
+            ns = "subrs" if v == "subr" else "funcs"
+            top.setdefault(ns, {})[fname] = \
                 ("\x00funcval", params, body)
         elif k == "ident" and v == "call":
             p.next()
@@ -3063,7 +3083,8 @@ def compile_program(src: str) -> Program:
     if p.peek()[0] != "eof":
         raise DslError(f"unexpected trailing token {p.peek()[1]!r}")
     return Program(stmts, begin=top.get("begin"), end=top.get("end"),
-                   funcs=top.get("funcs"), force_seq=p.force_seq)
+                   funcs=top.get("funcs"), subrs=top.get("subrs"),
+                   force_seq=p.force_seq)
 
 
 def _apply_mask(out: pa.Table, mask, invert: bool = False) -> pa.Table:

@@ -669,7 +669,12 @@ def step(ds, fields: list[str], steppers: list[str], group_by: list[str],
                 elif s == "counter":
                     df[f"{f}_counter"] = np.arange(1, len(df) + 1, dtype=np.int64)
                 elif s == "ratio":
-                    df[f"{f}_ratio"] = df[f] / df[f].shift(1)
+                    r = df[f] / df[f].shift(1)
+                    if len(r):
+                        # no previous value: ratio is 1, not NaN
+                        # (step.go stepperRatio process, FromInt(1))
+                        r.iloc[0] = 1
+                    df[f"{f}_ratio"] = r
                 elif s == "from-first":
                     df[f"{f}_from_first"] = df[f] - df[f].iloc[0]
                 else:

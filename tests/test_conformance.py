@@ -94,7 +94,13 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "dsl-asserting", "dsl-context-specific-validation",
           "dsl-is-predicates", "dsl-map-funcs", "dsl-split-join-more",
           "dsl-for-bind-loops-for-valgrind", "dsl-more-type-predicates",
-          "dsl-map-variant-dumps", "dsl-match", "dsl-extended-typeof"]
+          "dsl-map-variant-dumps", "dsl-match", "dsl-extended-typeof",
+          # round 3f: put/filter -v AST echo (dsl_ast module reproduces
+          # the mlr.bnf-annotated tree format byte-for-byte)
+          "dsl-operator-precedence", "dsl-operator-associativity",
+          "dsl-parse", "dsl-if-chaining", "dsl-do-while-loops",
+          "dsl-for-srec-loops", "dsl-for-multi", "dsl-max-variadic",
+          "dsl-operator-rewrites", "dsl-empty-statements"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
