@@ -18,7 +18,9 @@ counted, never silently passed.
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import tempfile
 import math
 import os
 import re
@@ -45,6 +47,15 @@ def _infer(v: str):
     try:
         if re.fullmatch(r"[+-]?\d+", v):
             return int(v)
+        if re.fullmatch(r"[+-]?0[xX][0-9a-fA-F]+", v) or \
+                re.fullmatch(r"[+-]?0[bB][01]+", v):
+            # hex/binary literals are int64 BIT PATTERNS: values in
+            # [2^63, 2^64) reinterpret as negative two's-complement
+            # (scan.go / int64-io golden cases)
+            n = int(v, 0)
+            if 2**63 <= n < 2**64:
+                return n - 2**64
+            return n if -2**63 <= n < 2**63 else float(n)
         if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", v):
             return float(v)
     except ValueError:
@@ -52,7 +63,7 @@ def _infer(v: str):
     return v
 
 
-def read_dkvp(path: str, sep: str = ",") -> list[dict]:
+def read_dkvp(path: str, sep: str = ",", ips: str = "=") -> list[dict]:
     recs = []
     with open(path) as f:
         for line in f:
@@ -62,8 +73,8 @@ def read_dkvp(path: str, sep: str = ",") -> list[dict]:
             rec = {}
             seen: dict[str, int] = {}
             for pos, pair in enumerate(line.split(sep), 1):
-                if "=" in pair:
-                    k, _, v = pair.partition("=")
+                if ips in pair:
+                    k, _, v = pair.partition(ips)
                     seen[k] = seen.get(k, 0) + 1
                     if seen[k] > 1:  # dedupe-field-names behavior
                         k = f"{k}_{seen[k]}"
@@ -85,19 +96,41 @@ def _dedupe_header(hdr: list[str]) -> list[str]:
     return out
 
 
-def read_csv(path: str, sep: str = ",") -> list[dict]:
+def read_csv(path: str, sep: str = ",", ragged: bool = False,
+             implicit_header: bool = False) -> list[dict]:
     import csv
 
     with open(path, encoding="utf-8-sig") as f:  # strips a UTF-8 BOM
-        rows = list(csv.reader(f, delimiter=sep))
-    rows = [r for r in rows if r]
+        if len(sep) == 1:
+            # a blank line is a record with one empty field
+            # (record_reader_csv; io-rfc-csv/0020); csv.reader yields
+            # [] for blank lines outside quoted fields
+            rows = [r if r else [""] for r in csv.reader(f, delimiter=sep)]
+        else:  # multi-char separator: plain split, no quoting
+            rows = [ln.rstrip("\n").split(sep) for ln in f
+                    if ln.rstrip("\n")]
     if not rows:
         return []
-    hdr = _dedupe_header(rows[0])
-    return [{k: _infer(v) for k, v in zip(hdr, row)} for row in rows[1:]]
+    if implicit_header:
+        hdr = [str(k) for k in range(1, len(rows[0]) + 1)]
+        data = rows
+    else:
+        hdr = _dedupe_header(rows[0])
+        data = rows[1:]
+    out = []
+    for row in data:
+        if len(row) != len(hdr) and not ragged and not implicit_header:
+            raise Unsupported(
+                f"ragged CSV input without --allow-ragged-csv-input "
+                f"({len(row)} fields vs {len(hdr)} header)")
+        keys = hdr if len(row) <= len(hdr) else _dedupe_header(
+            hdr + [str(k) for k in range(len(hdr) + 1, len(row) + 1)])
+        out.append({k: _infer(v) for k, v in zip(keys, row)})
+    return out
 
 
-def read_csvlite(path: str, sep: str = ",") -> list[dict]:
+def read_csvlite(path: str, sep: str = ",", ragged: bool = False,
+                 implicit_header: bool = False) -> list[dict]:
     """csvlite: a blank line starts a NEW header block (heterogeneous
     schema support; record_reader_csvlite.go). Multi-character
     separators split literally (no quoting)."""
@@ -116,9 +149,14 @@ def read_csvlite(path: str, sep: str = ",") -> list[dict]:
                 continue
             parts = line.split(sep)
             if hdr2 is None:
-                hdr2 = _dedupe_header(parts)
-                continue
-            recs2.append({k: _infer(v) for k, v in zip(hdr2, parts)})
+                if implicit_header:
+                    hdr2 = [str(k) for k in range(1, len(parts) + 1)]
+                else:
+                    hdr2 = _dedupe_header(parts)
+                    continue
+            keys = hdr2 if len(parts) <= len(hdr2) else _dedupe_header(
+                hdr2 + [str(k) for k in range(len(hdr2) + 1, len(parts) + 1)])
+            recs2.append({k: _infer(v) for k, v in zip(keys, parts)})
         return recs2
     recs: list[dict] = []
     for block in re.split(r"\n\s*\n", text):
@@ -127,17 +165,26 @@ def read_csvlite(path: str, sep: str = ",") -> list[dict]:
         rows = [r for r in csv.reader(io.StringIO(block), delimiter=sep) if r]
         if not rows:
             continue
-        hdr = _dedupe_header(rows[0])
-        recs.extend({k: _infer(v) for k, v in zip(hdr, row)}
-                    for row in rows[1:])
+        if implicit_header:
+            hdr = [str(k) for k in range(1, len(rows[0]) + 1)]
+            data = rows
+        else:
+            hdr = _dedupe_header(rows[0])
+            data = rows[1:]
+        for row in data:
+            keys = hdr if len(row) <= len(hdr) else _dedupe_header(
+                hdr + [str(k) for k in range(len(hdr) + 1, len(row) + 1)])
+            recs.append({k: _infer(v) for k, v in zip(keys, row)})
     return recs
 
 
-def read_tsv(path: str) -> list[dict]:
-    """TSV cells unescape \\t, \\n, \\r, \\\\ (the TSV spec's escapes)."""
+def read_tsv(path: str, implicit_header: bool = False,
+             unescape: bool = True) -> list[dict]:
+    """TSV cells unescape \\t, \\n, \\r, \\\\ (the TSV spec's escapes);
+    tsvLITE keeps cells literal (unescape=False)."""
 
     def unesc(s):
-        if not isinstance(s, str) or "\\" not in s:
+        if not unescape or not isinstance(s, str) or "\\" not in s:
             return s
         return (s.replace("\\\\", "\x00").replace("\\t", "\t")
                  .replace("\\n", "\n").replace("\\r", "\r")
@@ -147,9 +194,16 @@ def read_tsv(path: str) -> list[dict]:
         lines = [ln.rstrip("\n") for ln in f if ln.rstrip("\n")]
     if not lines:
         return []
-    hdr = _dedupe_header([unesc(h) for h in lines[0].split("\t")])
+    if implicit_header:
+        hdr = [str(k) for k in range(1, len(lines[0].split("\t")) + 1)]
+        data = lines
+    else:
+        # header cells are NOT escape-decoded (record_reader_tsv.go
+        # decodes data fields only; io-spec-tsv/0001)
+        hdr = _dedupe_header(lines[0].split("\t"))
+        data = lines[1:]
     out = []
-    for ln in lines[1:]:
+    for ln in data:
         out.append({k: _infer(unesc(v))
                     for k, v in zip(hdr, ln.split("\t"))})
     return out
@@ -190,10 +244,28 @@ def read_json_in(path: str) -> list[dict]:
     return out
 
 
-def read_pprint(path: str) -> list[dict]:
+def read_pprint(path: str, ifs: str | None = None) -> list[dict]:
     with open(path) as f:
-        return [{k: _infer(v) for k, v in r.items()}
-                for r in parse_pprint(f.read())]
+        text = f.read()
+    if ifs and ifs != " ":
+        # pprint pads columns with RUNS of the separator; split on runs
+        # (record_reader_pprint splitter semantics)
+        pat = "(?:" + re.escape(ifs) + ")+"
+        recs: list[dict] = []
+        hdr: list[str] | None = None
+        for ln in text.splitlines():
+            if not ln.strip():
+                hdr = None
+                continue
+            parts = [x for x in re.split(pat, ln.strip()) if x != ""]
+            if hdr is None:
+                hdr = _dedupe_header(parts)
+                continue
+            recs.append({k: _infer("" if v == "-" else v)
+                         for k, v in zip(hdr, parts)})
+        return recs
+    return [{k: _infer(v) for k, v in r.items()}
+            for r in parse_pprint(text)]
 
 
 # ---------------------------------------------------------------------------
@@ -201,29 +273,122 @@ def read_pprint(path: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def parse_dkvp(text: str) -> list[dict]:
+def parse_dkvp(text: str, ofs: str = ",", ops: str = "=") -> list[dict]:
     recs = []
     for line in text.splitlines():
         if not line.strip():
             continue
         rec = {}
-        for pair in line.split(","):
-            k, _, v = pair.partition("=")
+        for pair in line.split(ofs):
+            k, _, v = pair.partition(ops)
             rec[k] = v
         recs.append(rec)
     return recs
 
 
+def parse_nidx_out(text: str, ofs: str | None = None) -> list[dict]:
+    recs = []
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        toks = line.split(ofs) if ofs and ofs != " " else line.split()
+        recs.append({str(i): v for i, v in enumerate(toks, 1)})
+    return recs
+
+
+def parse_markdown_out(text: str) -> list[dict]:
+    """``| a | b |`` tables; a new header row starts a new schema block
+    (record_writer_markdown)."""
+    recs: list[dict] = []
+    hdr: list[str] | None = None
+    for line in text.splitlines():
+        s = line.strip()
+        if not s.startswith("|"):
+            hdr = None
+            continue
+        cells = [c.strip().replace("\\|", "|")
+                 for c in re.split(r"(?<!\\)\|", s.strip("|"))]
+        if all(set(c) <= {"-", ":", " "} and c for c in cells):
+            continue  # separator row
+        if hdr is None:
+            hdr = _dedupe_header(cells)
+            continue
+        recs.append(dict(zip(hdr, cells)))
+    return recs
+
+
+def parse_yaml_out(text: str) -> list[dict]:
+    recs: list[dict] = []
+    cur: dict | None = None
+    for line in text.splitlines():
+        s = line.strip()
+        if not s:
+            continue
+        if s == "---":
+            if cur:
+                recs.append(cur)
+            cur = None
+            continue
+        if s.startswith("- ") and ":" in s:
+            if cur:
+                recs.append(cur)
+            cur = {}
+            s = s[2:]
+        if ":" not in s:
+            raise Unsupported("nested yaml output")
+        k, _, v = s.partition(":")
+        k = k.strip()
+        v = v.strip()
+        if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+            v = v[1:-1]
+        if k.startswith('"') and k.endswith('"') and len(k) >= 2:
+            k = k[1:-1]  # the yaml writer quotes ambiguous keys ("y")
+        if cur is None:
+            cur = {}
+        cur[k] = v
+    if cur:
+        recs.append(cur)
+    return recs
+
+
+def _unbar_pprint(text: str) -> str:
+    """Convert ``--barred`` pprint output back to plain pprint."""
+    out = []
+    for line in text.splitlines():
+        s = line.strip()
+        if not s:
+            out.append("")
+            continue
+        if set(s) <= {"+", "-"}:
+            continue  # border row
+        if s.startswith("|") and s.endswith("|"):
+            cells = [c.strip() for c in s[1:-1].split(" | ")]
+            out.append(" ".join(c if c else "-" for c in cells))
+        else:
+            out.append(line)
+    return "\n".join(out)
+
+
 def parse_xtab(text: str) -> list[dict]:
     recs, cur = [], {}
+    seen: dict[str, int] = {}
+
+    def put(k, v):
+        seen[k] = seen.get(k, 0) + 1
+        cur[k if seen[k] == 1 else f"{k}_{seen[k]}"] = v
+
     for line in text.splitlines():
         if not line.strip():
             if cur:
                 recs.append(cur)
                 cur = {}
+                seen = {}
             continue
-        parts = line.split(None, 1)
-        cur[parts[0]] = parts[1].strip() if len(parts) > 1 else ""
+        m = re.match(r"(\S*)[ \t]+(.*)", line)
+        if m:
+            put(m.group(1), m.group(2).strip())
+        else:
+            put(line.strip(), "")
     if cur:
         recs.append(cur)
     return recs
@@ -297,7 +462,7 @@ def parse_json_out(text: str) -> list[dict]:
     return [{k: ("" if v is None else v) for k, v in r.items()} for r in data]
 
 
-def parse_csv_out(text: str) -> list[dict]:
+def parse_csvlite_out(text: str) -> list[dict]:
     import csv
     import io
 
@@ -310,6 +475,19 @@ def parse_csv_out(text: str) -> list[dict]:
     return recs
 
 
+def parse_csv_out(text: str) -> list[dict]:
+    """Strict RFC-CSV output: one header; an EMPTY line is a record
+    with a single empty value (io-rfc-csv/0020)."""
+    import csv
+    import io
+
+    rows = [r if r else [""] for r in csv.reader(io.StringIO(text))]
+    if not rows:
+        return []
+    hdr = _dedupe_header(rows[0])
+    return [dict(zip(hdr, r)) for r in rows[1:]]
+
+
 def parse_tsv_out(text: str) -> list[dict]:
     import csv
     import io
@@ -319,31 +497,111 @@ def parse_tsv_out(text: str) -> list[dict]:
 
 EXPOUT_PARSERS = {"dkvp": parse_dkvp, "xtab": parse_xtab, "pprint": parse_pprint,
                   "json": parse_json_out, "csv": parse_csv_out,
-                  "tsv": parse_tsv_out}
+                  "tsv": parse_tsv_out, "nidx": parse_nidx_out,
+                  "markdown": parse_markdown_out, "yaml": parse_yaml_out,
+                  "csvlite": parse_csvlite_out, "tsvlite": parse_tsv_out}
+
+
+def _parse_expout(case: "Case", text: str) -> list[dict]:
+    """Parse expected output honoring the case's output main flags
+    (--ofs/--ops/--ors, --barred)."""
+    if case.ors and case.ors != "\n":
+        text = "\n".join(x for x in text.split(case.ors))
+    f = case.ofmt
+    if f == "dkvp":
+        return parse_dkvp(text, ofs=case.ofs or ",", ops=case.ops or "=")
+    if f == "nidx":
+        return parse_nidx_out(text, ofs=case.ofs)
+    if f == "pprint":
+        if case.ofs and case.ofs != " ":
+            recs = []
+            hdr = None
+            for ln in text.splitlines():
+                if not ln.strip():
+                    hdr = None
+                    continue
+                parts = [x.strip() for x in ln.split(case.ofs)]
+                if hdr is None:
+                    hdr = _dedupe_header(parts)
+                    continue
+                recs.append({k: ("" if v == "-" else v)
+                             for k, v in zip(hdr, parts)})
+            return recs
+        return parse_pprint(_unbar_pprint(text) if case.barred else text)
+    if f == "xtab" and case.ofs and case.ofs != "\n":
+        # xtab's OFS is the BETWEEN-FIELDS separator (default newline)
+        text = "\n".join("\n".join(ln.split(case.ofs))
+                         for ln in text.splitlines())
+        return parse_xtab(text)
+    if f in ("csv", "csvlite") and case.ofs and case.ofs != ",":
+        recs: list[dict] = []
+        lines = [ln for ln in text.splitlines()]
+        hdr: list[str] | None = None
+        for ln in lines:
+            if not ln.strip():
+                hdr = None
+                continue
+            parts = ln.split(case.ofs)
+            if hdr is None:
+                hdr = _dedupe_header(parts)
+                continue
+            recs.append(dict(zip(hdr, parts)))
+        return recs
+    if f not in EXPOUT_PARSERS:
+        raise Unsupported(f"expout format {f}")
+    return EXPOUT_PARSERS[f](text)
 
 
 # ---------------------------------------------------------------------------
 # cmd parsing
 # ---------------------------------------------------------------------------
 
-_FMT_FLAGS = {"--oxtab": ("ofmt", "xtab"), "--opprint": ("ofmt", "pprint"),
-              "--ojson": ("ofmt", "json"), "--ojsonl": ("ofmt", "json"),
-              "--ocsv": ("ofmt", "csv"), "--odkvp": ("ofmt", "dkvp"),
-              "--icsv": ("ifmt", "csv"), "--idkvp": ("ifmt", "dkvp"),
-              "--csv": ("iofmt", "csv"), "--csvlite": ("csvlite", None),
-              "--icsvlite": ("ifmt", "csvlite"), "--c2p": ("c2p", None),
-              "--itsv": ("ifmt", "tsv"), "--otsv": ("ofmt", "tsv"),
-              "--tsv": ("iofmt", "tsv"), "--t2p": ("t2p", None),
-              "--ijson": ("ifmt", "json"), "--json": ("iofmt", "json"),
-              "--ijsonl": ("ifmt", "json"),
-              "--c2j": ("c2j", None), "--n2x": ("n2x", None),
-              "--inidx": ("ifmt", "nidx"), "--ipprint": ("ifmt", "pprint"),
-              "--pprint": ("iofmt", "pprint"),
-              "--jvstack": (None, None), "--no-jvstack": (None, None),
-              "--jlistwrap": (None, None)}
+_FORMATS = ("csv", "csvlite", "tsv", "tsvlite", "json", "jsonl", "dkvp",
+            "nidx", "xtab", "pprint", "markdown", "yaml")
 
+_FMT_FLAGS: dict = {"--jvstack": (None, None), "--no-jvstack": (None, None),
+                    "--jlistwrap": (None, None), "--no-fflush": (None, None),
+                    "--records-per-batch": ("skipval", None)}
+for _f in _FORMATS:
+    _FMT_FLAGS[f"--{_f}"] = ("iofmt", _f)
+    _FMT_FLAGS[f"--i{_f}"] = ("ifmt", _f)
+    _FMT_FLAGS[f"--o{_f}"] = ("ofmt", _f)
+_FMT_FLAGS["--md"] = ("iofmt", "markdown")
+_FMT_FLAGS["--imd"] = ("ifmt", "markdown")
+_FMT_FLAGS["--omd"] = ("ofmt", "markdown")
+# keystroke savers --c2p, --j2x, ... (cli/option_parse.go); "b" is
+# barred-pprint output
+_KEYSTROKE_LETTER = {"c": "csv", "t": "tsv", "j": "json", "d": "dkvp",
+                     "n": "nidx", "x": "xtab", "p": "pprint",
+                     "m": "markdown", "y": "yaml"}
+for _a, _af in _KEYSTROKE_LETTER.items():
+    for _b, _bf in _KEYSTROKE_LETTER.items():
+        _FMT_FLAGS[f"--{_a}2{_b}"] = ("pair", (_af, _bf))
+    _FMT_FLAGS[f"--{_a}2b"] = ("pairb", (_af, "pprint"))
+
+# separator aliases (cli/separators.go SEPARATOR_NAMES_TO_VALUES)
 _IFS_NAMES = {"comma": ",", "semicolon": ";", "pipe": "|", "space": " ",
-              "tab": "\t", "colon": ":"}
+              "tab": "\t", "colon": ":", "newline": "\n", "equals": "=",
+              "slash": "/", "cr": "\r", "crcr": "\r\r", "crlf": "\r\n",
+              "crlfcrlf": "\r\n\r\n", "lf": "\n", "lflf": "\n\n",
+              "ascii_esc": "\x1b", "ascii_etx": "\x03", "ascii_fs": "\x1c",
+              "ascii_gs": "\x1d", "ascii_null": "\x00", "ascii_rs": "\x1e",
+              "ascii_soh": "\x01", "ascii_stx": "\x02", "ascii_us": "\x1f",
+              "asv_fs": "\x1f", "asv_rs": "\x1e",
+              "usv_fs": "␟", "usv_rs": "␞"}
+
+
+def _sepval(x: str) -> str:
+    """Resolve a separator CLI value: alias name, backslash escapes, or
+    the literal string (cli/separators.go)."""
+    if x in _IFS_NAMES:
+        return _IFS_NAMES[x]
+    if "\\" in x:
+        try:
+            return x.encode().decode("unicode_escape")
+        except UnicodeDecodeError:
+            return x
+    return x
 
 
 @dataclass
@@ -357,6 +615,18 @@ class Case:
     unsupported: str | None = None
     post: list = field(default_factory=list)  # parsed chained verbs
     ifs: str | None = None
+    ips: str | None = None
+    irs: str | None = None
+    ofs: str | None = None
+    ops: str | None = None
+    ors: str | None = None
+    flatsep: str | None = None
+    env: dict = field(default_factory=dict)
+    barred: bool = False
+    comments: tuple | None = None  # ("skip"|"pass", prefix)
+    ragged: bool = False
+    implicit_header: bool = False
+    num_fmt: str | None = None  # --ofmt float format
 
 
 def parse_cmd(cmd: str) -> Case:
@@ -367,7 +637,12 @@ def parse_cmd(cmd: str) -> Case:
     ifmt = ofmt = "dkvp"
     files: list[str] = []
     no_input = False
-    ifs = None
+    barred = ragged = implicit_header = False
+    seps: dict[str, str | None] = {k: None for k in
+                                   ("ifs", "ips", "irs", "ofs", "ops", "ors")}
+    flatsep = num_fmt = None
+    env: dict = {}
+    comments: tuple | None = None
     i = 0
     # main flags
     while i < len(toks) and toks[i].startswith("-"):
@@ -378,9 +653,62 @@ def parse_cmd(cmd: str) -> Case:
             continue
         if t == "--from":
             files.append(toks[i + 1]); i += 2; continue
-        if t == "--ifs":
-            ifs = _IFS_NAMES.get(toks[i + 1], toks[i + 1])
+        if t == "--mfrom":
+            i += 1
+            while i < len(toks) and toks[i] != "--":
+                files.append(toks[i])
+                i += 1
+            i += 1  # past the closing --
+            continue
+        if t in ("--ifs", "--ips", "--irs", "--ofs", "--ops", "--ors"):
+            seps[t[2:]] = _sepval(toks[i + 1])
             i += 2
+            continue
+        if t in ("--fs", "--ps", "--rs"):
+            v2 = _sepval(toks[i + 1])
+            seps["i" + t[2:]] = seps["o" + t[2:]] = v2
+            i += 2
+            continue
+        if t == "--tz":
+            env["TZ"] = toks[i + 1]
+            i += 2
+            continue
+        if t in ("--jflatsep", "--flatsep", "--oflatsep", "--iflatsep"):
+            flatsep = toks[i + 1]
+            i += 2
+            continue
+        if t == "--ofmt":
+            num_fmt = toks[i + 1]
+            i += 2
+            continue
+        if t == "--skip-comments":
+            comments = ("skip", "#")
+            i += 1
+            continue
+        if t == "--skip-comments-with":
+            comments = ("skip", toks[i + 1])
+            i += 2
+            continue
+        if t == "--pass-comments":
+            comments = ("pass", "#")
+            i += 1
+            continue
+        if t == "--pass-comments-with":
+            comments = ("pass", toks[i + 1])
+            i += 2
+            continue
+        if t == "--allow-ragged-csv-input":
+            ragged = True
+            i += 1
+            continue
+        if t in ("--implicit-csv-header", "--hi", "--headerless-csv-input",
+                 "--implicit-pprint-header", "--implicit-tsv-header"):
+            implicit_header = True
+            i += 1
+            continue
+        if t == "--barred":
+            barred = True
+            i += 1
             continue
         if t in _FMT_FLAGS:
             kind, val = _FMT_FLAGS[t]
@@ -390,16 +718,13 @@ def parse_cmd(cmd: str) -> Case:
                 ifmt = val
             elif kind == "iofmt":
                 ifmt = ofmt = val
-            elif kind == "c2p":
-                ifmt, ofmt = "csv", "pprint"
-            elif kind == "csvlite":
-                ifmt, ofmt = "csvlite", "csv"
-            elif kind == "c2j":
-                ifmt, ofmt = "csv", "json"
-            elif kind == "t2p":
-                ifmt, ofmt = "tsv", "pprint"
-            elif kind == "n2x":
-                ifmt, ofmt = "nidx", "xtab"
+            elif kind == "pair":
+                ifmt, ofmt = val
+            elif kind == "pairb":
+                ifmt, ofmt = val
+                barred = True
+            elif kind == "skipval":
+                i += 1
             i += 1
             continue
         return Case("", [], [], unsupported=f"main flag {t}")
@@ -459,7 +784,17 @@ def parse_cmd(cmd: str) -> Case:
             else:
                 args.append(t)
             j += 1
-    return Case(verb, args, files, ifmt, ofmt, ifs=ifs)
+    if ifmt == "jsonl":
+        ifmt = "json"
+
+    if ofmt in ("jsonl", "ojsonl"):
+        ofmt = "json"
+
+    return Case(verb, args, files, ifmt, ofmt, ifs=seps["ifs"],
+                ips=seps["ips"], irs=seps["irs"], ofs=seps["ofs"],
+                ops=seps["ops"], ors=seps["ors"], flatsep=flatsep,
+                env=env, barred=barred, comments=comments, ragged=ragged,
+                implicit_header=implicit_header, num_fmt=num_fmt)
 
 
 # ---------------------------------------------------------------------------
@@ -510,6 +845,7 @@ def load_df(case: Case) -> pd.DataFrame:
         return d
     frames = []
     korder: dict[int, list[str]] = {}
+    comments_out: list[str] = []
     files = []
     for f in case.files:
         if any(ch in f for ch in "*?["):
@@ -528,20 +864,38 @@ def load_df(case: Case) -> pd.DataFrame:
         p = os.path.join(REFERENCE, f)
         p = _maybe_decompress(p, case.args)
         fmt = left_fmt if (left_fmt and fnum == 1) else case.ifmt
+        # join's -f side is read by the verb's own reader; its comments
+        # are consumed, not passed to stdout (verb-join/0221)
+        side_input = case.verb == "join" and fnum == 1
+        p = _preprocess_input(p, case,
+                              [] if side_input else comments_out)
         if fmt == "csv":
-            recs = read_csv(p, sep=case.ifs or ",")
+            recs = read_csv(p, sep=case.ifs or ",", ragged=case.ragged,
+                            implicit_header=case.implicit_header)
         elif fmt == "csvlite":
-            recs = read_csvlite(p, sep=case.ifs or ",")
+            recs = read_csvlite(p, sep=case.ifs or ",", ragged=case.ragged,
+                                implicit_header=case.implicit_header)
         elif fmt == "tsv":
-            recs = read_tsv(p)
+            recs = read_tsv(p, implicit_header=case.implicit_header)
+        elif fmt == "tsvlite":
+            recs = read_tsv(p, implicit_header=case.implicit_header,
+                            unescape=False)
         elif fmt == "nidx":
             recs = read_nidx(p, sep=case.ifs)
         elif fmt == "json":
             recs = read_json_in(p)
         elif fmt == "pprint":
-            recs = read_pprint(p)
+            recs = read_pprint(p, ifs=case.ifs)
+        elif fmt == "xtab":
+            recs = [{k: _infer(v) for k, v in r.items()}
+                    for r in parse_xtab(open(p).read())]
+        elif fmt == "markdown":
+            recs = [{k: _infer(v) for k, v in r.items()}
+                    for r in parse_markdown_out(open(p).read())]
+        elif fmt == "yaml":
+            recs = read_yaml_in(p)
         else:
-            recs = read_dkvp(p, sep=case.ifs or ",")
+            recs = read_dkvp(p, sep=case.ifs or ",", ips=case.ips or "=")
         korder[fnum] = list(recs[0].keys()) if recs else []
         for r in recs:
             r["__file__"] = f
@@ -557,7 +911,80 @@ def load_df(case: Case) -> pd.DataFrame:
     df.attrs["raw_records"] = [
         {k: v for k, v in r.items() if not str(k).startswith("__")}
         for r in frames]
+    if comments_out:
+        # --pass-comments: comment lines stream straight to stdout at
+        # read time (record_reader pass-comments)
+        df.attrs["passed_comments"] = comments_out
     return df
+
+
+def _preprocess_input(p: str, case: Case, comments_out: list[str]) -> str:
+    """Apply reader-level main flags that rewrite the raw byte stream:
+    --irs (custom record separator) and --skip/--pass-comments.
+    Returns a temp-file path when a rewrite happened."""
+    with open(p, encoding="utf-8", errors="surrogateescape") as f:
+        text = f.read()
+    if case.irs in (None, "\n") and not case.comments \
+            and "\r\n" not in text:
+        return p
+    # CRLF/LF autodetect (record_reader autodetects line endings)
+    text = text.replace("\r\n", "\n")
+    if case.irs and case.irs != "\n":
+        text = "\n".join(x for x in text.split(case.irs))
+    if case.comments:
+        mode, prefix = case.comments
+        lines = []
+        for ln in text.split("\n"):
+            if ln.startswith(prefix):
+                if mode == "pass":
+                    comments_out.append(ln)
+            else:
+                lines.append(ln)
+        text = "\n".join(lines)
+    tf = tempfile.NamedTemporaryFile("w", delete=False, suffix=".txt",
+                                     encoding="utf-8",
+                                     errors="surrogateescape")
+    tf.write(text)
+    tf.close()
+    return tf.name
+
+
+def read_yaml_in(path: str) -> list[dict]:
+    """Minimal YAML record reader: a stream of flat mappings separated
+    by ``---`` or given as a ``- k: v`` list (record_reader_yaml)."""
+    recs: list[dict] = []
+    cur: dict | None = None
+    for raw in open(path):
+        line = raw.rstrip("\n")
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        if s == "---":
+            if cur:
+                recs.append(cur)
+            cur = None
+            continue
+        if s.startswith("- "):
+            if cur:
+                recs.append(cur)
+            cur = {}
+            s = s[2:]
+        if ":" not in s:
+            raise Unsupported("yaml input shape")
+        k, _, v = s.partition(":")
+        k = k.strip()
+        if k.startswith('"') and k.endswith('"') and len(k) >= 2:
+            k = k[1:-1]
+        v = v.strip()
+        if cur is None:
+            cur = {}
+        if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+            cur[k] = v[1:-1]
+        else:
+            cur[k] = _infer(v)
+    if cur:
+        recs.append(cur)
+    return recs
 
 
 def _ds(df: pd.DataFrame):
@@ -1852,30 +2279,36 @@ def _exec_join(a: list[str], df: pd.DataFrame):
                         and not pd.isna(x)})
         return out
 
+    # multi-field join keys: -j/-l/-r take comma-separated lists
+    # (join.go splitAxisNames)
+    lfs = lf.split(",")
+    rfs = rf.split(",")
+    jouts = jout.split(",")
     lrecs, rrecs = recs(left), recs(right)
     if ignore_empty:
         # --ignore-empty: records whose join value is "" never pair
-        def usable(rec, kf):
-            return kf in rec and rec[kf] != ""
+        def usable(rec, kfs):
+            return all(kf in rec and rec[kf] != "" for kf in kfs)
     else:
-        def usable(rec, kf):
-            return kf in rec
+        def usable(rec, kfs):
+            return all(kf in rec for kf in kfs)
 
     def pair(lrec: dict, rrec: dict) -> dict:
-        out = {jout: rrec.get(rf)}
+        out = {jo: rrec.get(rfn) for jo, rfn in zip(jouts, rfs)}
         for k, x in lrec.items():
-            if k != lf:
+            if k not in lfs:
                 out[lp + k] = x
         for k, x in rrec.items():
-            if k != rf:
+            if k not in rfs:
                 out[rp + k] = x
         return out
 
-    def solo(rec: dict, kf: str, prefix: str) -> dict:
+    def solo(rec: dict, kfs: list, prefix: str) -> dict:
+        kmap = dict(zip(kfs, jouts))
         out = {}
         for k, x in rec.items():
-            if k == kf:
-                out[jout] = x
+            if k in kmap:
+                out[kmap[k]] = x
             else:
                 out[prefix + k] = x
         return out
@@ -1889,14 +2322,14 @@ def _exec_join(a: list[str], df: pd.DataFrame):
 
         lmap: dict = defaultdict(list)
         for lr in lrecs:
-            if usable(lr, lf):
-                lmap[str(lr[lf])].append(lr)
+            if usable(lr, lfs):
+                lmap[tuple(str(lr[k]) for k in lfs)].append(lr)
         matched: set = set()
         for rr in rrecs:
-            if not usable(rr, rf):
+            if not usable(rr, rfs):
                 ur_out.append(rr)
                 continue
-            key = str(rr[rf])
+            key = tuple(str(rr[k]) for k in rfs)
             if key in lmap:
                 matched.add(key)
                 for lr in lmap[key]:
@@ -1904,14 +2337,17 @@ def _exec_join(a: list[str], df: pd.DataFrame):
             else:
                 ur_out.append(rr)
         for lr in lrecs:
-            if not usable(lr, lf) or str(lr[lf]) not in matched:
+            if not usable(lr, lfs) or tuple(
+                    str(lr[k]) for k in lfs) not in matched:
                 ul_out.append(lr)
     else:
         # bucket keeper: left grouped by CONSECUTIVE equal keys; advance
         # only forward as right keys arrive
+        if len(lfs) > 1:
+            raise Unsupported("sorted join with multi-field keys")
         buckets: list[tuple[object, list[dict], list[bool]]] = []
         for lr in lrecs:
-            if not usable(lr, lf):
+            if not usable(lr, lfs):
                 ul_out.append(lr)
                 continue
             key = lr[lf]
@@ -1921,7 +2357,7 @@ def _exec_join(a: list[str], df: pd.DataFrame):
                 buckets.append((key, [lr], [False]))
         bi = 0
         for rr in rrecs:
-            if not usable(rr, rf):
+            if not usable(rr, rfs):
                 ur_out.append(rr)
                 continue
             k = rr[rf]
@@ -1944,9 +2380,9 @@ def _exec_join(a: list[str], df: pd.DataFrame):
     if emit_paired:
         rows.extend(paired_out)
     if emit_ul:
-        rows.extend(solo(r, lf, lp) for r in ul_out)
+        rows.extend(solo(r, lfs, lp) for r in ul_out)
     if emit_ur:
-        rows.extend(solo(r, rf, rp) for r in ur_out)
+        rows.extend(solo(r, rfs, rp) for r in ur_out)
     return pd.DataFrame(rows), False
 
 
@@ -2276,7 +2712,16 @@ def _norm(v) -> str:
     try:
         return _norm_num(float(s))
     except ValueError:
-        return s
+        pass
+    try:
+        if re.fullmatch(r"[+-]?0[xXbB][0-9a-fA-F]+", s):
+            n = int(s, 0)
+            if 2**63 <= n < 2**64:
+                n -= 2**64  # int64 bit pattern (scan.go)
+            return _norm_num(float(n))
+    except ValueError:
+        pass
+    return s
 
 
 def _rec_key(rec: dict) -> tuple:
@@ -2404,7 +2849,13 @@ def _auto_unflatten(rec: dict) -> dict:
                 nxt = {}
                 node[p] = nxt
             node = nxt
-        node[parts[-1]] = _infer_str(v) if isinstance(v, str) else v
+        if v == "{}":
+            v = {}  # flatten writes empty collections as "{}"/"[]"
+        elif v == "[]":
+            v = []  # (flatten_unflatten.go); unflatten restores them
+        elif isinstance(v, str):
+            v = _infer_str(v)
+        node[parts[-1]] = v
     return {k: (_arrayify(v) if isinstance(v, dict) else v)
             for k, v in out.items()}
 
@@ -2425,6 +2876,8 @@ def run_case(case_dir: str) -> tuple[str, str]:
                 os.environ[k.strip()] = v2
     try:
         return _run_case_inner(case_dir)
+    except Unsupported as e:
+        return "skip", str(e)
     finally:
         for k, old in saved_env.items():
             if old is None:
@@ -2480,7 +2933,25 @@ def _run_case_inner(case_dir: str) -> tuple[str, str]:
     case = parse_cmd(cmd)
     if case.unsupported:
         return "skip", case.unsupported
+    if not case.env:
+        return _run_case_body(case_dir, cmd, case)
+    saved: dict = {}
+    try:
+        for k, v in case.env.items():
+            saved[k] = os.environ.get(k)
+            os.environ[k] = v
+        return _run_case_body(case_dir, cmd, case)
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
+
+
+def _run_case_body(case_dir: str, cmd: str, case: Case) -> tuple[str, str]:
     headers: list[str] = []
+    passed_comments: list[str] = []
     try:
         # split then-chain segments: [verb args...] __THEN__ [verb args...]
         segments = [[case.verb]]
@@ -2496,12 +2967,14 @@ def _run_case_inner(case_dir: str) -> tuple[str, str]:
                 hdr, segments[si] = _ast_echo(seg)
                 headers.append(hdr)
         df = load_df(case)
+        passed_comments = df.attrs.get("passed_comments") or []
         input_df = df
         ordered = True
         for si, seg in enumerate(segments):
             if not seg:
                 raise Unsupported("empty then segment")
-            sub_case = Case(seg[0], seg[1:], case.files, case.ifmt, case.ofmt)
+            sub_case = dataclasses.replace(
+                case, verb=seg[0], args=seg[1:], unsupported=None)
             ours, seg_ordered = execute(sub_case, df)
             if isinstance(ours, RawText):
                 if si != len(segments) - 1:
@@ -2552,8 +3025,25 @@ def _run_case_inner(case_dir: str) -> tuple[str, str]:
                 f"want={el[d] if d < len(el) else ''!r} " \
                 f"got={hl[d] if d < len(hl) else ''!r}"
         raw_exp = raw_exp[len(prefix):]
-    expected = EXPOUT_PARSERS[case.ofmt](raw_exp)
+    if passed_comments:
+        # --pass-comments: comment lines stream to stdout at read time;
+        # verify the multiset and compare records on the remainder
+        mode_prefix = case.comments[1]
+        exp_comments = [ln for ln in raw_exp.splitlines()
+                        if ln.startswith(mode_prefix)]
+        if Counter(exp_comments) != Counter(passed_comments):
+            return "fail", f"{cmd}: passed-comments mismatch"
+        raw_exp = "\n".join(ln for ln in raw_exp.splitlines()
+                            if not ln.startswith(mode_prefix))
+    expected = _parse_expout(case, raw_exp)
     our_recs = [] if ours is None or ours.empty else ours.to_dict("records")
+    if case.ofmt == "nidx":
+        # the nidx writer drops keys and emits values positionally
+        # (record_writer_nidx)
+        our_recs = [{str(i): v for i, (k, v) in enumerate(r.items(), 1)
+                     if not (v is None or (isinstance(v, float)
+                                           and math.isnan(v)))}
+                    for r in our_recs]
     if case.ofmt == "json" and case.ifmt != "json" and any(
             "." in str(k) for r in our_recs for k in r):
         # JSON output auto-unflattens dotted field names into nested
@@ -2571,7 +3061,8 @@ def _run_case_inner(case_dir: str) -> tuple[str, str]:
         # the TSV writer escapes embedded tabs/newlines as \t, \n
         def _esc(s):
             return (s.replace("\\", "\\\\").replace("\t", "\\t")
-                     .replace("\n", "\\n") if isinstance(s, str) else s)
+                     .replace("\n", "\\n").replace("\r", "\\r")
+                    if isinstance(s, str) else s)
         our_recs = [{_esc(k): _esc(v) for k, v in r.items()}
                     for r in our_recs]
     if case.verb == "stats1" and re.search(r"\bmode|antimode\b",

@@ -198,29 +198,41 @@ def _to_str_ofmt(v):
 
 def _arith_scalar(op: str, a, b):
     if a is None or b is None:
-        # absent dispositions (arithmetic.go / mathlib.go tables):
-        # identity against numbers for + - * .; absent as the LEFT
-        # operand of / // % ** collapses to typed zero (_i0__/_f0__);
-        # absent against void is absent
+        # ABSENT dispositions (arithmetic.go / mathlib.go *_dispositions
+        # ABSENT row/column): n∘absent = n for every operator; absent∘n
+        # is n for + - * . (identity), -n for .-, typed zero for
+        # / // % **, n for ./; absent against void is absent
         if a is None and b is None:
             return None
         other = b if a is None else a
         if other == "":
             return None
-        if a is None and op in ("/", "//", "%", "**"):
+        if not isinstance(other, (int, float, np.integer, np.floating)) \
+                or isinstance(other, bool):
+            return other if b is None else None
+        if b is None:
+            return a  # _1___ in every table
+        if op == ".-":
+            return _wrap64(-other)
+        if op in ("/", "//", "%", "**"):
             return 0 if isinstance(other, (int, np.integer)) \
                 and not isinstance(other, bool) else 0.0
         return other
     if a == "" or b == "":
-        # VOID dispositions: void op void = void, void op number =
-        # number (arithmetic.go plus_dispositions VOID row;
-        # dsl-null-empty-handling/0005)
+        # VOID dispositions: void∘void = void; n∘void = n for + - * .
+        # but VOID for / // % **; void∘n = n for + *, -n for - .-,
+        # void for the division family (arithmetic.go VOID rows)
         if a == "" and b == "":
             return ""
         other = b if a == "" else a
-        return other if isinstance(
-            other, (int, float, np.integer, np.floating)) \
-            and not isinstance(other, bool) else "(error)"
+        if not isinstance(other, (int, float, np.integer, np.floating)) \
+                or isinstance(other, bool):
+            return "(error)"
+        if op in ("/", "//", "%", "**", "./", ".//"):
+            return ""
+        if a == "" and op in ("-", ".-"):
+            return _wrap64(-other)
+        return other
     if isinstance(a, str) or isinstance(b, str):
         return "(error)"  # arithmetic on non-numeric strings
     if op == ".+":
@@ -282,14 +294,33 @@ def _null_identity(op: str, a: Value, b: Value, out: Value) -> Value:
     return out
 
 
+def _checked_int_arith(fn_checked, fn_plain, op, a, b, wrap: bool):
+    """int64 + - * with Miller overflow semantics: the plain operators
+    PROMOTE to float64 on overflow (bifs/arithmetic.go plus_n_ii); the
+    dot-variants wrap (dotplus_i_ii)."""
+    if wrap or not (_is_int(a) and _is_int(b)):
+        return _null_identity(op, a, b, fn_plain(a, b))
+    try:
+        return _null_identity(op, a, b, fn_checked(a, b))
+    except pa.ArrowInvalid:  # overflow: redo in float64 (lossy like Go)
+        fa = pc.cast(a, pa.float64(), safe=False) if _is_arr(a) \
+            else float(a)
+        fb = pc.cast(b, pa.float64(), safe=False) if _is_arr(b) \
+            else float(b)
+        return _null_identity(op, fa, fb, fn_plain(fa, fb))
+
+
 def _arith_raw(op: str, a: Value, b: Value) -> Value:
     both_int = _is_int(a) and _is_int(b)
     if op in ("+", ".+"):
-        return _null_identity("+", a, b, pc.add(a, b))
+        return _checked_int_arith(pc.add_checked, pc.add, "+", a, b,
+                                  wrap=op == ".+")
     if op in ("-", ".-"):
-        return _null_identity("-", a, b, pc.subtract(a, b))
+        return _checked_int_arith(pc.subtract_checked, pc.subtract, "-",
+                                  a, b, wrap=op == ".-")
     if op in ("*", ".*"):
-        return _null_identity("*", a, b, pc.multiply(a, b))
+        return _checked_int_arith(pc.multiply_checked, pc.multiply, "*",
+                                  a, b, wrap=op == ".*")
     if op == "./":
         return pc.divide(a, b)  # int division, truncating (bifs dot-ops)
     if op == "/":

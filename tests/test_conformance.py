@@ -100,7 +100,15 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "dsl-operator-precedence", "dsl-operator-associativity",
           "dsl-parse", "dsl-if-chaining", "dsl-do-while-loops",
           "dsl-for-srec-loops", "dsl-for-multi", "dsl-max-variadic",
-          "dsl-operator-rewrites", "dsl-empty-statements"]
+          "dsl-operator-rewrites", "dsl-empty-statements",
+          # round 3g: main-flag wave — keystroke savers, separators,
+          # comments, ragged/implicit csv, yaml/markdown io, --tz
+          "io-skip-pass-comments", "io-rfc-csv", "io-spec-tsv",
+          "io-yaml-io", "io-markdown", "io-pprint", "io-barred-pprint",
+          "io-separator-aliases", "io-csv-ors-crlf",
+          "cli-getoptish", "cli-mfrom", "dsl-context-validation",
+          "dsl-json-parse-json-stringify", "dsl-pythonic-division",
+          "verb-gap"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
