@@ -236,12 +236,10 @@ def read_json_in(path: str) -> list[dict]:
             data = json.loads("[" + re.sub(r"}\s*{", "},{", text) + "]")
         except json.JSONDecodeError:
             data = [json.loads(line) for line in text.splitlines() if line.strip()]
-    out = []
-    for r in data:
-        if any(isinstance(v, (dict, list)) for v in r.values()):
-            raise Unsupported("nested JSON input")
-        out.append(r)
-    return out
+    # nested values stay as Python dict/list objects (heterogeneous
+    # object columns); the json-parse/flatten verbs and the writers'
+    # auto-flatten consume them structurally
+    return list(data)
 
 
 def read_pprint(path: str, ifs: str | None = None) -> list[dict]:
@@ -335,6 +333,8 @@ def parse_yaml_out(text: str) -> list[dict]:
             cur = {}
             s = s[2:]
         if ":" not in s:
+            raise Unsupported("nested yaml output")
+        if s.endswith(":"):
             raise Unsupported("nested yaml output")
         k, _, v = s.partition(":")
         k = k.strip()
@@ -1773,7 +1773,8 @@ def execute(case: Case, df: pd.DataFrame):
         return pd.DataFrame(rows), True
 
     if v in ("put", "filter"):
-        return _exec_put_filter(v, a, df, ofmt=case.ofmt)
+        return _exec_put_filter(v, a, df, ofmt=case.ofmt,
+                                flatsep=case.flatsep or ".")
 
     if v == "join":
         return _exec_join(a, df)
@@ -1927,6 +1928,8 @@ def execute(case: Case, df: pd.DataFrame):
         work = _drop_meta(df).copy()
         for c in work.columns:
             def one(x):
+                if isinstance(x, (dict, list)):
+                    return x  # format-values skips collection values
                 if pd.isna(x):
                     return x
                 if isinstance(x, str):
@@ -1970,12 +1973,202 @@ def execute(case: Case, df: pd.DataFrame):
             rows.append(r)
         return pd.DataFrame(rows), True
 
+    if v in ("json-stringify", "json-parse"):
+        import json as _json
+
+        fields = (_flagvals(a, "-f") or "").split(",") if _has(a, "-f") \
+            else None
+        keep_bad = _has(a, "-k")
+        work = df.sort_values("__row__")
+        out_rows = []
+        for _, row in work.iterrows():
+            r = {}
+            for k, x in row.items():
+                if str(k).startswith("__"):
+                    continue
+                if x is None or (isinstance(x, float) and np.isnan(x)):
+                    continue
+                if fields is not None and k not in fields:
+                    r[k] = x
+                    continue
+                if v == "json-stringify":
+                    if _has(a, "--jvstack"):
+                        r[k] = _json.dumps(x, indent=2,
+                                           ensure_ascii=False)
+                    else:
+                        r[k] = _json.dumps(x, separators=(", ", ": "),
+                                           ensure_ascii=False)
+                else:
+                    if not isinstance(x, str):
+                        r[k] = x
+                        continue
+                    try:
+                        r[k] = _json.loads(x)
+                    except _json.JSONDecodeError:
+                        if keep_bad:
+                            r[k] = x
+                        else:
+                            r[k] = "(error)"
+            out_rows.append(r)
+        return pd.DataFrame({"__rows__": out_rows}).pipe(_rows_frame), True
+
+    if v in ("flatten", "unflatten"):
+        from miller_ray import dsl as DSL
+
+        sep = _flagvals(a, "-s") or case.flatsep or "."
+        fields = (_flagvals(a, "-f") or "").split(",") if _has(a, "-f") \
+            else None
+        work = df.sort_values("__row__")
+        out_rows = []
+        for _, row in work.iterrows():
+            src = {k: x for k, x in row.items()
+                   if not str(k).startswith("__")
+                   and x is not None
+                   and not (isinstance(x, float) and np.isnan(x))}
+            r: dict = {}
+            if v == "flatten":
+                for k, x in src.items():
+                    if isinstance(x, (dict, list)) and (
+                            fields is None or k in fields):
+                        flat: dict = {}
+                        DSL._flatten_into(flat, str(k), x, sep=sep)
+                        r.update(flat)
+                    else:
+                        r[k] = x
+            else:
+                for k, x in src.items():
+                    parts = str(k).split(sep)
+                    if any(p == "" for p in parts):
+                        # empty path segments (x@@y, @y, x@) keep the
+                        # key verbatim (verb-flatten-unflatten/0011)
+                        r[k] = x
+                        continue
+                    if sep in str(k) and (fields is None
+                                          or parts[0] in fields):
+                        node = r
+                        for p2 in parts[:-1]:
+                            nxt = node.get(p2)
+                            if not isinstance(nxt, dict):
+                                nxt = {}
+                                node[p2] = nxt
+                            node = nxt
+                        node[parts[-1]] = \
+                            {} if x == "{}" else [] if x == "[]" else x
+                    else:
+                        r[k] = x
+                if fields is None:
+                    from miller_ray.functions import _arrayify
+                    r = {k: (_arrayify(x) if isinstance(x, dict) else x)
+                         for k, x in r.items()}
+            out_rows.append(r)
+        return pd.DataFrame({"__rows__": out_rows}).pipe(_rows_frame), True
+
+    if v == "split":
+        # split.go: -n size-capped, -m round-robin, -g by group values;
+        # filenames prefix_k.suffix (makeUngroupedOutputFileName);
+        # writer-format flags (--ojson etc.) may follow the verb
+        fmt_out = case.ofmt
+        for x in a:
+            if x in _FMT_FLAGS and _FMT_FLAGS[x][0] in ("ofmt", "iofmt"):
+                fmt_out = _FMT_FLAGS[x][1]
+                if fmt_out == "jsonl":
+                    fmt_out = "json"
+        prefix = _flagvals(a, "--prefix", "split")
+        suffix = _flagvals(a, "--suffix") or \
+            {"json": "json", "dkvp": "dkvp", "nidx": "nidx",
+             "xtab": "xtab", "pprint": "pprint", "markdown": "md",
+             "tsv": "tsv", "tsvlite": "tsv",
+             "csvlite": "csv"}.get(fmt_out, fmt_out)
+        folder = _flagvals(a, "--folder")
+        joiner = _flagvals(a, "-j", "_")
+        emit_downstream = _has(a, "-v")
+        work = df.sort_values("__row__")
+        recs = [{k: x for k, x in row.items()
+                 if not str(k).startswith("__")
+                 and not (x is None or (isinstance(x, float)
+                                        and np.isnan(x)))}
+                for _, row in work.iterrows()]
+        groups: dict[str, list[dict]] = {}
+        if _has(a, "-g"):
+            gflds = _flagvals(a, "-g").split(",")
+            for r in recs:
+                parts = [str(r.get(g2, "")) for g2 in gflds]
+                name = joiner.join(parts)
+                if not _has(a, "-e"):
+                    from urllib.parse import quote_plus
+                    name = quote_plus(name)
+                if prefix:
+                    name = prefix + joiner + name
+                groups.setdefault(f"{name}.{suffix}", []).append(r)
+        elif _has(a, "-m"):
+            m = int(_flagvals(a, "-m"))
+            for i2, r in enumerate(recs):
+                groups.setdefault(
+                    f"{prefix}_{1 + i2 % m}.{suffix}", []).append(r)
+        elif _has(a, "-n"):
+            n = int(_flagvals(a, "-n"))
+            for i2, r in enumerate(recs):
+                groups.setdefault(
+                    f"{prefix}_{1 + i2 // n}.{suffix}", []).append(r)
+        else:
+            raise Unsupported("split requires -n/-m/-g")
+        for fname, grp in groups.items():
+            path = os.path.join(folder, fname) if folder else fname
+            path = _redirect_write_path(
+                path if os.path.isabs(path)
+                else os.path.join(REFERENCE, path))
+            with open(path, "w") as fh:
+                fh.write(render_records(grp, fmt_out,
+                                        flatsep=case.flatsep or "."))
+        if emit_downstream:
+            return df, True
+        return df.iloc[0:0], True
+
+    if v == "tee":
+        # tee.go: write the stream to a file (format from -o or the
+        # main output format), pass records through unchanged
+        fmt_out = _flagvals(a, "-o", case.ofmt)
+        positional = [x for x in a if not x.startswith("-")
+                      and x != _flagvals(a, "-o") and x != "__NO_INPUT__"]
+        if _has(a, "-p"):
+            raise Unsupported("tee to pipe")
+        if not positional:
+            raise Unsupported("tee without a filename")
+        target = positional[-1]
+        work = df.sort_values("__row__")
+        recs = [{k: x for k, x in row.items()
+                 if not str(k).startswith("__")
+                 and not (x is None or (isinstance(x, float)
+                                        and np.isnan(x)))}
+                for _, row in work.iterrows()]
+        path = _redirect_write_path(
+            target if os.path.isabs(target)
+            else os.path.join(REFERENCE, target))
+        mode = "a" if _has(a, "-a") else "w"
+        with open(path, mode) as fh:
+            fh.write(render_records(recs, fmt_out,
+                                    flatsep=case.flatsep or "."))
+        return df, True
+
     if v == "rename" or v == "cut":
         # regex variants fall through to here only with -r (plain handled
         # above)
         pass
 
     raise Unsupported(f"verb {v} args {a}")
+
+
+def _rows_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Build a DataFrame from a list-of-dicts column without pandas
+    promoting int->float on sparse keys (object dtype preserved)."""
+    rows = list(df["__rows__"])
+    cols: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in cols:
+                cols.append(k)
+    return pd.DataFrame({c: pd.Series([r.get(c) for r in rows],
+                                      dtype=object) for c in cols})
 
 
 def _drop_meta(df: pd.DataFrame) -> pd.DataFrame:
@@ -1999,7 +2192,8 @@ def _mlr_regexes(spec: str):
     return out
 
 
-def _render_rec_lines(rec: dict, ofmt: str) -> list[str]:
+def _render_rec_lines(rec: dict, ofmt: str,
+                      flatsep: str = ".") -> list[str]:
     """Render one record as output lines for mixed text+record
     comparison (xtab: padded key column; dkvp: k=v,k=v)."""
     from miller_ray import dsl as DSL
@@ -2009,7 +2203,7 @@ def _render_rec_lines(rec: dict, ofmt: str) -> list[str]:
         if str(k).startswith("__"):
             continue
         if isinstance(v, (dict, list)) and len(v):
-            DSL._flatten_into(flat, str(k), v)
+            DSL._flatten_into(flat, str(k), v, sep=flatsep)
         elif isinstance(v, dict):
             flat[k] = "{}"
         elif isinstance(v, list):
@@ -2037,8 +2231,172 @@ class RawText(str):
     literally against expout instead of through record parsers."""
 
 
+_WRITE_ROOT = os.path.join(tempfile.gettempdir(), "mlr_conf_writes")
+
+
+def _redirect_write_path(path: str) -> str:
+    """Map a file-write target inside the (read-only) reference tree to
+    a stable scratch path. Writers (split/tee/DSL redirects) and the
+    postcmp comparator both apply this mapping."""
+    rel = os.path.relpath(path, REFERENCE) if os.path.isabs(path) else path
+    if rel.startswith(".."):
+        return path  # already outside the reference tree
+    out = os.path.join(_WRITE_ROOT, rel)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    return out
+
+
+def _render_value(v) -> str:
+    from miller_ray import dsl as DSL  # noqa: F811 — local import
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return ""
+    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
+        # integral floats are ints that went through a union-schema
+        # NaN-fill promotion
+        return str(int(v))
+    # the regtest harness exports MLR_OFMT=%.8f globally
+    # (regtester.go:161): float-typed values render through it
+    return DSL._print_render(v, "%.8f")
+
+
+def _csv_quote(s: str) -> str:
+    if any(c in s for c in ",\"\n"):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def render_records(recs: list[dict], fmt: str, flatsep: str = ".") -> str:
+    """Render records as a Miller output file (record_writer_*.go):
+    csv/tsv with schema-change header blocks, aligned pprint, vstacked
+    JSON, dkvp/nidx/xtab/markdown."""
+    from miller_ray import dsl as DSL
+
+    flat_recs: list[dict] = []
+    for rec in recs:
+        fr: dict = {}
+        for k, v in rec.items():
+            if str(k).startswith("__"):
+                continue
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, (dict, list)) and fmt != "json":
+                DSL._flatten_into(fr, str(k), v, sep=flatsep)
+            else:
+                fr[k] = v
+        flat_recs.append(fr)
+    recs = flat_recs
+    if fmt == "json":
+        parts = [DSL._mlr_json(r, ofmt="%.8f") for r in recs]
+        return "[\n" + ",\n".join(parts) + "\n]\n" if parts else "[\n]\n"
+    lines: list[str] = []
+    if fmt in ("csv", "csvlite", "tsv", "tsvlite"):
+        sep = "\t" if fmt.startswith("tsv") else ","
+        hdr: list[str] | None = None
+        for r in recs:
+            keys = list(r.keys())
+            if keys != hdr:
+                if hdr is not None:
+                    lines.append("")
+                hdr = keys
+                lines.append(sep.join(_csv_quote(k) for k in keys))
+            lines.append(sep.join(
+                _csv_quote(_render_value(r[k])) for k in keys))
+        return "\n".join(lines) + "\n" if lines else ""
+    if fmt == "dkvp":
+        for r in recs:
+            lines.append(",".join(f"{k}={_render_value(v)}"
+                                  for k, v in r.items()))
+        return "\n".join(lines) + "\n" if lines else ""
+    if fmt == "nidx":
+        for r in recs:
+            lines.append(" ".join(_render_value(v) for v in r.values()))
+        return "\n".join(lines) + "\n" if lines else ""
+    if fmt == "xtab":
+        blocks = []
+        for r in recs:
+            if not r:
+                continue
+            w = max(len(str(k)) for k in r)
+            blocks.append("\n".join(f"{str(k).ljust(w)} {_render_value(v)}"
+                                    for k, v in r.items()))
+        return "\n\n".join(blocks) + "\n" if blocks else ""
+    if fmt == "pprint":
+        out_blocks = []
+        block: list[dict] = []
+        hdr = None
+        for r in recs + [None]:
+            keys = list(r.keys()) if r is not None else None
+            if keys != hdr and block:
+                rows = [hdr] + [[_render_value(x.get(k)) or "-"
+                                 for k in hdr] for x in block]
+                widths = [max(len(row[i]) for row in rows)
+                          for i in range(len(hdr))]
+                out_blocks.append("\n".join(
+                    " ".join(c.ljust(widths[i]) if i < len(row) - 1 else c
+                             for i, c in enumerate(row))
+                    for row in rows))
+                block = []
+            hdr = keys
+            if r is not None:
+                block.append(r)
+        return "\n\n".join(out_blocks) + "\n" if out_blocks else ""
+    if fmt == "markdown":
+        hdr = None
+        for r in recs:
+            keys = list(r.keys())
+            if keys != hdr:
+                hdr = keys
+                lines.append("| " + " | ".join(hdr) + " |")
+                lines.append("| " + " | ".join("---" for _ in hdr) + " |")
+            lines.append("| " + " | ".join(
+                _render_value(r.get(k)) for k in hdr) + " |")
+        return "\n".join(lines) + "\n" if lines else ""
+    raise Unsupported(f"render format {fmt}")
+
+
+_LAST_STDERR: list[str] = []
+
+
+def _render_sink_items(items: list, ofmt: str,
+                       flatsep: str = ".") -> str:
+    """Render a redirect sink's accumulated ("rec"/"text"/"textn",
+    payload) items: records through the format writer, text lines
+    verbatim."""
+    recs = [p for k, p in items if k == "rec"]
+    out = ""
+    if recs:
+        out += render_records(recs, ofmt, flatsep=flatsep)
+    pend = ""
+    for k, p in items:
+        if k == "textn":
+            pend += p
+        elif k == "text":
+            out += pend + p + "\n"
+            pend = ""
+    if pend:
+        out += pend
+    return out
+
+
+def _write_dsl_sinks(sinks: dict, ofmt: str, flatsep: str = ".") -> None:
+    """Write DSL redirect outputs: file targets into the scratch
+    mapping (postcmp reads them back); stderr into _LAST_STDERR for
+    the experr comparison."""
+    for path, ent in (sinks.get("files") or {}).items():
+        tgt = _redirect_write_path(
+            path if os.path.isabs(path) else os.path.join(REFERENCE, path))
+        with open(tgt, "a" if ent["mode"] == "a" else "w") as fh:
+            fh.write(_render_sink_items(ent["items"], ofmt, flatsep))
+    if sinks.get("stderr"):
+        _LAST_STDERR.append(
+            _render_sink_items(sinks["stderr"], ofmt, flatsep))
+
+
 def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
-                     ofmt: str = "dkvp"):
+                     ofmt: str = "dkvp", flatsep: str = "."):
     from miller_ray import dsl as DSL
 
     if _has(a, "-f"):
@@ -2125,16 +2483,19 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         if "__file__" in meta.columns:
             for i in range(len(records)):
                 seeds[i]["\x00FILENAME"] = str(meta["__file__"].iloc[i])
+        sinks: dict = {}
         try:
             # the reference regtest exports MLR_OFMT=%.8f globally
             # (regtester.go:161) — float-typed prints render through it
             recs, texts, stream = prog.run_records(
                 records, seeds=seeds, quiet=quiet, ofmt="%.8f",
-                want_filter=(v == "filter"))
+                want_filter=(v == "filter"), sinks=sinks,
+                flatsep=flatsep)
         except DSL.DslError as e:
             raise Unsupported(f"dsl seq: {e}")
         except (TypeError, KeyError, IndexError) as e:
             raise Unsupported(f"dsl seq {type(e).__name__}: {e}")
+        _write_dsl_sinks(sinks, ofmt, flatsep)
         if texts:
             if recs:
                 # mixed text + record output: render records into the
@@ -2153,7 +2514,7 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                         lines.append(pend + payload)
                         pend = ""
                     else:
-                        rl = _render_rec_lines(payload, ofmt)
+                        rl = _render_rec_lines(payload, ofmt, flatsep)
                         if not rl:
                             continue
                         if ofmt == "xtab" and wrote_rec:
@@ -2183,7 +2544,7 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                         if len(v2) == 0:
                             fr[k] = "{}" if isinstance(v2, dict) else "[]"
                         else:
-                            DSL._flatten_into(fr, str(k), v2)
+                            DSL._flatten_into(fr, str(k), v2, sep=flatsep)
                     else:
                         fr[k] = v2
                 flat.append(fr)
@@ -2933,14 +3294,28 @@ def _run_case_inner(case_dir: str) -> tuple[str, str]:
     case = parse_cmd(cmd)
     if case.unsupported:
         return "skip", case.unsupported
+    postcmp: list[tuple[str, str]] = []
+    pc_file = os.path.join(case_dir, "postcmp")
+    if os.path.exists(pc_file):
+        for line in open(pc_file).read().splitlines():
+            line = line.replace("${CASEDIR}", rel).strip()
+            if not line:
+                continue
+            exp_f, act_f = line.split()
+            # pre-clear the mapped target so a stale write from a
+            # previous run can't satisfy the comparison
+            mapped = _redirect_write_path(os.path.join(REFERENCE, act_f))
+            if os.path.exists(mapped):
+                os.unlink(mapped)
+            postcmp.append((os.path.join(REFERENCE, exp_f), mapped))
     if not case.env:
-        return _run_case_body(case_dir, cmd, case)
+        return _run_case_body(case_dir, cmd, case, postcmp)
     saved: dict = {}
     try:
         for k, v in case.env.items():
             saved[k] = os.environ.get(k)
             os.environ[k] = v
-        return _run_case_body(case_dir, cmd, case)
+        return _run_case_body(case_dir, cmd, case, postcmp)
     finally:
         for k, old in saved.items():
             if old is None:
@@ -2949,7 +3324,37 @@ def _run_case_inner(case_dir: str) -> tuple[str, str]:
                 os.environ[k] = old
 
 
-def _run_case_body(case_dir: str, cmd: str, case: Case) -> tuple[str, str]:
+def _compare_stderr(case_dir: str) -> tuple[bool, str]:
+    if not _LAST_STDERR:
+        return True, "ok"
+    got = "".join(_LAST_STDERR).replace("\r\n", "\n")
+    experr = os.path.join(case_dir, "experr")
+    want = open(experr).read().replace("\r\n", "\n") \
+        if os.path.exists(experr) else ""
+    if got.rstrip("\n") == want.rstrip("\n"):
+        return True, "ok"
+    return False, f"stderr mismatch: got {got[:80]!r} want {want[:80]!r}"
+
+
+def _compare_postcmp(postcmp: list) -> tuple[bool, str]:
+    """Verify file-write targets against their .expect files
+    (regtester.go postcmp pairs; paths mapped into scratch)."""
+    for exp_f, act_f in postcmp:
+        if not os.path.exists(act_f):
+            return False, f"postcmp: {os.path.basename(act_f)} not written"
+        want = open(exp_f).read().replace("\r\n", "\n")
+        got = open(act_f).read().replace("\r\n", "\n")
+        if want.rstrip("\n") != got.rstrip("\n"):
+            return False, (f"postcmp mismatch {os.path.basename(act_f)}: "
+                           f"got {got[:80]!r} want {want[:80]!r}")
+    return True, "ok"
+
+
+def _run_case_body(case_dir: str, cmd: str, case: Case,
+                   postcmp: list | None = None) -> tuple[str, str]:
+    postcmp = postcmp or []
+    _LAST_STDERR.clear()
+    os.environ["CASEDIR"] = os.path.relpath(case_dir, REFERENCE)
     headers: list[str] = []
     passed_comments: list[str] = []
     try:
@@ -3007,7 +3412,10 @@ def _run_case_body(case_dir: str, cmd: str, case: Case) -> tuple[str, str]:
                for ln in (prefix + str(ours)).strip("\n").split("\n")]
         want = [ln.rstrip() for ln in exp_text.strip("\n").split("\n")]
         if got == want:
-            return "pass", "text ok"
+            pok, pmsg = _compare_postcmp(postcmp)
+            if pok:
+                pok, pmsg = _compare_stderr(case_dir)
+            return ("pass", "text ok") if pok else ("fail", f"{cmd}: {pmsg}")
         return "fail", f"{cmd}: text mismatch (got {len(got)} lines, " \
                        f"want {len(want)}); first got={got[:3]} want={want[:3]}"
     if ours is not None and len(getattr(ours, "columns", [])):
@@ -3049,6 +3457,23 @@ def _run_case_body(case_dir: str, cmd: str, case: Case) -> tuple[str, str]:
         # JSON output auto-unflattens dotted field names into nested
         # collections (mlr auto-unflatten, record_writer_json)
         our_recs = [_auto_unflatten(r) for r in our_recs]
+    if case.ofmt != "json" and any(
+            isinstance(x, (dict, list)) for r in our_recs
+            for x in r.values()):
+        # non-JSON writers auto-flatten collection values with FLATSEP
+        # (record_writer non-JSON path)
+        from miller_ray import dsl as DSL
+        flat_recs = []
+        for r in our_recs:
+            fr: dict = {}
+            for k, x in r.items():
+                if isinstance(x, (dict, list)):
+                    DSL._flatten_into(fr, str(k), x,
+                                      sep=case.flatsep or ".")
+                else:
+                    fr[k] = x
+            flat_recs.append(fr)
+        our_recs = flat_recs
     if case.ofmt in ("xtab", "dkvp", "pprint") and any(
             isinstance(x, str) and "\n" in x
             for r in our_recs for x in r.values()):
@@ -3072,7 +3497,12 @@ def _run_case_body(case_dir: str, cmd: str, case: Case) -> tuple[str, str]:
         our_recs = _freqify_modes(our_recs, input_df, gb)
         expected = _freqify_modes(expected, input_df, gb)
     ok, msg = compare_recs(our_recs, expected, ordered)
-    return ("pass", msg) if ok else ("fail", f"{cmd}: {msg}")
+    if not ok:
+        return "fail", f"{cmd}: {msg}"
+    pok, pmsg = _compare_postcmp(postcmp)
+    if pok:
+        pok, pmsg = _compare_stderr(case_dir)
+    return ("pass", msg) if pok else ("fail", f"{cmd}: {pmsg}")
 
 
 def run_suite(suite: str) -> dict:

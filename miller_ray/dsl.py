@@ -65,7 +65,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<field>\$(\{[^}]*\}|[A-Za-z_][A-Za-z0-9_]*|\*))
   | (?P<oosvar>@(\{[^}]*\}|[A-Za-z_][A-Za-z0-9_]*|\*))
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\*\*|\.\+|\.-|\.\*|\./|//|<=|>=|==|!=|=~|!~|&&|\|\||\?\?\??|[-+*/%<>=!?:;,().{}\[\]])
+  | (?P<op>\*\*|\.\+|\.-|\.\*|\./|//|<=>|<<|>>>|>>|<=|>=|==|!=~|!=|=~|!~|&&|\|\||\^\^|\?\?\??|[-+*/%<>=!?:;,().{}\[\]|&^~])
 """, re.VERBOSE)
 
 _ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", ".=", "%=", "//=", "**="}
@@ -1384,10 +1384,15 @@ def _sort_key(flags: str):
     if mode == "n":
         def key(v):
             if isinstance(v, bool):
-                return (2, str(v))
+                return (2, 0.0, str(v))
             if isinstance(v, (int, float, np.integer, np.floating)):
                 return (0, float(v), "")
-            return (1, 0.0, str(v))
+            try:
+                # numeric STRINGS (JSON map keys are always strings)
+                # sort by value under the numerical mode (hofs.go)
+                return (0, float(v), "")
+            except (TypeError, ValueError):
+                return (1, 0.0, str(v))
     elif mode == "c":
         def key(v):
             return str(v).casefold()
@@ -1589,11 +1594,19 @@ def _exec_impl(self, stmts, t, env, mask, state):
                                "interpreter")
             seq["oos"].pop(name, None)
         elif kind == "emit":
-            variant, targets, keyexprs = rest
+            variant, targets, keyexprs, redir = rest
             seq = env.get("\x00seq")
             if seq is None:
                 raise DslError("emit requires the sequential interpreter")
-            _seq_emit(variant, targets, keyexprs, t, env, seq)
+            items = _redirect_items(seq, env, t, redir)
+            if items is not None:
+                seq["divert"] = items
+                try:
+                    _seq_emit(variant, targets, keyexprs, t, env, seq)
+                finally:
+                    seq.pop("divert", None)
+            else:
+                _seq_emit(variant, targets, keyexprs, t, env, seq)
         elif kind == "emit1":
             (eexpr,) = rest
             seq = env.get("\x00seq")
@@ -1603,33 +1616,51 @@ def _exec_impl(self, stmts, t, env, mask, state):
             if isinstance(ev, dict) and ev:
                 _seq_push_recs(seq, [dict(ev)])
         elif kind == "dump":
-            (dexpr,) = rest if rest else (None,)
+            dexpr, redir = rest if len(rest) == 2 else (rest[0], None)
             seq = env.get("\x00seq")
             if seq is None:
                 raise DslError("dump requires the sequential interpreter")
             if dexpr is None:
-                _seq_push_text(seq, _mlr_json(seq["oos"],
-                                              ofmt=seq.get("ofmt")))
+                text = _mlr_json(seq["oos"], ofmt=seq.get("ofmt"))
             else:
                 dv = _unseq_val(dexpr(t, env))
-                if dv is not None:  # dump of absent prints nothing
-                    _seq_push_text(seq, _mlr_json(dv,
-                                                  ofmt=seq.get("ofmt")))
+                text = None if dv is None else _mlr_json(
+                    dv, ofmt=seq.get("ofmt"))
+            if text is not None:
+                items = _redirect_items(seq, env, t, redir)
+                if items is not None:
+                    items.append(("text", text))
+                else:
+                    _seq_push_text(seq, text)
         elif kind == "edump":
             (dexpr,) = rest
-            if env.get("\x00seq") is None:
+            seq = env.get("\x00seq")
+            if seq is None:
                 raise DslError("edump requires the sequential interpreter")
-            if dexpr is not None:
-                dexpr(t, env)  # stderr output: evaluated, not captured
+            if dexpr is None:
+                text = _mlr_json(seq["oos"], ofmt=seq.get("ofmt"))
+            else:
+                dv = _unseq_val(dexpr(t, env))
+                text = None if dv is None else _mlr_json(
+                    dv, ofmt=seq.get("ofmt"))
+            if text is not None:
+                seq.setdefault("stderr_items", []).append(("text", text))
         elif kind == "eprint":
-            expr, _nl = rest
-            if env.get("\x00seq") is None:
+            expr, nl = rest
+            seq = env.get("\x00seq")
+            if seq is None:
                 raise DslError("eprint requires the sequential "
                                "interpreter")
-            if expr is not None:
-                expr(t, env)  # stderr output: evaluated, not captured
+            if expr is None:
+                rendered = ""
+            else:
+                v = expr(t, env)
+                v = v if isinstance(v, (dict, list)) else _scalarize(v)
+                rendered = _print_render(v, seq.get("ofmt"))
+            seq.setdefault("stderr_items", []).append(
+                ("text" if nl else "textn", rendered))
         elif kind == "print":
-            expr, nl = rest
+            expr, nl, redir = rest if len(rest) == 3 else (*rest, None)
             seq = env.get("\x00seq")
             if seq is None:
                 raise DslError("print requires the sequential interpreter")
@@ -1639,11 +1670,25 @@ def _exec_impl(self, stmts, t, env, mask, state):
                 v = expr(t, env)
                 v = v if isinstance(v, (dict, list)) else _scalarize(v)
                 rendered = _print_render(v, seq.get("ofmt"))
-            if nl:
+            items = _redirect_items(seq, env, t, redir)
+            if items is not None:
+                items.append(("text" if nl else "textn", rendered))
+            elif nl:
                 _seq_push_text(seq, seq.get("buf", "") + rendered)
                 seq["buf"] = ""
             else:  # printn: accumulate an unterminated line
                 seq["buf"] = seq.get("buf", "") + rendered
+        elif kind == "teestmt":
+            (redir,) = rest
+            seq = env.get("\x00seq")
+            if seq is None:
+                raise DslError("tee requires the sequential interpreter")
+            srec = env.get("\x00srec")
+            items = _redirect_items(seq, env, t, redir)
+            if items is None:
+                raise DslError("tee requires a file or stderr target")
+            if srec is not None:
+                items.append(("rec", dict(srec)))
         elif kind == "localdecl":
             typ, name, expr = rest
             if "\x00seq" not in env:
@@ -1969,6 +2014,11 @@ def _seq_oassign(name, idx_exprs, op, rhs, t, env, seq):
             if nv is not None:
                 oos[name] = _copyval(nv)
         return
+    if val is None:
+        # assigning ABSENT is a no-op and must not auto-deepen the
+        # oosvar (assignments of absent skip; for compound ops the
+        # combine result equals the current value)
+        return
     keys = _splice_keys([_unseq_val(e(t, env)) for e in idx_exprs])
     node = _deepen_base(oos.get(name), keys[0])
     oos[name] = node
@@ -2116,15 +2166,24 @@ def _exec_unset(tg, t, env, srec):
             return
 
 
-def _flatten_into(out: dict, prefix, v):
+def _flatten_into(out: dict, prefix, v, sep: str = "."):
     # auto-flatten separator is "." (mlr default flatsep; golden cases
-    # dsl-parameterized-emit/0001 `sum.pan=...`)
+    # dsl-parameterized-emit/0001 `sum.pan=...`); empty collections
+    # flatten to the "{}"/"[]" marker strings (flatten_unflatten.go)
     if isinstance(v, dict):
+        if not v:
+            out[prefix] = "{}"
+            return
         for kk, vv in v.items():
-            _flatten_into(out, f"{prefix}.{kk}" if prefix else str(kk), vv)
+            _flatten_into(out, f"{prefix}{sep}{kk}" if prefix else str(kk),
+                          vv, sep)
     elif isinstance(v, list):
+        if not v:
+            out[prefix] = "[]"
+            return
         for i, vv in enumerate(v, 1):
-            _flatten_into(out, f"{prefix}.{i}" if prefix else str(i), vv)
+            _flatten_into(out, f"{prefix}{sep}{i}" if prefix else str(i),
+                          vv, sep)
     elif v is not None:
         out[prefix] = v
 
@@ -2154,7 +2213,7 @@ def _emit_split(base, v) -> list[dict]:
 
 
 def _emit_records(prefixed: bool, names, vals, keynames,
-                  rooted: bool = False) -> list[dict]:
+                  rooted: bool = False, sep: str = ".") -> list[dict]:
     """Expand emit targets into records (emit_emitp.go; golden suites
     dsl-emit / dsl-parameterized-emit): N keynames consume the first N
     map levels into keyname fields (consumed keys drop out of emitp
@@ -2171,7 +2230,7 @@ def _emit_records(prefixed: bool, names, vals, keynames,
                 subvals = [_index_value(v, kk) if isinstance(v, (dict, list))
                            else None for v in vals]
                 for r in _emit_records(prefixed, names, subvals, rest,
-                                       rooted=True):
+                                       rooted=True, sep=sep):
                     recs.append({kn: kk, **r})
             return recs
         # scalar with keynames remaining: extras ignored (dsl-emit/0015)
@@ -2182,16 +2241,41 @@ def _emit_records(prefixed: bool, names, vals, keynames,
     for (base, path), v in zip(names, vals):
         if isinstance(v, (dict, list)):
             if prefixed:
-                _flatten_into(rec, path, v)
+                _flatten_into(rec, path, v, sep=sep)
             else:
-                _flatten_into(rec, None, v)
+                _flatten_into(rec, None, v, sep=sep)
         elif v is not None:
             fb = path if prefixed else base
             rec[fb if fb is not None else "_"] = v
     return [rec] if rec else []
 
 
+def _redirect_items(seq, env, t, redir):
+    """Resolve an output redirect to its item buffer: None means
+    stdout (the normal stream); stderr and file targets accumulate
+    ("rec"|"text"|"textn", payload) items that the harness renders
+    after the run (cst output-handler semantics)."""
+    if redir is None:
+        return None
+    mode, tgt = redir
+    if tgt == "stdout":
+        return None
+    if tgt == "stderr":
+        return seq.setdefault("stderr_items", [])
+    path = _to_str(_scalarize(_unseq_val(tgt(t, env))))
+    files = seq.setdefault("outfiles", {})
+    ent = files.get(path)
+    if ent is None:
+        ent = {"mode": mode, "items": []}
+        files[path] = ent
+    return ent["items"]
+
+
 def _seq_push_recs(seq, recs):
+    dv = seq.get("divert")
+    if dv is not None:
+        dv.extend(("rec", dict(r)) for r in recs)
+        return
     if not recs:
         return
     if seq.get("buf"):  # pending printn output joins the next line
@@ -2203,6 +2287,10 @@ def _seq_push_recs(seq, recs):
 
 
 def _seq_push_text(seq, line):
+    dv = seq.get("divert")
+    if dv is not None:
+        dv.append(("text", line))
+        return
     seq["texts"].append(line)
     seq.setdefault("outq", []).append(("text", line))
 
@@ -2232,12 +2320,27 @@ def _seq_emit(variant, targets, keyexprs, t, env, seq):
         for nm in list(oos):
             _seq_emit(variant, [("ref", nm, [])], keyexprs, t, env, seq)
         return
+    if len(targets) == 1 and targets[0][0] == "expr":
+        v0 = targets[0][1](t, env)
+        if isinstance(v0, dict):
+            # nameless map emittable ($*, {...}): each top-level
+            # key/value is its own (non-lashed) named emittable
+            # (emit_emitp.go topLevelEvaluableMap -> names/values per
+            # map entry; dsl-redirects/0126: emit $* writes one record
+            # per field)
+            for k2, v2 in v0.items():
+                _seq_emit(variant, [("const_named", k2, v2)],
+                          keyexprs, t, env, seq)
+            return
     names, vals = [], []
     for tg in targets:
         if tg[0] == "lref":
             lv = _scope_lookup(env, tg[1])
             names.append((tg[1], tg[1]))
             vals.append(None if lv is _ABSENT else lv)
+        elif tg[0] == "const_named":
+            names.append((tg[1], tg[1]))
+            vals.append(tg[2])
         elif tg[0] == "named_expr":
             ev = tg[2](t, env)
             if not isinstance(ev, (dict, list)):
@@ -2284,11 +2387,13 @@ def _seq_emit(variant, targets, keyexprs, t, env, seq):
             # lashed maps without keynames: each target emits its own
             # record stream in sequence (dsl-emit/0010)
             for nm, v in zip(names, vals):
-                _seq_push_recs(seq, _emit_records(False, [nm], [v], []))
+                _seq_push_recs(seq, _emit_records(
+                    False, [nm], [v], [], sep=seq.get("flatsep", ".")))
             return
         # emitp lashed maps merge into ONE flattened record
         # (dsl-emit/0008)
-    _seq_push_recs(seq, _emit_records(prefixed, names, vals, keynames))
+    _seq_push_recs(seq, _emit_records(prefixed, names, vals, keynames,
+                                      sep=seq.get("flatsep", ".")))
 
 
 _ACC_OPS = {"+=": "sum", "-=": "sum", "*=": "prod"}
@@ -2432,9 +2537,12 @@ def _print_render(v, ofmt: str | None = None) -> str:
 
 def _run_records_impl(self, records: list[dict], seeds: list[dict] | None
                       = None, quiet=False, ofmt: str | None = None,
-                      want_filter=False):
+                      want_filter=False, sinks: dict | None = None,
+                      flatsep: str = "."):
     """Wrapper installing the process-wide float formatter (MLR_OFMT
-    analogue) for the duration of the run; see _run_records_body."""
+    analogue) for the duration of the run; see _run_records_body.
+    ``sinks``, when given, receives redirect output: sinks["files"] =
+    {path: {"mode", "items"}}, sinks["stderr"] = [items]."""
     from miller_ray import functions as _bifs
 
     saved = _bifs.OFMT
@@ -2442,13 +2550,13 @@ def _run_records_impl(self, records: list[dict], seeds: list[dict] | None
         _bifs.OFMT = ofmt
     try:
         return _run_records_body(self, records, seeds, quiet, ofmt,
-                                 want_filter)
+                                 want_filter, sinks, flatsep)
     finally:
         _bifs.OFMT = saved
 
 
 def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
-                      want_filter=False):
+                      want_filter=False, sinks=None, flatsep="."):
     """Row-at-a-time execution over ordered record dicts with full
     cross-record semantics (@oosvars, begin/end, emit, dump/print,
     locals, loops, user functions). Returns (records, texts): emitted +
@@ -2460,7 +2568,8 @@ def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
     want_filter: treat the program as a ``filter`` verb — keep a record
     when the final bare expression (or filter-keyword mask) is truthy."""
     oos: dict = {}
-    seq = {"oos": oos, "emitted": [], "texts": [], "ofmt": ofmt}
+    seq = {"oos": oos, "emitted": [], "texts": [], "ofmt": ofmt,
+           "flatsep": flatsep}
     funcs = getattr(self, "funcs", {})
     subrs = getattr(self, "subrs", {})
     out_records: list[dict] = []
@@ -2530,6 +2639,9 @@ def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
         buf = seq.pop("buf")
         texts.append(buf)
         stream.append(("text", buf))
+    if sinks is not None:
+        sinks["files"] = seq.get("outfiles", {})
+        sinks["stderr"] = seq.get("stderr_items", [])
     return out_records, texts, stream
 
 
@@ -2635,11 +2747,34 @@ def _parse_emit_target(p: "_Parser"):
     return ("expr", p.expr())
 
 
+def _parse_redirect(p: "_Parser"):
+    """Optional output redirect after an output-statement keyword
+    (mlr.bnf Redirector): `> target` write, `>> target` append,
+    `| cmd` pipe (unsupported). stdout/stderr are keyword targets."""
+    k, v = p.peek()
+    if k != "op" or v not in (">", ">>", "|"):
+        return None
+    p.next()
+    if v == "|":
+        raise DslError("redirect pipes are not supported")
+    mode = "a" if v == ">>" else "w"
+    if v == ">" and p.peek() == ("op", ">"):
+        p.next()
+        mode = "a"
+    nk, nv = p.peek()
+    if nk == "ident" and nv in ("stdout", "stderr") and \
+            p.toks[p.i + 1: p.i + 2] != [("op", "(")]:
+        p.next()
+        return (mode, nv)
+    return (mode, p.expr())
+
+
 def _parse_emit(p: "_Parser", variant: str) -> tuple:
-    """emit/emitp/emitf statement (pkg/dsl/cst/emit_emitp.go).
-    Redirects (`emit > file, ...`) are unsupported."""
-    if p.peek()[1] in (">", ">>", "|"):
-        raise DslError(f"{variant} redirects are not supported")
+    """emit/emitp/emitf statement (pkg/dsl/cst/emit_emitp.go), with
+    optional `> file,` / `>> file,` / `> stderr,` redirect."""
+    redir = _parse_redirect(p)
+    if redir is not None:
+        p.expect(",")
     targets: list[tuple] = []
     if variant == "emitf":
         while True:
@@ -2651,7 +2786,7 @@ def _parse_emit(p: "_Parser", variant: str) -> tuple:
                 p.next()
                 continue
             break
-        return ("emit", "emitf", targets, [])
+        return ("emit", "emitf", targets, [], redir)
     if p.peek() == ("op", "("):
         # lashed list: emit (@a, @b), "key"
         p.next()
@@ -2668,7 +2803,7 @@ def _parse_emit(p: "_Parser", variant: str) -> tuple:
     while p.peek() == ("op", ","):
         p.next()
         keyexprs.append(p.expr())
-    return ("emit", variant, targets, keyexprs)
+    return ("emit", variant, targets, keyexprs, redir)
 
 
 def _parse_stmts(p: "_Parser", in_block: bool = False,
@@ -2701,22 +2836,49 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
         elif k == "ident" and v in ("dump", "edump"):
             p.next()
             stderr = v == "edump"
-            if p.peek()[1] in (";", "}") or p.peek()[0] == "eof":
-                stmts.append(("edump", None) if stderr else ("dump", None))
+            redir = None if stderr else _parse_redirect(p)
+            exprs: list = []
+            if redir is not None and p.peek() == ("op", ","):
+                p.next()
+            if not (p.peek()[1] in (";", "}") or p.peek()[0] == "eof"):
+                exprs.append(p.expr())
+                while p.peek() == ("op", ","):
+                    p.next()
+                    exprs.append(p.expr())
+            e0 = exprs[0] if len(exprs) == 1 else None
+            if len(exprs) <= 1:
+                stmts.append(("edump", e0) if stderr
+                             else ("dump", e0, redir))
             else:
-                e0 = p.expr()
-                stmts.append(("edump", e0) if stderr else ("dump", e0))
+                # dump a, b prints each value on its own line
+                for e1 in exprs:
+                    stmts.append(("edump", e1) if stderr
+                                 else ("dump", e1, redir))
         elif k == "ident" and v in ("print", "printn", "eprint",
                                     "eprintn"):
             p.next()
             nl = v in ("print", "eprint")
             kind2 = "eprint" if v.startswith("e") else "print"
+            redir = None if v.startswith("e") else _parse_redirect(p)
+            if redir is not None and p.peek() == ("op", ","):
+                p.next()
             if p.peek()[1] in (";", "}") or p.peek()[0] == "eof":
-                stmts.append((kind2, None, nl))
+                stmts.append((kind2, None, nl) if v.startswith("e")
+                             else (kind2, None, nl, redir))
             else:
-                stmts.append((kind2, p.expr(), nl))
+                e1 = p.expr()
+                stmts.append((kind2, e1, nl) if v.startswith("e")
+                             else (kind2, e1, nl, redir))
         elif k == "ident" and v == "tee":
-            raise DslError("tee statements are not supported")
+            p.next()
+            redir = _parse_redirect(p)
+            if redir is None:
+                raise DslError("tee requires a redirect target")
+            p.expect(",")
+            if p.peek()[0] != "field" or p.peek()[1] != "$*":
+                raise DslError("tee payload must be $*")
+            p.next()
+            stmts.append(("teestmt", redir))
         elif k == "ident" and v in ("func", "subr") and \
                 p.toks[p.i + 1: p.i + 2] and p.toks[p.i + 1][0] == "ident":
             # func name(params) [: rettype] { body } (pkg/dsl/cst/udf.go)

@@ -108,7 +108,13 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "io-separator-aliases", "io-csv-ors-crlf",
           "cli-getoptish", "cli-mfrom", "dsl-context-validation",
           "dsl-json-parse-json-stringify", "dsl-pythonic-division",
-          "verb-gap"]
+          "verb-gap",
+          # round 3h: output redirects (print/dump/emit/tee > file),
+          # postcmp file verification, json-parse/stringify + flatten
+          # verbs over nested JSON input
+          "dsl-redirects", "dsl-output-redirects", "verb-split",
+          "verb-tee", "verb-json-parse-json-stringify",
+          "dsl-type-inference"]
 
 
 @pytest.mark.parametrize("suite", SUITES)

@@ -107,7 +107,8 @@ def test_filter_statement():
 
 def test_errors():
     with pytest.raises(dsl.DslError):
-        dsl.compile_program('tee > "f", $*')
+        # pipe redirects remain unsupported (file redirects parse)
+        dsl.compile_program('tee | "cat", $*')
     with pytest.raises(dsl.DslError):
         # unknown function: parses (could be a forward-defined UDF) but
         # fails at evaluation time
