@@ -2594,7 +2594,9 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         src = None
     flags = [x for x in a if x.startswith("-") and len(x) > 1
              and not x[1].isdigit()]
-    if any(fl not in ("-x", "-q") for fl in flags):
+    # -S/-F are Miller-6 no-ops (type inference moved to the readers);
+    # -w prints warnings to stderr without changing the record stream
+    if any(fl not in ("-x", "-q", "-S", "-F", "-w") for fl in flags):
         raise Unsupported(f"{v} flags {flags}")
     exprs = [x for x in a if x not in flags]
     if src is None:
@@ -2679,6 +2681,39 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
             raise Unsupported(f"dsl seq {type(e).__name__}: {e}")
         _write_dsl_sinks(sinks, ofmt, flatsep)
         if texts:
+            if recs and ofmt == "pprint":
+                # the pprint writer buffers records until end-of-stream
+                # (column widths), so ALL text output precedes the
+                # table(s) (dsl-subr/0017)
+                clean = [{k: x for k, x in r.items()
+                          if not str(k).startswith("__")} for r in recs]
+                body = render_records(clean, "pprint", flatsep=flatsep)
+                return RawText("\n".join(texts) + "\n" + body), True
+            if recs and ofmt == "json":
+                # the json writer streams: "[" at the first record,
+                # ",\n" between records, "]" at stream end; prints
+                # interleave in stream order
+                parts: list[str] = []
+                started = False
+                pend = ""
+                for kind2, payload in stream:
+                    if kind2 == "textn":
+                        pend += payload
+                        continue
+                    if kind2 == "text":
+                        parts.append(pend + payload + "\n")
+                        pend = ""
+                        continue
+                    r = _auto_unflatten({k: x for k, x in payload.items()
+                                         if not str(k).startswith("__")},
+                                        sep=flatsep)
+                    obj = DSL._mlr_json(r, ofmt="%.8f")
+                    parts.append(("," if started else "[") + "\n" + obj)
+                    started = True
+                if pend:
+                    parts.append(pend)
+                out_text = "".join(parts) + ("\n]" if started else "")
+                return RawText(out_text), True
             if recs:
                 # mixed text + record output: render records into the
                 # stream in order (xtab/dkvp writers only)
@@ -3376,12 +3411,12 @@ def _freqify_modes(recs: list[dict], df: pd.DataFrame, gb: list[str] | None):
     return out
 
 
-def _auto_unflatten(rec: dict) -> dict:
+def _auto_unflatten(rec: dict, sep: str = ".") -> dict:
     from miller_ray.functions import _arrayify, _infer_str
 
     out: dict = {}
     for k, v in rec.items():
-        parts = str(k).split(".")
+        parts = str(k).split(sep)
         if len(parts) == 1 or any(p == "" for p in parts):
             out[k] = v
             continue
@@ -3747,10 +3782,11 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
                                            and math.isnan(v)))}
                     for r in our_recs]
     if case.ofmt == "json" and case.ifmt != "json" and any(
-            "." in str(k) for r in our_recs for k in r):
+            (case.flatsep or ".") in str(k) for r in our_recs for k in r):
         # JSON output auto-unflattens dotted field names into nested
         # collections (mlr auto-unflatten, record_writer_json)
-        our_recs = [_auto_unflatten(r) for r in our_recs]
+        our_recs = [_auto_unflatten(r, sep=case.flatsep or ".")
+                    for r in our_recs]
     if case.ofmt != "json" and any(
             isinstance(x, (dict, list)) for r in our_recs
             for x in r.values()):

@@ -887,8 +887,15 @@ class _Parser:
                 # (pkg/dsl/cst/udf.go unnamed-UDF for HOF arguments)
                 params = self.params()
                 body = _parse_block(self)
-                fv = ("\x00funcval", params, body)
-                return lambda t, env: fv
+
+                def flit(t, env, params=params, body=body):
+                    # capture the defining scope CHAIN by reference:
+                    # literals see enclosing locals, including ones
+                    # assigned after the literal (first-class-functions
+                    # aaa-setup-0006 `cap`)
+                    return ("\x00funcval", params, body,
+                            list(env.get("\x00scopes") or []))
+                return flit
             if self.peek() == ("op", "("):
                 return self.call(v)
 
@@ -1228,7 +1235,8 @@ def _call_func(self, fv, argvals, t, env):
     body). Functions see $-fields and @oosvars but get a fresh local
     scope stack seeded with their (type-checked) parameters
     (pkg/dsl/cst/udf.go)."""
-    _tag, params, body = fv
+    _tag, params, body = fv[0], fv[1], fv[2]
+    captured = fv[3] if len(fv) > 3 else None
     if len(argvals) != len(params):
         raise DslError(f"function expects {len(params)} args, "
                        f"got {len(argvals)}")
@@ -1238,7 +1246,8 @@ def _call_func(self, fv, argvals, t, env):
         frame[pname] = _copyval(av)
     saved = env.get("\x00scopes")
     saved_caps = env.get("\x00caps")
-    env["\x00scopes"] = [frame]
+    env["\x00scopes"] = (list(captured) + [frame]) if captured \
+        else [frame]
     state = {"mask": None, "bare": None}
     try:
         _exec_impl(self, body, t, env, None, state)
@@ -1653,6 +1662,13 @@ def _exec_impl(self, stmts, t, env, mask, state):
                                "interpreter")
             if expr is None:
                 rendered = ""
+            elif isinstance(expr, tuple) and expr[0] == "\x00joined":
+                parts = []
+                for e2 in expr[1]:
+                    v = e2(t, env)
+                    v = v if isinstance(v, (dict, list)) else _scalarize(v)
+                    parts.append(_print_render(v, seq.get("ofmt")))
+                rendered = " ".join(parts)
             else:
                 v = expr(t, env)
                 v = v if isinstance(v, (dict, list)) else _scalarize(v)
@@ -1666,6 +1682,13 @@ def _exec_impl(self, stmts, t, env, mask, state):
                 raise DslError("print requires the sequential interpreter")
             if expr is None:
                 rendered = ""
+            elif isinstance(expr, tuple) and expr[0] == "\x00joined":
+                parts = []
+                for e2 in expr[1]:
+                    v = e2(t, env)
+                    v = v if isinstance(v, (dict, list)) else _scalarize(v)
+                    parts.append(_print_render(v, seq.get("ofmt")))
+                rendered = " ".join(parts)
             else:
                 v = expr(t, env)
                 v = v if isinstance(v, (dict, list)) else _scalarize(v)
@@ -1917,7 +1940,7 @@ def _exec_impl(self, stmts, t, env, mask, state):
             if fv is None:
                 lv = _scope_lookup(env, name)
                 fv = None if lv is _ABSENT else lv
-            if not (isinstance(fv, tuple) and len(fv) == 3
+            if not (isinstance(fv, tuple) and len(fv) in (3, 4)
                     and fv[0] == "\x00funcval"):
                 raise DslError(f"unknown subroutine {name!r}")
             argvals = [_unseq_val(a(t, env)) for a in argexprs]
@@ -2229,8 +2252,15 @@ def _emit_records(prefixed: bool, names, vals, keynames,
             for kk in first.keys():
                 subvals = [_index_value(v, kk) if isinstance(v, (dict, list))
                            else None for v in vals]
-                for r in _emit_records(prefixed, names, subvals, rest,
-                                       rooted=True, sep=sep):
+                # NON-LASHED emit with >1 keynames switches to EMITP
+                # semantics after the first level
+                # (executeIndexedNonLashedEmitAux recurses into
+                # ...EmitPAux when indices remain); the LASHED variant
+                # merges residual maps plainly at exhaustion
+                sub_prefixed = prefixed or (bool(rest) and len(names) == 1)
+                for r in _emit_records(sub_prefixed, names,
+                                       subvals, rest, rooted=True,
+                                       sep=sep):
                     recs.append({kn: kk, **r})
             return recs
         # scalar with keynames remaining: extras ignored (dsl-emit/0015)
@@ -2243,6 +2273,8 @@ def _emit_records(prefixed: bool, names, vals, keynames,
             if prefixed:
                 _flatten_into(rec, path, v, sep=sep)
             else:
+                # non-prefixed residue maps SPLAT into the record
+                # (executeIndexedNonLashedEmitAux PutCopy per entry)
                 _flatten_into(rec, None, v, sep=sep)
         elif v is not None:
             fb = path if prefixed else base
@@ -2457,6 +2489,7 @@ def _acc_oassign(name, idx_exprs, op, rhs, t, env, mask, acc):
 
 
 _FLOAT_STR_RE = None
+_FLOAT_TOKEN_RE = None
 
 
 def _json_scalar(v, ofmt: str | None = None) -> str:
@@ -2524,10 +2557,17 @@ def _print_render(v, ofmt: str | None = None) -> str:
                 return ofmt % float(v)
             # concatenations like "y is ".string($y) stringified a
             # float BEFORE the formatter could see it — re-render
-            # embedded float literals (they were float-typed values:
-            # DKVP inference makes float-looking text float anyway)
-            if _FLOAT_STR_RE.search(v):
-                return _FLOAT_STR_RE.sub(
+            # embedded float literals, but only FREE-STANDING ones:
+            # digits inside larger tokens (ISO timestamps
+            # 00:00:00.123456Z) must stay verbatim
+            global _FLOAT_TOKEN_RE
+            if _FLOAT_TOKEN_RE is None:
+                import re as _re
+                _FLOAT_TOKEN_RE = _re.compile(
+                    r"(?<![\w:.\-+])[-+]?(\d+\.\d*|\.\d+)"
+                    r"([eE][-+]?\d+)?(?![\w:.])")
+            if _FLOAT_TOKEN_RE.search(v):
+                return _FLOAT_TOKEN_RE.sub(
                     lambda m: ofmt % float(m.group(0)), v)
     if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
         # Go FormatFloat('f', -1) renders integral floats without ".0"
@@ -2894,7 +2934,12 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
                 stmts.append((kind2, None, nl) if v.startswith("e")
                              else (kind2, None, nl, redir))
             else:
-                e1 = p.expr()
+                exprs = [p.expr()]
+                while p.peek() == ("op", ","):
+                    # print a, b renders space-joined (cst/print.go:344)
+                    p.next()
+                    exprs.append(p.expr())
+                e1 = exprs[0] if len(exprs) == 1 else ("\x00joined", exprs)
                 stmts.append((kind2, e1, nl) if v.startswith("e")
                              else (kind2, e1, nl, redir))
         elif k == "ident" and v == "tee":

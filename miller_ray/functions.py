@@ -179,11 +179,12 @@ bif("index")(lambda x, p: pc.if_else(
 bif("starts_with")(lambda x, p: pc.starts_with(_s(x), p))
 bif("ends_with")(lambda x, p: pc.ends_with(_s(x), p))
 def _render_scalar(v) -> str:
-    """Miller mlrval String() for join*/map-key rendering."""
+    """Miller mlrval String() for join*/map-key rendering: floats
+    honor the process OFMT (MLR_OFMT / --ofmt)."""
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
-        return str(v)
+    if isinstance(v, float) and not v.is_integer() and OFMT:
+        return OFMT % v
     return str(v)
 
 
@@ -495,9 +496,9 @@ def _gmt2sec(x):
                        dtype=object)
         out[bad] = "(error)"
         return pa.array(out, type=pa.string())
-    if has_frac:
-        return pa.array(secs.astype(np.float64) + frac)
-    return pa.array(secs)
+    # gmt2sec is FLOAT-typed always (bif_strptime_unary_aux:501
+    # returns FromFloat even for whole seconds)
+    return pa.array(secs.astype(np.float64) + frac)
 bif("strftime")(lambda x, fmt: pc.strftime(
     pc.cast(pc.cast(x, pa.int64()), pa.timestamp("s")), format=fmt))
 @bif("strptime")
@@ -526,18 +527,31 @@ def _strptime(x, fmt):
         return pa.array(["(error)"] * len(ser), type=pa.string())
     bad = dt.isna().to_numpy()
     frac = np.zeros(len(ser), dtype=np.float64)
-    if bad.any() and fmt.endswith("%SZ"):
-        # fractional seconds against a %SZ format: parse the whole part
-        # and add the fraction (empty ".Z" stays an error)
-        fr = ser.str.extract(r"\.(\d+)Z$")[0]
-        retry = bad & fr.notna().to_numpy()
-        if retry.any():
-            cleaned = ser.str.replace(r"\.\d+Z$", "Z", regex=True)
-            dt2 = _pd.to_datetime(cleaned, format=fmt, errors="coerce",
-                                  utc=True)
-            dt[retry] = dt2[retry]
-            frac[retry] = fr[retry].map(lambda d: float("0." + d)).to_numpy()
-            bad = dt.isna().to_numpy()
+    if bad.any():
+        # Go's strptime tolerates fractional seconds attached to %S
+        # and zone NAMES for %Z (applied with zero offset); pandas
+        # needs them stripped (empty ".Z" stays an error)
+        work_fmt = fmt
+        ser2 = ser
+        if "%Z" in work_fmt:
+            work_fmt = _re.sub(r"\s*%Z", "", work_fmt)
+            ser2 = ser2.str.replace(r"\s*[A-Za-z][A-Za-z0-9_/]*\s*$",
+                                    "", regex=True)
+        fr = ser2.str.extract(r"(?<=\d)\.(\d+)")[0]
+        cleaned = ser2.str.replace(r"(?<=\d)\.\d+", "", n=1, regex=True)
+        try:
+            dt2 = _pd.to_datetime(cleaned, format=work_fmt,
+                                  errors="coerce", utc=True)
+        except ValueError:
+            dt2 = None
+        if dt2 is not None:
+            retry = bad & dt2.notna().to_numpy()
+            if retry.any():
+                dt[retry] = dt2[retry]
+                frac[retry] = fr[retry].map(
+                    lambda d: float("0." + d)
+                    if isinstance(d, str) else 0.0).to_numpy()
+                bad = dt.isna().to_numpy()
     secs = ((dt - _pd.Timestamp(0, tz="UTC")).dt.total_seconds()
             .fillna(0.0).to_numpy()) + frac
     if bad.any():
@@ -1472,9 +1486,18 @@ def _tzinfo(tzname=None):
 
 
 def _fmt_local(epoch_s: float, fmt: str, tzname=None) -> str:
+    import math as _math
     from datetime import datetime
 
     dt = datetime.fromtimestamp(float(epoch_s), tz=_tzinfo(tzname))
+    m = re.search(r"%([1-9])S", fmt)
+    if m:
+        # Miller's %NS renders seconds with N truncated fractional
+        # digits (lib/time.go); fraction relative to the FLOORED second
+        nd = int(m.group(1))
+        frac = float(epoch_s) - _math.floor(float(epoch_s))
+        rep = "%S." + str(int(_math.floor(frac * 10 ** nd))).zfill(nd)
+        fmt = fmt.replace(m.group(0), rep)
     return dt.strftime(fmt)
 
 
@@ -1520,8 +1543,13 @@ def _opt_dec_tz(args):
 def _one_sec2local(v, fmt, nd, tzname):
     out = _fmt_local(v, fmt, tzname)
     if nd:
-        frac = abs(float(v)) % 1.0
-        out += ("%.*f" % (nd, frac))[1:]  # truncate-style suffix .ddd
+        import math as _math
+
+        # fraction relative to the FLOORED second (negative epochs:
+        # -0.123456 renders ...:59.876544, not .123456)
+        frac = float(v) - _math.floor(float(v))
+        digits = int(_math.floor(frac * 10 ** nd))
+        out += "." + str(digits).zfill(nd)
     return out
 
 
