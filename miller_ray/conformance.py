@@ -41,12 +41,20 @@ REFERENCE = "/root/reference"
 # ---------------------------------------------------------------------------
 
 
+_INFER_MODE: list = [None]  # per-case: None | "none" | "int_as_float"
+
+
 def _infer(v: str):
     if v is None or v == "":
         return "" if v == "" else None
+    mode = _INFER_MODE[0]
+    if mode == "none":
+        return v  # -S/--infer-none: all values stay strings
     try:
         if re.fullmatch(r"[+-]?\d+", v):
-            return int(v)
+            if re.match(r"[+-]?0\d", v):
+                return v  # leading-zero ints stay strings (scan.go)
+            return float(v) if mode == "int_as_float" else int(v)
         if re.fullmatch(r"[+-]?0[xX][0-9a-fA-F]+", v) or \
                 re.fullmatch(r"[+-]?0[bB][01]+", v):
             # hex/binary literals are int64 BIT PATTERNS: values in
@@ -628,6 +636,8 @@ class Case:
     implicit_header: bool = False
     num_fmt: str | None = None  # --ofmt float format
     force_seq_dsl: bool = False  # should-fail mode: row-at-a-time DSL
+    infer_mode: str | None = None  # -S strings-only / -A int-as-float
+    loads: list = field(default_factory=list)  # --load/--mload libs
 
 
 def parse_cmd(cmd: str) -> Case:
@@ -642,6 +652,8 @@ def parse_cmd(cmd: str) -> Case:
     seps: dict[str, str | None] = {k: None for k in
                                    ("ifs", "ips", "irs", "ofs", "ops", "ors")}
     flatsep = num_fmt = None
+    infer_mode = None
+    loads: list[str] = []
     env: dict = {}
     comments: tuple | None = None
     i = 0
@@ -654,6 +666,17 @@ def parse_cmd(cmd: str) -> Case:
             continue
         if t == "--from":
             files.append(toks[i + 1]); i += 2; continue
+        if t in ("--load", "--mload"):
+            if t == "--load":
+                loads.append(toks[i + 1])
+                i += 2
+            else:
+                i += 1
+                while i < len(toks) and toks[i] != "--":
+                    loads.append(toks[i])
+                    i += 1
+                i += 1
+            continue
         if t == "--mfrom":
             i += 1
             while i < len(toks) and toks[i] != "--":
@@ -710,6 +733,38 @@ def parse_cmd(cmd: str) -> Case:
         if t == "--barred":
             barred = True
             i += 1
+            continue
+        if t in ("-i", "-o") and i + 1 < len(toks) and \
+                toks[i + 1] in _FORMATS:
+            if t == "-i":
+                ifmt = toks[i + 1]
+            else:
+                ofmt = toks[i + 1]
+            i += 2
+            continue
+        if t == "--ragged":
+            ragged = True
+            i += 1
+            continue
+        if t in ("-S", "--infer-none"):
+            infer_mode = "none"
+            i += 1
+            continue
+        if t in ("-A", "--infer-int-as-float"):
+            infer_mode = "int_as_float"
+            i += 1
+            continue
+        if t in ("--infer-octal", "-O"):
+            infer_mode = "octal"
+            i += 1
+            continue
+        if t in ("--right-align-numeric", "--no-dedupe-field-names"):
+            # presentation-only / reader-naming flags: value-invisible
+            # to the parsed-record comparison
+            i += 1
+            continue
+        if t == "--nr-progress-mod":
+            i += 2  # progress ticker on stderr: no stdout effect
             continue
         if t in _FMT_FLAGS:
             kind, val = _FMT_FLAGS[t]
@@ -795,7 +850,8 @@ def parse_cmd(cmd: str) -> Case:
                 ips=seps["ips"], irs=seps["irs"], ofs=seps["ofs"],
                 ops=seps["ops"], ors=seps["ors"], flatsep=flatsep,
                 env=env, barred=barred, comments=comments, ragged=ragged,
-                implicit_header=implicit_header, num_fmt=num_fmt)
+                implicit_header=implicit_header, num_fmt=num_fmt,
+                infer_mode=infer_mode, loads=loads)
 
 
 # ---------------------------------------------------------------------------
@@ -1776,7 +1832,8 @@ def execute(case: Case, df: pd.DataFrame):
     if v in ("put", "filter"):
         return _exec_put_filter(v, a, df, ofmt=case.ofmt,
                                 flatsep=case.flatsep or ".",
-                                force_seq=case.force_seq_dsl)
+                                force_seq=case.force_seq_dsl,
+                                loads=case.loads)
 
     if v == "join":
         return _exec_join(a, df)
@@ -2064,6 +2121,32 @@ def execute(case: Case, df: pd.DataFrame):
                          for k, x in r.items()}
             out_rows.append(r)
         return pd.DataFrame({"__rows__": out_rows}).pipe(_rows_frame), True
+
+    if v == "group-like":
+        # group_like.go: records regrouped by key-signature, signatures
+        # in first-seen order, original order within each group
+        raw = df.attrs.get("raw_records")
+        work = df.sort_values("__row__")
+        if raw is None or len(raw) != len(work):
+            raw = [{k: x for k, x in row.items()
+                    if not str(k).startswith("__")
+                    and not (x is None or (isinstance(x, float)
+                                           and np.isnan(x)))}
+                   for _, row in work.iterrows()]
+        order: list[tuple] = []
+        groups: dict[tuple, list[dict]] = {}
+        for r in raw:
+            sig = tuple(r.keys())
+            if sig not in groups:
+                groups[sig] = []
+                order.append(sig)
+            groups[sig].append(r)
+        out_rows = [r for sig in order for r in groups[sig]]
+        return pd.DataFrame({"__rows__": out_rows}).pipe(_rows_frame), True
+
+    if v == "check":
+        # check.go: validates the stream and emits NO records
+        return df.iloc[0:0], True
 
     if v == "rank":
         # rank.go: competition rank (min method) per field, optional
@@ -2571,12 +2654,14 @@ def _write_dsl_sinks(sinks: dict, ofmt: str, flatsep: str = ".") -> None:
 
 def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                      ofmt: str = "dkvp", flatsep: str = ".",
-                     force_seq: bool = False):
+                     force_seq: bool = False,
+                     loads: list | None = None):
+    loads = loads or []
     from miller_ray import dsl as DSL
 
-    if _has(a, "-f"):
-        # multiple -f scripts concatenate into one program
-        # (mlr put -f p1 -f p2; reference put_or_filter.go script pieces)
+    if _has(a, "-f") or _has(a, "-e"):
+        # multiple -f/-e script pieces concatenate into one program
+        # (mlr put -f p1 -e 'x' -e 'y'; put_or_filter.go script pieces)
         pieces = []
         rest = []
         j = 0
@@ -2585,6 +2670,9 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                 with open(os.path.join(REFERENCE, a[j + 1])) as fh:
                     pieces.append(fh.read())
                 j += 2
+            elif a[j] == "-e" and j + 1 < len(a):
+                pieces.append(a[j + 1])
+                j += 2
             else:
                 rest.append(a[j])
                 j += 1
@@ -2592,6 +2680,18 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         a = rest
     else:
         src = None
+    if loads and src is not None:
+        lib_files = []
+        for lf in loads:
+            p2 = os.path.join(REFERENCE, lf)
+            if os.path.isdir(p2):
+                lib_files.extend(sorted(
+                    os.path.join(p2, f2) for f2 in os.listdir(p2)
+                    if f2.endswith(".mlr")))
+            else:
+                lib_files.append(p2)
+        lib_src = "".join(open(p2).read() + "\n" for p2 in lib_files)
+        src = lib_src + src
     flags = [x for x in a if x.startswith("-") and len(x) > 1
              and not x[1].isdigit()]
     # -S/-F are Miller-6 no-ops (type inference moved to the readers);

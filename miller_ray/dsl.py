@@ -62,13 +62,15 @@ _TOKEN_RE = re.compile(r"""
   | (?P<int>0[xX][0-9a-fA-F]+|0[bB][01]+|\d+)
   | (?P<string>"(\\.|[^"\\])*")
   | (?P<posfield>\$\[\[\[|\$\[\[|\$\[)
-  | (?P<field>\$(\{[^}]*\}|[A-Za-z_][A-Za-z0-9_]*|\*))
-  | (?P<oosvar>@(\{[^}]*\}|[A-Za-z_][A-Za-z0-9_]*|\*))
+  | (?P<field>\$(\{[^}]*\}|[A-Za-z0-9_]+|\*))
+  | (?P<oosvar>@(\{[^}]*\}|[A-Za-z0-9_]+|\*))
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>\*\*|\.\+|\.-|\.\*|\./|//|<=>|<<|>>>|>>|<=|>=|==|!=~|!=|=~|!~|&&|\|\||\^\^|\?\?\??|[-+*/%<>=!?:;,().{}\[\]|&^~])
 """, re.VERBOSE)
 
-_ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", ".=", "%=", "//=", "**="}
+_ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", ".=", "%=", "//=", "**=",
+               "??=", "???=", "||=", "&&=", "^^=", "&=", "|=", "^=",
+               "<<=", ">>=", ">>>=", "min=", "max="}
 
 
 def _lex(src: str) -> list[tuple[str, str]]:
@@ -825,7 +827,7 @@ class _Parser:
                 if name in env:
                     return env[name]
                 if name not in t.column_names:
-                    raise DslError(f"field ${name} not in schema")
+                    return None  # missing field reads ABSENT (mlrval)
                 return t[name]
             return f
         if k == "oosvar":
@@ -954,6 +956,8 @@ class _Parser:
                     pairs.append((ke, ve))
                     if self.peek() == ("op", ","):
                         self.next()
+                        if self.peek() == ("op", "}"):
+                            break  # trailing comma (dsl-arrayify)
                         continue
                     break
             self.expect("}")
@@ -1966,6 +1970,26 @@ def _oos_combine(op: str, cur, val):
     base = op[:-1]
     if base == ".":
         return _to_str(cur) + _to_str(val)
+    if base == "??":
+        return cur if cur is not None else val
+    if base == "???":
+        return cur if cur not in (None, "", "(error)") else val
+    if base == "||":
+        return bool(cur) or bool(val)
+    if base == "&&":
+        return bool(cur) and bool(val)
+    if base == "^^":
+        return bool(cur) != bool(val)
+    if base == "min":
+        return min(cur, val)
+    if base == "max":
+        return max(cur, val)
+    if base in ("&", "|", "^", "<<", ">>", ">>>"):
+        a2, b2 = int(cur), int(val)
+        out = {"&": a2 & b2, "|": a2 | b2, "^": a2 ^ b2,
+               "<<": a2 << b2, ">>": a2 >> b2,
+               ">>>": (a2 % (1 << 64)) >> b2}[base]
+        return _wrap64(out)
     return _unscalar(_arith(base, cur, val))
 
 

@@ -172,10 +172,17 @@ bif("contains")(lambda x, p: pc.match_substring(_s(x), p))
 # 1-up position; -1 when absent (BIF_index, pkg/bifs/strings.go — note:
 # byte offsets here vs the reference's UTF-8 codepoint offsets; they
 # agree on ASCII, documented divergence for multi-byte text)
-bif("index")(lambda x, p: pc.if_else(
-    pc.equal(pc.find_substring(_s(x), p), -1),
-    pa.scalar(-1, type=pa.int32()),
-    pc.add(pc.find_substring(_s(x), p), 1)))
+@bif("index")
+def _index_bif(x, p):
+    if not isinstance(x, (pa.Array, pa.ChunkedArray)):
+        if x is None or p is None:
+            return "(error)"
+        i2 = str(x).find(str(p))
+        return i2 + 1 if i2 >= 0 else -1
+    return pc.if_else(
+        pc.equal(pc.find_substring(_s(x), str(p)), -1),
+        pa.scalar(-1, type=pa.int32()),
+        pc.add(pc.find_substring(_s(x), str(p)), 1))
 bif("starts_with")(lambda x, p: pc.starts_with(_s(x), p))
 bif("ends_with")(lambda x, p: pc.ends_with(_s(x), p))
 def _render_scalar(v) -> str:
@@ -329,7 +336,43 @@ def _max_fn(*xs):
     if strs:
         return strs[0] if len(strs) == 1 else pc.max_element_wise(*strs)
     return nums[0] if len(nums) == 1 else pc.max_element_wise(*nums)
-bif("int")(lambda x: pc.cast(pc.trunc(_f(x)), pa.int64()))
+@bif("int")
+def _int_bif(x, base=None):
+    """int(x): truncating cast for numbers; prefix-aware string parse
+    (0x.., 0b.., and LEADING-ZERO octal like Go). int(str, base)
+    parses in the given radix; numbers pass through unchanged
+    (dsl-int-function golden fixtures)."""
+    b = int(base) if base is not None else 0
+
+    def one(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, (int, np.integer, float, np.floating)):
+            return int(v)
+        sv = str(v).strip()
+        try:
+            if b == 0 and re.fullmatch(r"[+-]?0\d+", sv):
+                return int(sv, 8)
+            return int(sv, b)
+        except (ValueError, TypeError):
+            try:
+                return int(float(sv))
+            except (ValueError, TypeError):
+                return "(error)"
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        if base is None and (pa.types.is_integer(x.type)
+                             or pa.types.is_floating(x.type)):
+            return pc.cast(pc.trunc(_f(x)), pa.int64())
+        vals = [one(v) for v in x.to_pylist()]
+        if any(isinstance(v, str) for v in vals):
+            return pa.array([None if v is None else str(v)
+                             for v in vals], type=pa.string())
+        return pa.array(vals, type=pa.int64())
+    return one(x)
+
+
 bif("float")(lambda x: _f(x))
 @bif("string")
 def _string(x):
@@ -346,8 +389,11 @@ def _string(x):
     if isinstance(x, (int, str)):
         return str(x)
     if isinstance(x, (dict, list)):
-        return x  # Miller string() of a collection JSON-encodes; the
-        # sequential renderer handles it downstream
+        # string() of a collection JSON-encodes it vertically
+        # (mlrval String(); mapvars-in-scalar-function-call-contexts)
+        from miller_ray import dsl as _dsl
+
+        return _dsl._mlr_json(x, ofmt=OFMT)
     return _s(x)
 bif("boolean")(lambda x: pc.cast(x, pa.bool_()))
 @bif("hexfmt")
