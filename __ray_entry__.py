@@ -1042,30 +1042,38 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver's correctness gate checks only the
+    # FIRST 50 entries. Round 4 moves the 16 SQL queries that sat past
+    # the cap in r03 (judge-oracle-green but never driver-recorded) to
+    # the front; 16 repeatedly-driver-verified stable queries (green in
+    # r01+r02+r03) rotate behind the cap. Every entry keeps its
+    # oracle_sql() pair, so scripts/check_oracle.py still covers 66/66.
     return {
+        # --- round-4 window: previously past the 50-cap ---
+        "format_values": q_format_values,
+        "summary": q_summary,
+        "summary_full": q_summary_full,
+        "repeat": q_repeat,
+        "sec2gmtdate": q_sec2gmtdate,
+        "uniq_all": q_uniq_all,
+        "count_distinct_unlashed": q_count_distinct_unlashed,
+        "histogram_auto": q_histogram_auto,
+        "top_full_records": q_top_full_records,
+        "cumfrac": q_cumfrac,
+        "stats2_linreg": q_stats2_linreg,
+        "sort_within_records": q_sort_within_records,
+        "reorder": q_reorder,
+        "split_write": q_split_write,
+        "tee": q_tee,
+        # --- driver-checked continuity set ---
         "count_by_group": q_count_by_group,
-        "count_distinct": q_count_distinct,
-        "count_distinct_n": q_count_distinct_n,
-        "uniq_priorities": q_uniq_priorities,
         "stats1_moments": q_stats1_moments,
-        "stats1_var": q_stats1_var,
         "stats1_skew_kurt": q_stats1_skew_kurt,
         "stats1_percentiles": q_stats1_percentiles,
-        "stats1_median_interp": q_stats1_median_interp,
         "stats1_distinct_mode": q_stats1_distinct_mode,
-        "top3": q_top3,
-        "bottom2_orderkeys": q_bottom2_orderkeys,
-        "histogram": q_histogram,
-        "fraction": q_fraction,
-        "most_frequent_brand": q_most_frequent_brand,
         "merge_fields": q_merge_fields,
         "stats2": q_stats2,
         "join_segment_revenue": q_join_segment_revenue,
-        "join_left_outer": q_join_left_outer,
-        "join_anti": q_join_anti,
-        "csv_io": q_csv_io,
-        "dkvp_io": q_dkvp_io,
-        "xtab_io": q_xtab_io,
         "markdown_io": q_markdown_io,
         "sort_head": q_sort_head,
         "filter_project": q_filter_project,
@@ -1093,21 +1101,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reshape_wide": q_reshape_wide,
         "ssub": q_ssub,
         "gsub": q_gsub,
-        "format_values": q_format_values,
-        "summary": q_summary,
-        "summary_full": q_summary_full,
-        "repeat": q_repeat,
-        "sec2gmtdate": q_sec2gmtdate,
-        "uniq_all": q_uniq_all,
-        "count_distinct_unlashed": q_count_distinct_unlashed,
-        "histogram_auto": q_histogram_auto,
-        "top_full_records": q_top_full_records,
-        "cumfrac": q_cumfrac,
-        "stats2_linreg": q_stats2_linreg,
-        "sort_within_records": q_sort_within_records,
-        "reorder": q_reorder,
-        "split_write": q_split_write,
-        "tee": q_tee,
+        # --- rotated behind the 50-cap (driver-green r01..r03; still
+        # --- covered by scripts/check_oracle.py every round) ---
+        "count_distinct": q_count_distinct,
+        "count_distinct_n": q_count_distinct_n,
+        "uniq_priorities": q_uniq_priorities,
+        "stats1_var": q_stats1_var,
+        "stats1_median_interp": q_stats1_median_interp,
+        "top3": q_top3,
+        "bottom2_orderkeys": q_bottom2_orderkeys,
+        "histogram": q_histogram,
+        "fraction": q_fraction,
+        "most_frequent_brand": q_most_frequent_brand,
+        "join_left_outer": q_join_left_outer,
+        "join_anti": q_join_anti,
+        "csv_io": q_csv_io,
+        "dkvp_io": q_dkvp_io,
+        "xtab_io": q_xtab_io,
         # approximate / non-SQL (rows-only checks)
         "sketch_flagship": q_sketch_flagship,
         "sketch_grouped": q_sketch_grouped,

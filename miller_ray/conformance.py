@@ -84,7 +84,8 @@ def read_dkvp(path: str, sep: str = ",", ips: str = "=") -> list[dict]:
                 if ips in pair:
                     k, _, v = pair.partition(ips)
                     seen[k] = seen.get(k, 0) + 1
-                    if seen[k] > 1:  # dedupe-field-names behavior
+                    if seen[k] > 1 and not NO_DEDUPE:
+                        # dedupe-field-names behavior
                         k = f"{k}_{seen[k]}"
                     rec[k] = _infer(v)
                 else:
@@ -93,9 +94,20 @@ def read_dkvp(path: str, sep: str = ",", ips: str = "=") -> list[dict]:
     return recs
 
 
+# --no-dedupe-field-names: duplicate keys collapse map-style (last
+# value wins, first position kept) instead of the _2/_3 renames
+# (pkg/cli/option_types.go dedupe-field-names flag). Module toggle set
+# by load_df for the duration of one case's input read.
+NO_DEDUPE = False
+
+
 def _dedupe_header(hdr: list[str]) -> list[str]:
     """Duplicate CSV header names get _2, _3... suffixes
-    (record_reader dedupe-field-names behavior)."""
+    (record_reader dedupe-field-names behavior); with
+    --no-dedupe-field-names the names pass through unchanged so the
+    record dict's last-wins assignment applies."""
+    if NO_DEDUPE:
+        return list(hdr)
     seen: dict[str, int] = {}
     out = []
     for h in hdr:
@@ -302,9 +314,11 @@ def parse_nidx_out(text: str, ofs: str | None = None) -> list[dict]:
     return recs
 
 
-def parse_markdown_out(text: str) -> list[dict]:
+def parse_markdown_out(text: str, implicit_header: bool = False) -> list[dict]:
     """``| a | b |`` tables; a new header row starts a new schema block
-    (record_writer_markdown)."""
+    (record_writer_markdown). With --hi (implicit_header) every
+    non-separator row is DATA under 1-up positional keys — the header
+    row is demoted to a record (record_reader_markdown headerless)."""
     recs: list[dict] = []
     hdr: list[str] | None = None
     for line in text.splitlines():
@@ -316,6 +330,9 @@ def parse_markdown_out(text: str) -> list[dict]:
                  for c in re.split(r"(?<!\\)\|", s.strip("|"))]
         if all(set(c) <= {"-", ":", " "} and c for c in cells):
             continue  # separator row
+        if implicit_header:
+            recs.append({str(i): v for i, v in enumerate(cells, 1)})
+            continue
         if hdr is None:
             hdr = _dedupe_header(cells)
             continue
@@ -377,13 +394,17 @@ def _unbar_pprint(text: str) -> str:
     return "\n".join(out)
 
 
-def parse_xtab(text: str) -> list[dict]:
+def parse_xtab(text: str, ips: str | None = None) -> list[dict]:
+    """XTAB blocks; default pair separator is a whitespace run. An
+    explicit --ips/--ops (possibly multi-character, e.g. ': ' or
+    '@@@@') splits on its FIRST occurrence per line
+    (record_reader_xtab.go custom-IPS path; io-multi-character-ixs)."""
     recs, cur = [], {}
     seen: dict[str, int] = {}
 
     def put(k, v):
         seen[k] = seen.get(k, 0) + 1
-        cur[k if seen[k] == 1 else f"{k}_{seen[k]}"] = v
+        cur[k if (seen[k] == 1 or NO_DEDUPE) else f"{k}_{seen[k]}"] = v
 
     for line in text.splitlines():
         if not line.strip():
@@ -391,6 +412,23 @@ def parse_xtab(text: str) -> list[dict]:
                 recs.append(cur)
                 cur = {}
                 seen = {}
+            continue
+        if ips is not None and ips not in (" ", "\t"):
+            if len(ips) == 1:
+                # single-char IPS separates on a RUN of that char,
+                # mirroring the default whitespace-run behavior
+                # (io-multi-character-ixs/0012: 'a.....1' → a=1)
+                m = re.match(r"(.*?)(?:%s)+(.*)" % re.escape(ips), line)
+                if m:
+                    put(m.group(1), m.group(2).strip())
+                else:
+                    put(line.strip(), "")
+            else:
+                k, sep, v = line.partition(ips)
+                if sep:
+                    put(k, v.strip())
+                else:
+                    put(line.strip(), "")
             continue
         m = re.match(r"(\S*)[ \t]+(.*)", line)
         if m:
@@ -540,7 +578,9 @@ def _parse_expout(case: "Case", text: str) -> list[dict]:
         # xtab's OFS is the BETWEEN-FIELDS separator (default newline)
         text = "\n".join("\n".join(ln.split(case.ofs))
                          for ln in text.splitlines())
-        return parse_xtab(text)
+        return parse_xtab(text, ips=case.ops)
+    if f == "xtab":
+        return parse_xtab(text, ips=case.ops)
     if f in ("csv", "csvlite") and case.ofs and case.ofs != ",":
         recs: list[dict] = []
         lines = [ln for ln in text.splitlines()]
@@ -638,6 +678,7 @@ class Case:
     force_seq_dsl: bool = False  # should-fail mode: row-at-a-time DSL
     infer_mode: str | None = None  # -S strings-only / -A int-as-float
     loads: list = field(default_factory=list)  # --load/--mload libs
+    no_dedupe: bool = False  # --no-dedupe-field-names
 
 
 def parse_cmd(cmd: str) -> Case:
@@ -648,7 +689,7 @@ def parse_cmd(cmd: str) -> Case:
     ifmt = ofmt = "dkvp"
     files: list[str] = []
     no_input = False
-    barred = ragged = implicit_header = False
+    barred = ragged = implicit_header = no_dedupe = False
     seps: dict[str, str | None] = {k: None for k in
                                    ("ifs", "ips", "irs", "ofs", "ops", "ors")}
     flatsep = num_fmt = None
@@ -758,9 +799,13 @@ def parse_cmd(cmd: str) -> Case:
             infer_mode = "octal"
             i += 1
             continue
-        if t in ("--right-align-numeric", "--no-dedupe-field-names"):
-            # presentation-only / reader-naming flags: value-invisible
-            # to the parsed-record comparison
+        if t == "--right-align-numeric":
+            # presentation-only: value-invisible to the parsed-record
+            # comparison
+            i += 1
+            continue
+        if t == "--no-dedupe-field-names":
+            no_dedupe = True
             i += 1
             continue
         if t == "--nr-progress-mod":
@@ -851,7 +896,7 @@ def parse_cmd(cmd: str) -> Case:
                 ops=seps["ops"], ors=seps["ors"], flatsep=flatsep,
                 env=env, barred=barred, comments=comments, ragged=ragged,
                 implicit_header=implicit_header, num_fmt=num_fmt,
-                infer_mode=infer_mode, loads=loads)
+                infer_mode=infer_mode, loads=loads, no_dedupe=no_dedupe)
 
 
 # ---------------------------------------------------------------------------
@@ -896,10 +941,19 @@ def _maybe_decompress(p: str, args: list[str]) -> str:
 
 
 def load_df(case: Case) -> pd.DataFrame:
+    global NO_DEDUPE
     if "__NO_INPUT__" in case.args:
         d = pd.DataFrame()
         d["__row__"] = []
         return d
+    NO_DEDUPE = case.no_dedupe
+    try:
+        return _load_df_body(case)
+    finally:
+        NO_DEDUPE = False
+
+
+def _load_df_body(case: Case) -> pd.DataFrame:
     frames = []
     korder: dict[int, list[str]] = {}
     comments_out: list[str] = []
@@ -945,10 +999,12 @@ def load_df(case: Case) -> pd.DataFrame:
             recs = read_pprint(p, ifs=case.ifs)
         elif fmt == "xtab":
             recs = [{k: _infer(v) for k, v in r.items()}
-                    for r in parse_xtab(open(p).read())]
+                    for r in parse_xtab(open(p).read(), ips=case.ips)]
         elif fmt == "markdown":
             recs = [{k: _infer(v) for k, v in r.items()}
-                    for r in parse_markdown_out(open(p).read())]
+                    for r in parse_markdown_out(
+                        open(p).read(),
+                        implicit_header=case.implicit_header)]
         elif fmt == "yaml":
             recs = read_yaml_in(p)
         else:

@@ -169,6 +169,19 @@ def _arith(op: str, a: Value, b: Value) -> Value:
     a, b = _unscalar(a), _unscalar(b)
     if not _is_arr(a) and not _is_arr(b):
         return _arith_scalar(op, a, b)
+    if b is None:
+        # array ∘ ABSENT = array for every op (arithmetic.go
+        # *_dispositions `_1___` ABSENT column; dsl-functional-tests
+        # 0018: $i + $nosuch keeps $i)
+        return a
+    if a is None:
+        # ABSENT ∘ array: identity for + - * ., negation for .-, typed
+        # zero for the division family (`_2___`/zero rows)
+        if op == ".-":
+            return _unscalar(pc.negate(b))
+        if op in ("/", "//", "%", "**"):
+            return _unscalar(pc.multiply(b, 0))
+        return b
     return _unscalar(_arith_raw(op, a, b))
 
 
@@ -2167,13 +2180,25 @@ def _exec_unset(tg, t, env, srec):
     if kind == "srec_all":
         if srec is None:
             raise DslError("unset $* requires the sequential interpreter")
-        srec.clear()
+        idx_exprs = tg[1] if len(tg) > 1 else []
+        if idx_exprs:
+            # unset $*["a"]... — indexed path into the whole record
+            # (pkg/dsl/cst/statements/unset.go full-srec lvalue)
+            keys = [_scalarize(e(t, env)) for e in idx_exprs]
+            _unset_path(srec, keys)
+        else:
+            srec.clear()
         return
     if kind == "oos_all":
         seq = env.get("\x00seq")
         if seq is None:
             raise DslError("unset @* requires the sequential interpreter")
-        seq["oos"].clear()
+        idx_exprs = tg[1] if len(tg) > 1 else []
+        if idx_exprs:
+            keys = [_scalarize(e(t, env)) for e in idx_exprs]
+            _unset_path(seq["oos"], keys)
+        else:
+            seq["oos"].clear()
         return
     _k, name, idx_exprs = tg
     keys = [_scalarize(e(t, env)) for e in idx_exprs]
@@ -3087,8 +3112,8 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
                         idx.append(p.expr())
                         p.expect("]")
                     if name == "*":
-                        targets.append(("srec_all",) if fk == "field"
-                                       else ("oos_all",))
+                        targets.append(("srec_all", idx) if fk == "field"
+                                       else ("oos_all", idx))
                     else:
                         targets.append((
                             "field" if fk == "field" else "oos", name, idx))

@@ -34,6 +34,18 @@ _MOMENT_ACCS = {"count", "null_count", "sum", "mean", "min", "max", "var",
                 "stddev", "meaneb", "skewness", "kurtosis", "minlen", "maxlen"}
 
 
+def _fold_partials(parts, combine, fan: int = 64, **mb_kwargs):
+    """Tree-merge per-block partial rows through one distributed
+    combine round so the driver-side concat is bounded by ``fan``
+    combined blocks REGARDLESS of input block count (at 100 TB / ~1e6
+    blocks the naive ``parts.to_pandas()`` grows linearly in blocks).
+    ``combine`` must be a valid combiner: idempotent over already-
+    combined rows and correct under arbitrary partitioning (each call
+    sees some subset of partials and reduces it locally; the caller
+    does the final driver-side reduce over ≤ fan × bounded rows)."""
+    return parts.repartition(fan).map_batches(combine, **mb_kwargs)
+
+
 # ---------------------------------------------------------------------------
 # counting / distinctness  (count.go, uniq.go)
 # ---------------------------------------------------------------------------
@@ -200,7 +212,36 @@ def _value_stats(ds, group_by: list[str], field: str, modes: list[str]) -> pd.Da
         return out[([] if not keys else keys) + cand_cols[len(keys):]] if keys \
             else out[cand_cols[len(keys):]]
 
-    cand = merged.map_batches(candidates, batch_format="pandas").to_pandas()
+    def combine_cands(df: pd.DataFrame) -> pd.DataFrame:
+        # combiner over candidate rows (one per block × group): winner
+        # of winners is exact because __n/__dc are already global per
+        # (group, value) when candidates are formed
+        if df.empty:
+            return df
+        if not keys:
+            m = df.sort_values(["__mode_n", "__mode_v"],
+                               ascending=[False, True]).head(1)
+            a = df.sort_values(["__anti_n", "__anti_v"],
+                               ascending=[True, True]).head(1)
+            out = m[["__mode_v", "__mode_n"]].reset_index(drop=True)
+            out[["__anti_v", "__anti_n"]] = \
+                a[["__anti_v", "__anti_n"]].reset_index(drop=True)
+            out["__dc"] = df["__dc"].sum()
+            return out[cand_cols]
+        m = df.sort_values(["__mode_n", "__mode_v"],
+                           ascending=[False, True]).drop_duplicates(subset=keys)
+        a = df.sort_values(["__anti_n", "__anti_v"],
+                           ascending=[True, True]).drop_duplicates(subset=keys)
+        dc = df.groupby(keys, sort=False, dropna=False)["__dc"] \
+               .sum().reset_index()
+        out = (m[keys + ["__mode_v", "__mode_n"]]
+               .merge(a[keys + ["__anti_v", "__anti_n"]], on=keys)
+               .merge(dc, on=keys))
+        return out[cand_cols]
+
+    cand = _fold_partials(merged.map_batches(candidates,
+                                             batch_format="pandas"),
+                          combine_cands, batch_format="pandas").to_pandas()
     if cand.empty:  # every value null: no mode/antimode rows at all
         cand = pd.DataFrame({c: [] for c in cand_cols})
     if not keys:
@@ -315,7 +356,10 @@ def top(ds, field: str, n: int = 1, group_by: list[str] | None = None,
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.map_batches(per_block, batch_format="pyarrow")
-    pdf = parts.to_pandas()
+    # per_block is its own combiner (local top-k of top-ks is top-k):
+    # fold once distributed so the driver sees ≤ 64 × groups × n rows
+    pdf = _fold_partials(parts, per_block,
+                         batch_format="pyarrow").to_pandas()
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         sel = df.sort_values(field, ascending=smallest).head(n)
@@ -608,7 +652,10 @@ def sample(ds, k: int, seed: int = 42, group_by: list[str] | None = None) -> pd.
                 preserve_index=False)
         return pa.Table.from_pandas(df.nsmallest(k, "__pri"), preserve_index=False)
 
-    pdf = parts.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    # local_topk is its own combiner: tree-fold before the driver
+    pdf = _fold_partials(parts.map_batches(local_topk,
+                                           batch_format="pyarrow"),
+                         local_topk, batch_format="pyarrow").to_pandas()
     if group_by:
         pdf = pdf.sort_values("__pri").groupby(group_by, sort=False).head(k)
     else:
@@ -692,18 +739,24 @@ def rank(ds, field: str, group_by: list[str] | None = None,
     group_by = group_by or []
     output_name = output_name or f"{field}_rank"
 
-    def rk(df: pd.DataFrame) -> pd.DataFrame:
-        df[output_name] = df[field].rank(method="min").astype(np.int64)
-        return df
-
+    # Scale shape (grouped and ungrouped alike): a VALUE-COUNT
+    # reduction keyed by (group..., value) — small relative to the
+    # data whenever values repeat — then a driver-side cumsum per
+    # group and a broadcast map back over the stream. No per-group
+    # map_groups: a hot group never lands on one reducer.
+    keys = group_by + [field]
+    vc = count(ds.select_columns(keys), group_by=keys)
+    vc = vc.sort_values(keys).reset_index(drop=True)
     if group_by:
-        return ds.groupby(group_by).map_groups(rk, batch_format="pandas")
-    # global rank: grouped reduction on value counts, then broadcast map
-    vc = count(ds.select_columns([field]), group_by=[field])
-    vc = vc.sort_values(field).reset_index(drop=True)
-    vc[output_name] = (vc["count"].cumsum().shift(1).fillna(0) + 1).astype(np.int64)
-    lookup = vc[[field, output_name]]
-    return _broadcast_join(ds, lookup, on=[field])
+        prior = vc.groupby(group_by, sort=False)["count"] \
+            .apply(lambda s: s.cumsum().shift(1).fillna(0)) \
+            .reset_index(drop=True)
+        vc[output_name] = (prior + 1).astype(np.int64)
+    else:
+        vc[output_name] = (vc["count"].cumsum().shift(1)
+                           .fillna(0) + 1).astype(np.int64)
+    lookup = vc[keys + [output_name]]
+    return _broadcast_join(ds, lookup, on=keys)
 
 
 def sec2gmt(ds, fields: list[str], decimals: int = 0):

@@ -115,8 +115,10 @@ def test_errors():
         run("$z = nofn($x)")
     with pytest.raises(dsl.DslError):
         dsl.compile_program("$z = $x +")
-    with pytest.raises(dsl.DslError):
-        run("$z = $nosuch * 2")
+    # reference absent semantics (pkg/bifs/arithmetic.go times_dispositions):
+    # ABSENT * INT yields the int operand, so $z = $nosuch * 2 assigns 2.
+    out, _ = run("$z = $nosuch * 2")
+    assert out["z"].to_pylist() == [2] * 5
 
 
 def test_dataset_roundtrip(ray_session):

@@ -82,3 +82,41 @@ def test_histogram_edges(rd):
     t = pa.table({"x": [0.0, 4.999, 5.0, 10.0, -0.1, 10.1]})
     out = verbs.histogram(rd.from_arrow(t), ["x"], lo=0.0, hi=10.0, nbins=2)
     assert out["x_count"].tolist() == [2, 2]
+
+
+def test_top_sample_tree_merge_many_blocks(rd):
+    # VERDICT r03 #4: top()/sample() partials must be tree-merged, not
+    # driver-concatenated per block. 1,000 blocks of partials fold to
+    # <= 64 combined blocks before the driver sees them; answers exact.
+    n_blocks, per = 250, 8
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n_blocks * per),
+        "v": rng.permutation(n_blocks * per).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(n_blocks)
+    out = verbs.top(ds, "v", n=3, group_by=["g"])
+    exp = (df.sort_values("v", ascending=False).groupby("g").head(3)
+             .sort_values(["g", "v"], ascending=[True, False]))
+    got = out.sort_values(["g", "top_idx"])
+    assert got["v_top"].tolist() == exp["v"].tolist()
+    # ungrouped
+    out2 = verbs.top(ds, "v", n=5)
+    assert out2["v_top"].tolist() == sorted(df["v"], reverse=True)[:5]
+    # sample: exact size, rows drawn from input, deterministic by seed
+    s1 = verbs.sample(ds, k=10, seed=42)
+    s2 = verbs.sample(ds, k=10, seed=42)
+    assert len(s1) == 10
+    assert sorted(s1["v"]) == sorted(s2["v"])
+    assert set(s1["v"]).issubset(set(df["v"]))
+
+
+def test_grouped_rank_no_map_groups(rd):
+    # VERDICT r03 #3: grouped rank via (group, value) count reduction +
+    # broadcast, competition ranking (1,2,2,4)
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 3,
+                       "x": [10, 20, 20, 40, 5, 5, 6]})
+    ds = rd.from_pandas(df).repartition(4)
+    out = verbs.rank(ds, "x", group_by=["g"]).to_pandas()
+    out = out.sort_values(["g", "x"]).reset_index(drop=True)
+    assert out["x_rank"].tolist() == [1, 2, 2, 4, 1, 1, 3]
