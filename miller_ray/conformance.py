@@ -44,6 +44,27 @@ REFERENCE = "/root/reference"
 _INFER_MODE: list = [None]  # per-case: None | "none" | "int_as_float"
 
 
+class _SrcInt(int):
+    """Int that remembers its source text: Miller preserves the
+    ORIGINAL string form of numbers that pass through unmodified
+    (mlrval printrep; io-infer-flags/dash-O renders 0x1000/-08/0123
+    verbatim while arithmetic uses the parsed value)."""
+
+    def __new__(cls, value, src=None):
+        o = super().__new__(cls, value)
+        o.src = str(value) if src is None else src
+        return o
+
+    def __reduce__(self):  # picklable across Ray workers
+        return (_SrcInt, (int(self), self.src))
+
+    def __str__(self):
+        return self.src
+
+    def __repr__(self):
+        return self.src
+
+
 def _infer(v: str):
     if v is None or v == "":
         return "" if v == "" else None
@@ -53,7 +74,17 @@ def _infer(v: str):
     try:
         if re.fullmatch(r"[+-]?\d+", v):
             if re.match(r"[+-]?0\d", v):
+                if mode == "octal":
+                    # -O/--infer-octal: leading-zero ints parse base-8;
+                    # invalid octal digits ("08") re-scan as decimal
+                    # (scan.go inferWithOctalAsInt; io-infer-flags)
+                    try:
+                        return _SrcInt(int(v, 8), v)
+                    except ValueError:
+                        return _SrcInt(int(v), v)
                 return v  # leading-zero ints stay strings (scan.go)
+            if mode == "octal" and str(int(v)) != v:
+                return _SrcInt(int(v), v)  # e.g. "-0" keeps its form
             return float(v) if mode == "int_as_float" else int(v)
         if re.fullmatch(r"[+-]?0[xX][0-9a-fA-F]+", v) or \
                 re.fullmatch(r"[+-]?0[bB][01]+", v):
@@ -62,8 +93,16 @@ def _infer(v: str):
             # (scan.go / int64-io golden cases)
             n = int(v, 0)
             if 2**63 <= n < 2**64:
-                return n - 2**64
-            return n if -2**63 <= n < 2**63 else float(n)
+                n = n - 2**64
+            elif not (-2**63 <= n < 2**63):
+                n = float(n)
+            # -A floatifies hex/binary like decimal ints
+            # (io-infer-flags/dash-A: -0x1000 -> -4096.0 float)
+            if mode == "int_as_float":
+                return float(n)
+            if mode == "octal" and isinstance(n, int):
+                return _SrcInt(n, v)  # passthrough keeps 0x/0b form
+            return n
         if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", v):
             return float(v)
     except ValueError:
@@ -199,7 +238,7 @@ def read_csvlite(path: str, sep: str = ",", ragged: bool = False,
 
 
 def read_tsv(path: str, implicit_header: bool = False,
-             unescape: bool = True) -> list[dict]:
+             unescape: bool = True, ragged: bool = False) -> list[dict]:
     """TSV cells unescape \\t, \\n, \\r, \\\\ (the TSV spec's escapes);
     tsvLITE keeps cells literal (unescape=False)."""
 
@@ -224,8 +263,18 @@ def read_tsv(path: str, implicit_header: bool = False,
         data = lines[1:]
     out = []
     for ln in data:
-        out.append({k: _infer(unesc(v))
-                    for k, v in zip(hdr, ln.split("\t"))})
+        cells = ln.split("\t")
+        if ragged or implicit_header:
+            # --ragged (+--hi): longer rows grow positional keys past
+            # the header; shorter rows pad VOID up to the header width
+            # (io-ragged-implicit-header-tsv/0001)
+            keys = hdr + [str(k) for k in range(len(hdr) + 1,
+                                                len(cells) + 1)]
+            if len(cells) < len(hdr):
+                cells = cells + [""] * (len(hdr) - len(cells))
+        else:
+            keys = hdr
+        out.append({k: _infer(unesc(v)) for k, v in zip(keys, cells)})
     return out
 
 
@@ -947,10 +996,12 @@ def load_df(case: Case) -> pd.DataFrame:
         d["__row__"] = []
         return d
     NO_DEDUPE = case.no_dedupe
+    _INFER_MODE[0] = case.infer_mode
     try:
         return _load_df_body(case)
     finally:
         NO_DEDUPE = False
+        _INFER_MODE[0] = None
 
 
 def _load_df_body(case: Case) -> pd.DataFrame:
@@ -987,7 +1038,8 @@ def _load_df_body(case: Case) -> pd.DataFrame:
             recs = read_csvlite(p, sep=case.ifs or ",", ragged=case.ragged,
                                 implicit_header=case.implicit_header)
         elif fmt == "tsv":
-            recs = read_tsv(p, implicit_header=case.implicit_header)
+            recs = read_tsv(p, implicit_header=case.implicit_header,
+                            ragged=case.ragged)
         elif fmt == "tsvlite":
             recs = read_tsv(p, implicit_header=case.implicit_header,
                             unescape=False)
@@ -999,11 +1051,11 @@ def _load_df_body(case: Case) -> pd.DataFrame:
             recs = read_pprint(p, ifs=case.ifs)
         elif fmt == "xtab":
             recs = [{k: _infer(v) for k, v in r.items()}
-                    for r in parse_xtab(open(p).read(), ips=case.ips)]
+                    for r in parse_xtab(open(p, encoding="utf-8", errors="surrogateescape").read(), ips=case.ips)]
         elif fmt == "markdown":
             recs = [{k: _infer(v) for k, v in r.items()}
                     for r in parse_markdown_out(
-                        open(p).read(),
+                        open(p, encoding="utf-8", errors="surrogateescape").read(),
                         implicit_header=case.implicit_header)]
         elif fmt == "yaml":
             recs = read_yaml_in(p)
@@ -1917,6 +1969,17 @@ def execute(case: Case, df: pd.DataFrame):
     if v in ("sec2gmt", "sec2gmtdate"):
         return _exec_sec2gmt(v, a, df)
 
+    if v in ("latin1-to-utf8", "utf8-to-latin1"):
+        # transformers/latin1_to_utf8.go: string VALUES only (keys
+        # untouched); unconvertible values become (error)
+        from miller_ray.functions import _l1_one
+        work = _drop_meta(df).copy()
+        for c in work.columns:
+            work[c] = work[c].map(
+                lambda x: _l1_one(x, v == "latin1-to-utf8")
+                if isinstance(x, (str, bytes)) else x)
+        return work, True
+
     if v == "case":
         how = ("upper" if _has(a, "-u") else "lower" if _has(a, "-l")
                else "sentence" if _has(a, "-s") else "title" if _has(a, "-t")
@@ -2713,6 +2776,7 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                      force_seq: bool = False,
                      loads: list | None = None):
     loads = loads or []
+    orig_args = list(a)  # for the vectorized→sequential retry
     from miller_ray import dsl as DSL
 
     if _has(a, "-f") or _has(a, "-e"):
@@ -2776,12 +2840,35 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
     meta = df
     cols = {}
     mixed_col = None
-    for c in work.columns:
-        try:
-            cols[c] = pa.array(work[c].tolist())
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
-            mixed_col = c
-            break
+    # int+float mixes silently upcast to double (pandas at load,
+    # Arrow here), losing the per-ROW int/float identity that
+    # typeof()/formatting depend on (io-infer-flags/dash-O) — detect
+    # from the PRISTINE records, pre-upcast, and route to the
+    # sequential interpreter
+    raw0 = df.attrs.get("raw_records")
+    if raw0:
+        per_key_int: dict = {}
+        per_key_float: dict = {}
+        for r in raw0:
+            for k2, x in r.items():
+                if isinstance(x, bool) or x is None:
+                    continue
+                if isinstance(x, (int, np.integer)):
+                    per_key_int[k2] = True
+                elif isinstance(x, (float, np.floating)) \
+                        and not np.isnan(x):
+                    per_key_float[k2] = True
+        for k2 in per_key_int:
+            if k2 in per_key_float:
+                mixed_col = k2
+                break
+    if mixed_col is None:
+        for c in work.columns:
+            try:
+                cols[c] = pa.array(work[c].tolist())
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                mixed_col = c
+                break
     invert = "-x" in flags
     quiet = "-q" in flags
 
@@ -2830,7 +2917,8 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
             recs, texts, stream = prog.run_records(
                 records, seeds=seeds, quiet=quiet, ofmt="%.8f",
                 want_filter=(v == "filter"), sinks=sinks,
-                flatsep=flatsep)
+                flatsep=flatsep,
+                end_nr=df.attrs.get("stream_end_nr"))
         except DSL.DslError as e:
             raise Unsupported(f"dsl seq: {e}")
         except (TypeError, KeyError, IndexError) as e:
@@ -2922,6 +3010,10 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                         fr[k] = v2
                 flat.append(fr)
             recs = flat
+        if any(isinstance(x, _SrcInt) for r in recs for x in r.values()):
+            # pd.DataFrame would upcast int+float columns to float64,
+            # destroying the source-form ints (-O mode)
+            return pd.DataFrame(recs, dtype=object), True
         return pd.DataFrame(recs), True
 
     if mixed_col is not None:  # pragma: no cover — routed above
@@ -2960,6 +3052,17 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
             out_t = apply_mask(out_t, mask)
     except DSL.DslError as e:
         raise Unsupported(f"dsl run: {e}")
+    except Unsupported:
+        raise
+    except Exception:
+        # the vectorized Arrow path cannot express per-VALUE type
+        # outcomes (e.g. int($1, 8) yielding int for some rows and
+        # "(error)" for others, then arithmetic on the mix); the
+        # record-dict interpreter can — retry there
+        # (dsl-int-function/0004)
+        return _exec_put_filter(v, orig_args, df, ofmt=ofmt,
+                                flatsep=flatsep, force_seq=True,
+                                loads=loads)
     return out_t.to_pandas(), True
 
 
@@ -3432,6 +3535,16 @@ def _norm_coll(v):
     return _norm(v)
 
 
+def _df_records(df: pd.DataFrame) -> list[dict]:
+    """DataFrame → record dicts, preserving exact cell objects.
+    ``DataFrame.to_dict("records")`` boxes values to native types
+    (``maybe_box_native``), which strips int SUBCLASSES like _SrcInt
+    and with them the -O source-form rendering."""
+    cols = list(df.columns)
+    data = [df[c].tolist() for c in cols]
+    return [dict(zip(cols, row)) for row in zip(*data)]
+
+
 def _norm(v) -> str:
     # 5 significant digits for non-integers: Miller renders floats at 8
     # DECIMALS (already rounded), so comparing more precision than that
@@ -3440,7 +3553,11 @@ def _norm(v) -> str:
         return "\x00absent"
     if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
-    if isinstance(v, (int, np.integer, float, np.floating)):
+    if isinstance(v, _SrcInt):
+        # source-form ints RENDER as their original text ("0123"),
+        # so normalize the text exactly like the parsed expout side
+        v = v.src
+    elif isinstance(v, (int, np.integer, float, np.floating)):
         return _norm_num(float(v))
     s = str(v)
     try:
@@ -3463,6 +3580,10 @@ def _rec_key(rec: dict) -> tuple:
     # stddev of one sample); treat void == absent for comparison
     out = []
     for k, v in rec.items():
+        if k is None:
+            # csv.DictReader puts ragged-row extras under None — the
+            # strict reader drops them (io-tsv-auto-unsparsify/over)
+            continue
         if isinstance(v, (dict, list)):
             out.append((k, str(_norm_coll(v))))
             continue
@@ -3473,7 +3594,7 @@ def _rec_key(rec: dict) -> tuple:
 
 
 def compare(ours: pd.DataFrame, expected: list[dict], ordered: bool) -> tuple[bool, str]:
-    our_recs = [] if ours is None or ours.empty else ours.to_dict("records")
+    our_recs = [] if ours is None or ours.empty else _df_records(ours)
     return compare_recs(our_recs, expected, ordered)
 
 
@@ -3708,7 +3829,7 @@ def _run_expect_fail(case_dir: str, cmd: str, case: Case, segments,
     from miller_ray import dsl as DSL
 
     prefix = "".join(headers)
-    with open(os.path.join(case_dir, "expout")) as f:
+    with open(os.path.join(case_dir, "expout"), encoding="utf-8", errors="surrogateescape") as f:
         exp_text = f.read()
     err = None
     partial = None
@@ -3848,6 +3969,10 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
         df = load_df(case)
         passed_comments = df.attrs.get("passed_comments") or []
         input_df = df
+        # the reader's total record count: end-block NR context
+        # survives dropping verbs (verb-head-early-out/0002)
+        stream_end_nr = len(df)
+        df.attrs["stream_end_nr"] = stream_end_nr
         ordered = True
         if expect_fail:
             return _run_expect_fail(case_dir, cmd, case, segments, df,
@@ -3867,6 +3992,7 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
             # a verb stage rewrites values: the pristine input records
             # (pandas propagates .attrs through copy) no longer apply
             df.attrs.pop("raw_records", None)
+            df.attrs["stream_end_nr"] = stream_end_nr
             df["__row__"] = np.arange(len(df))
         ordered = ordered if len(segments) == 1 else (ordered and seg_ordered)
     except Unsupported as e:
@@ -3874,7 +4000,7 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
             # the program itself is unsupported at runtime, but when the
             # reference's whole output IS the AST echo (e.g. -n with a
             # pure-assignment program), AST equality is the full check
-            with open(os.path.join(case_dir, "expout")) as f:
+            with open(os.path.join(case_dir, "expout"), encoding="utf-8", errors="surrogateescape") as f:
                 exp_text = f.read()
             if exp_text == "".join(headers):
                 return "pass", "ast echo (program produces no output)"
@@ -3883,7 +4009,7 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
         return "fail", f"raised {type(e).__name__}: {e}"
     prefix = "".join(headers)
     if isinstance(ours, RawText):
-        with open(os.path.join(case_dir, "expout")) as f:
+        with open(os.path.join(case_dir, "expout"), encoding="utf-8", errors="surrogateescape") as f:
             exp_text = f.read()
         got = [ln.rstrip()
                for ln in (prefix + str(ours)).strip("\n").split("\n")]
@@ -3898,7 +4024,7 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
     if ours is not None and len(getattr(ours, "columns", [])):
         ours = ours.drop(columns=[c for c in ("__row__", "__file__", "__filenum__")
                                   if c in ours.columns])
-    with open(os.path.join(case_dir, "expout")) as f:
+    with open(os.path.join(case_dir, "expout"), encoding="utf-8", errors="surrogateescape") as f:
         raw_exp = f.read()
     if prefix:
         if not raw_exp.startswith(prefix):
@@ -3921,7 +4047,7 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
         raw_exp = "\n".join(ln for ln in raw_exp.splitlines()
                             if not ln.startswith(mode_prefix))
     expected = _parse_expout(case, raw_exp)
-    our_recs = [] if ours is None or ours.empty else ours.to_dict("records")
+    our_recs = [] if ours is None or ours.empty else _df_records(ours)
     if case.num_fmt:
         # --ofmt: float-typed values render through the format
         # (cli-ofmt; summary --ofmt %.4f)
@@ -3937,6 +4063,25 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
                      if not (v is None or (isinstance(v, float)
                                            and math.isnan(v)))}
                     for r in our_recs]
+    if case.ofmt in ("csv", "tsv") and our_recs:
+        # strict csv/tsv writer auto-unsparsify (record_writer_csv.go):
+        # the FIRST record fixes the header; a later record whose keys
+        # EXTEND it writes the extra values positionally past the
+        # header — which the reader then drops (io-csv-auto-unsparsify
+        # "over": a,b,c,d=7 renders "4,5,6,7" under header a,b,c)
+        def _live_keys(r):
+            return [k for k, x in r.items()
+                    if not (x is None or (isinstance(x, float)
+                                          and math.isnan(x)))]
+
+        hdr0 = _live_keys(our_recs[0])
+        fixed = [our_recs[0]]
+        for r in our_recs[1:]:
+            ks = _live_keys(r)
+            if len(ks) > len(hdr0) and ks[:len(hdr0)] == hdr0:
+                r = {k: r[k] for k in hdr0}
+            fixed.append(r)
+        our_recs = fixed
     if case.ofmt == "json" and case.ifmt != "json" and any(
             (case.flatsep or ".") in str(k) for r in our_recs for k in r):
         # JSON output auto-unflattens dotted field names into nested

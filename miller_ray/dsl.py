@@ -2627,7 +2627,7 @@ def _print_render(v, ofmt: str | None = None) -> str:
 def _run_records_impl(self, records: list[dict], seeds: list[dict] | None
                       = None, quiet=False, ofmt: str | None = None,
                       want_filter=False, sinks: dict | None = None,
-                      flatsep: str = "."):
+                      flatsep: str = ".", end_nr: int | None = None):
     """Wrapper installing the process-wide float formatter (MLR_OFMT
     analogue) for the duration of the run; see _run_records_body.
     ``sinks``, when given, receives redirect output: sinks["files"] =
@@ -2639,13 +2639,14 @@ def _run_records_impl(self, records: list[dict], seeds: list[dict] | None
         _bifs.OFMT = ofmt
     try:
         return _run_records_body(self, records, seeds, quiet, ofmt,
-                                 want_filter, sinks, flatsep)
+                                 want_filter, sinks, flatsep, end_nr)
     finally:
         _bifs.OFMT = saved
 
 
 def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
-                      want_filter=False, sinks=None, flatsep="."):
+                      want_filter=False, sinks=None, flatsep=".",
+                      end_nr=None):
     """Row-at-a-time execution over ordered record dicts with full
     cross-record semantics (@oosvars, begin/end, emit, dump/print,
     locals, loops, user functions). Returns (records, texts): emitted +
@@ -2726,8 +2727,11 @@ def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
     if self.end:
         env = base_env()
         env["\x00srec"] = {}
-        env["\x00NR"] = nr
-        env["\x00FNR"] = nr
+        # the end block's context carries the READER's final NR (total
+        # records read from input), which upstream dropping verbs like
+        # `head -g` do not shrink (verb-head-early-out/0002)
+        env["\x00NR"] = nr if end_nr is None else end_nr
+        env["\x00FNR"] = nr if end_nr is None else end_nr
         state = {"mask": None, "bare": None}
         self._exec(self.end, empty, env, None, state)
         drain()

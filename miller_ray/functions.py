@@ -74,6 +74,43 @@ def _f(x):
 # --- strings (pkg/bifs/strings.go) -----------------------------------------
 
 bif("strlen")(lambda x: pc.utf8_length(_s(x)))
+
+
+def _l1_one(v, to_utf8: bool):
+    """Byte-level latin1<->utf8 conversion (bifs/strings.go
+    BIF_latin1_to_utf8 / BIF_utf8_to_latin1, lib/unsparsify TryUTF8…).
+    Non-UTF8 bytes are carried in str values via surrogateescape (the
+    conformance readers' convention). A utf8 string with code points
+    outside latin-1 cannot convert: Miller yields an error value,
+    rendered ``(error)`` (dsl-latin1/0001 Cyrillic row)."""
+    if not isinstance(v, str):
+        if isinstance(v, dict):
+            return {k: _l1_one(x, to_utf8) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_l1_one(x, to_utf8) for x in v]
+        if isinstance(v, bytes):  # binary column payloads
+            return _l1_one(v.decode("utf-8", "surrogateescape"), to_utf8)
+        return v
+    b = v.encode("utf-8", "surrogateescape")
+    try:
+        if to_utf8:
+            return b.decode("latin-1")
+        text = b.decode("utf-8")  # must be valid utf8 to re-encode
+        lat = text.encode("latin-1")
+        return lat.decode("utf-8", "surrogateescape")
+    except (UnicodeDecodeError, UnicodeEncodeError):
+        return "(error)"
+
+
+def _l1_conv(x, to_utf8: bool):
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pa.array([_l1_one(v, to_utf8) for v in x.to_pylist()],
+                        type=pa.string())
+    return _l1_one(x, to_utf8)
+
+
+bif("latin1_to_utf8")(lambda x: _l1_conv(x, True))
+bif("utf8_to_latin1")(lambda x: _l1_conv(x, False))
 bif("toupper")(lambda x: pc.utf8_upper(_s(x)))
 bif("tolower")(lambda x: pc.utf8_lower(_s(x)))
 bif("capitalize")(lambda x: pc.utf8_capitalize(_s(x)))
@@ -350,6 +387,9 @@ def _int_bif(x, base=None):
         if isinstance(v, bool):
             return int(v)
         if isinstance(v, (int, np.integer, float, np.floating)):
+            # already-numeric values pass through unchanged even with
+            # an explicit radix (dsl-int-function/0006: int(345, 8)
+            # stays 345; only STRINGS radix-parse)
             return int(v)
         sv = str(v).strip()
         try:
@@ -357,6 +397,10 @@ def _int_bif(x, base=None):
                 return int(sv, 8)
             return int(sv, b)
         except (ValueError, TypeError):
+            if b != 0:
+                # explicit radix: a non-parse is an error, never a
+                # decimal/float fallback (int("345",2) -> (error))
+                return "(error)"
             try:
                 return int(float(sv))
             except (ValueError, TypeError):
@@ -740,8 +784,36 @@ def _length(x):
         return 0  # length(absent) = 0 (BIF_length absent row)
     return 1
 bif("gssub")(lambda x, a, b: pc.replace_substring(_s(x), pattern=a, replacement=b))
-bif("leftpad")(lambda x, n, p: pc.utf8_lpad(_s(x), width=int(n), padding=p))
-bif("rightpad")(lambda x, n, p: pc.utf8_rpad(_s(x), width=int(n), padding=p))
+def _pad_str(p):
+    """Pad arg may arrive numerically inferred (leftpad($i, 5, 0));
+    Miller pads with its string form (bifs/strings.go BIF_leftpad)."""
+    if isinstance(p, float) and p.is_integer():
+        return str(int(p))
+    return str(p)
+
+
+def _pad(x, n, p, left: bool):
+    """leftpad/rightpad (bifs/strings.go): single-char pads fill to
+    width; multi-char pads repeat in WHOLE units only (leftpad("pan",
+    10, "XY") -> "XYXYXYpan", len 9 — dsl-leftpad-rightpad/L005)."""
+    n, p = int(n), _pad_str(p)
+    s = _s(x)
+    if len(p) <= 1:
+        fn = pc.utf8_lpad if left else pc.utf8_rpad
+        return fn(s, width=n, padding=p or " ")
+
+    def one(v):
+        if v is None:
+            return None
+        reps = max(0, (n - len(v)) // len(p))
+        return p * reps + v if left else v + p * reps
+    if isinstance(s, (pa.Array, pa.ChunkedArray)):
+        return pa.array([one(v) for v in s.to_pylist()], type=pa.string())
+    return one(str(s))
+
+
+bif("leftpad")(lambda x, n, p: _pad(x, n, p, True))
+bif("rightpad")(lambda x, n, p: _pad(x, n, p, False))
 @bif("strmatch")
 def _strmatch(x, p):
     """Boolean regex match (bifs/strings.go BIF_strmatch); an absent
@@ -777,12 +849,8 @@ bif("hex_encode")(lambda x: pa.array(
     [str(v).encode().hex() for v in _s(x).to_pylist()]))
 bif("hex_decode")(lambda x: pa.array(
     [bytes.fromhex(str(v)).decode() for v in _s(x).to_pylist()]))
-bif("latin1_to_utf8")(lambda x: pa.array(
-    [None if v is None else v.encode("latin1", "replace").decode("utf-8", "replace")
-     for v in _s(x).to_pylist()]))
-bif("utf8_to_latin1")(lambda x: pa.array(
-    [None if v is None else v.encode("utf-8").decode("latin1")
-     for v in _s(x).to_pylist()]))
+# (latin1_to_utf8 / utf8_to_latin1 are defined once near the top of
+# this module with byte-faithful surrogateescape semantics)
 
 # time scale conversions (bifs/datetime.go)
 @bif("gmt2nsec")

@@ -160,8 +160,9 @@ def _render_dkvp(t: pa.Table, ofs: str = ",", ops: str = "=") -> pa.Array:
 def _part_name(lines: pa.Array, ext: str) -> str:
     """Deterministic content-derived part name (resumable layout:
     re-running the same block rewrites the same file). Hashes the FULL
-    rendered content so distinct blocks with equal size and endpoints
-    (e.g. duplicated data) never collide onto one filename."""
+    rendered content so distinct blocks never collide; byte-IDENTICAL
+    blocks do hash alike — _write_part disambiguates them with an
+    O_EXCL ordinal probe so duplicated data is never silently lost."""
     import hashlib
 
     h = hashlib.md5()
@@ -173,16 +174,37 @@ def _part_name(lines: pa.Array, ext: str) -> str:
     return f"part-{h.hexdigest()[:16]}.{ext}"
 
 
+def _write_part(out_dir: str, lines: pa.Array, ext: str) -> str:
+    """Write one rendered block under its content-hash name. If that
+    name is taken (a byte-identical block in the SAME run — two equal
+    blocks must yield two files), probe ``-2``, ``-3``… with O_EXCL so
+    concurrent writers never clobber each other. A rerun over the same
+    data starts from a cleared/unique out_dir (sinks are terminal), so
+    pre-existing files are treated as same-run duplicates."""
+    base = _part_name(lines, ext)
+    stem, dot, suffix = base.rpartition(".")
+    path = os.path.join(out_dir, base)
+    k = 1
+    while True:
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            break
+        except FileExistsError:
+            k += 1
+            path = os.path.join(out_dir, f"{stem}-{k}.{suffix}")
+    with os.fdopen(fd, "w") as f:
+        for v in lines.to_pylist():
+            f.write(v + "\n")
+    return path
+
+
 def write_dkvp(ds, out_dir: str, ofs: str = ",", ops: str = "="):
     """DKVP sink: one ``part-<contenthash>.dkvp`` file per block."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(t: pa.Table) -> pa.Table:
         lines = _render_dkvp(t, ofs, ops)
-        path = os.path.join(out_dir, _part_name(lines, "dkvp"))
-        with open(path, "w") as f:
-            for v in lines.to_pylist():
-                f.write(v + "\n")
+        path = _write_part(out_dir, lines, "dkvp")
         return pa.table({"path": pa.array([path]),
                          "rows": pa.array([t.num_rows], type=pa.int64())})
 
@@ -199,10 +221,7 @@ def write_nidx(ds, out_dir: str, ofs: str = " "):
                 for c in t.column_names]
         lines = (pc.binary_join_element_wise(*cols, ofs)
                  if len(cols) > 1 else cols[0])
-        path = os.path.join(out_dir, _part_name(lines, "nidx"))
-        with open(path, "w") as f:
-            for v in lines.to_pylist():
-                f.write(v + "\n")
+        path = _write_part(out_dir, lines, "nidx")
         return pa.table({"path": pa.array([path]),
                          "rows": pa.array([t.num_rows], type=pa.int64())})
 
@@ -405,10 +424,7 @@ def _block_writer(ds, out_dir: str, ext: str, render_lines):
 
     def write_block(t: pa.Table) -> pa.Table:
         lines = pa.array(render_lines(t), type=pa.string())
-        path = os.path.join(out_dir, _part_name(lines, ext))
-        with open(path, "w") as f:
-            for v in lines.to_pylist():
-                f.write(v + "\n")
+        path = _write_part(out_dir, lines, ext)
         return pa.table({"path": pa.array([path]),
                          "rows": pa.array([t.num_rows], type=pa.int64())})
 

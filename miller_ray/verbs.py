@@ -956,6 +956,40 @@ def case_verb(ds, fields: list[str], how: str = "upper"):
     return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _latin1_convert(ds, to_utf8: bool):
+    """Verbs ``latin1-to-utf8`` / ``utf8-to-latin1``
+    (transformers/latin1_to_utf8.go, utf8_to_latin1.go; byte rules in
+    pkg/lib/latin1.go): convert every string value between the two
+    encodings. Arrow utf8 columns cannot hold raw latin-1 bytes, so
+    non-UTF8 payloads ride either as ``binary`` columns or as
+    surrogateescape-escaped str under pandas object dtype — both
+    handled. A utf8→latin1 conversion of a code point past U+00FF
+    yields Miller's error value, rendered ``(error)``."""
+    from miller_ray.functions import _l1_one
+
+    def conv(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        for c in out.columns:
+            if out[c].dtype == object:
+                out[c] = out[c].map(
+                    lambda x: _l1_one(x, to_utf8)
+                    if isinstance(x, (str, bytes)) else x)
+        return out
+
+    return ds.map_batches(conv, batch_format="pandas")
+
+
+def latin1_to_utf8(ds):
+    """Reinterpret each string value's bytes as latin-1 → utf8 text."""
+    return _latin1_convert(ds, True)
+
+
+def utf8_to_latin1(ds):
+    """Downconvert utf8 text to latin-1 bytes; ``(error)`` where
+    impossible (code points above U+00FF)."""
+    return _latin1_convert(ds, False)
+
+
 def clean_whitespace(ds, fields: list[str]):
     """Verb ``clean-whitespace`` (clean_whitespace.go): strip + collapse
     internal whitespace in values."""
@@ -1546,14 +1580,17 @@ def cumulative_fraction(ds, field: str, group_by: list[str] | None = None,
         import ray.data as rd
 
         os.makedirs(out_dir, exist_ok=True)
-        npart = 0
+        written: list[str] = []
         for i, df in enumerate(folded_blocks()):
-            df.to_parquet(os.path.join(out_dir, f"part-{i:06d}.parquet"),
-                          index=False)
-            npart += 1
-        if npart == 0:
+            p = os.path.join(out_dir, f"part-{i:06d}.parquet")
+            df.to_parquet(p, index=False)
+            written.append(p)
+        if not written:
             return rd.from_pandas(pd.DataFrame())
-        return rd.read_parquet(out_dir)
+        # read back ONLY this run's parts: a reused out_dir holding
+        # more parts from a previous larger run must not leak stale
+        # rows into the result
+        return rd.read_parquet(written)
     frames = list(folded_blocks())
     return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 

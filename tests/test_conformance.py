@@ -117,7 +117,23 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "dsl-type-inference",
           # round 3i: should-fail verification (partial output + error
           # confirmation), summary/describe/rank verbs
-          "verb-summary", "verb-describe", "verb-rank"]
+          "verb-summary", "verb-describe", "verb-rank",
+          # round 4: probe-verified green suites
+          "dsl-arrayify", "dsl-index", "dsl-leafcount",
+          "dsl-line-number-column-number", "dsl-load",
+          "dsl-mapvar-for-loops", "dsl-programming-examples",
+          "dsl-put-multiple-dash-e", "dsl-utf8-strlen",
+          "io-nr-progress-mod", "io-pprint-right-align-numeric",
+          "io-ragged-implicit-header-csvlite", "io-ragged-non-rfc-csv",
+          "verb-check", "verb-group-like",
+          # round 4ii: int radix, pad whole-unit repeat, latin1<->utf8
+          # BIFs+verbs, -O/-A infer flags, strict-writer unsparsify,
+          # ragged TSV, end-block NR fidelity
+          "dsl-int-function", "dsl-leftpad-rightpad", "dsl-latin1",
+          "verb-latin1-to-utf8", "verb-utf8-to-latin1",
+          "io-csv-auto-unsparsify", "io-tsv-auto-unsparsify",
+          "io-infer-flags", "io-ragged-implicit-header-tsv",
+          "verb-head-early-out"]
 
 
 @pytest.mark.parametrize("suite", SUITES)

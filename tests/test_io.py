@@ -57,7 +57,9 @@ def test_dkvp_roundtrip(ray_session, sample, tmp_path):
 def test_dkvp_heterogeneous(ray_session, tmp_path):
     p = tmp_path / "het.dkvp"
     p.write_text("a=1,b=2\nb=3,c=x\n")
-    back = MIO.read_dkvp([str(p)]).to_pandas()
+    # row order from a parallel read is undefined: sort before asserting
+    back = MIO.read_dkvp([str(p)]).to_pandas().sort_values("b") \
+        .reset_index(drop=True)
     assert set(back.columns) == {"a", "b", "c"}
     assert back["b"].tolist() == [2, 3]
     assert pd.isna(back["a"].iloc[1])
