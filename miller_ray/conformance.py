@@ -291,6 +291,223 @@ def read_nidx(path: str, sep: str | None = None) -> list[dict]:
     return recs
 
 
+def _dedupe_record(fields: list) -> dict:
+    """Ordered (key, value) pairs → record dict with Miller's
+    dedupe-field-names _2/_3 renames (honoring --no-dedupe-field-names
+    via the NO_DEDUPE module toggle)."""
+    rec: dict = {}
+    seen: dict[str, int] = {}
+    for k, v in fields:
+        seen[k] = seen.get(k, 0) + 1
+        if seen[k] > 1 and not NO_DEDUPE:
+            k = f"{k}_{seen[k]}"
+        rec[k] = v
+    return rec
+
+
+def parse_recutils_text(text: str) -> list[list]:
+    """GNU recutils stanzas → ordered (key, raw-string-value) field
+    lists (record_reader_rec.go). Two continuation mechanisms:
+    trailing-backslash joins physical lines with no separator; a "+"
+    prefix folds the line into the previous field's value with an
+    embedded newline (one leading space after "+" stripped). Malformed
+    lines are hard errors carrying the records parsed so far."""
+    from miller_ray.functions import FatalError
+
+    stanzas_fields: list[list] = []
+    for stanza in re.split(r"\n\s*\n", text):
+        lines = [ln for ln in stanza.split("\n") if ln != ""]
+        if not lines:
+            continue
+        # pass 1: backslash-newline logical-line joining
+        joined: list[str] = []
+        pending: str | None = None
+        for ln in lines:
+            if ln.endswith("\\"):
+                pending = (pending or "") + ln[:-1]
+                continue
+            if pending is not None:
+                joined.append(pending + ln)
+                pending = None
+            else:
+                joined.append(ln)
+        if pending is not None:
+            joined.append(pending)
+        # pass 2: field parsing with "+"-continuation folding
+        fields: list = []
+        for ln in joined:
+            if ln.startswith("+"):
+                if not fields:
+                    err = FatalError(
+                        f"mlr: recutils: continuation line \"{ln}\" has "
+                        f"no preceding field in this record")
+                    err.partial_records = [
+                        {k: _infer(v) for k, v in _dedupe_record(f).items()}
+                        for f in stanzas_fields]
+                    raise err
+                cont = ln[1:]
+                if cont.startswith(" "):
+                    cont = cont[1:]
+                if fields[-1][1] == "":
+                    fields[-1][1] = cont
+                else:
+                    fields[-1][1] = fields[-1][1] + "\n" + cont
+                continue
+            k, colon, rest = ln.partition(":")
+            if not colon or (rest and not rest.startswith(" ")):
+                err = FatalError(
+                    f"mlr: recutils: missing \": \" field separator in "
+                    f"line \"{ln}\"")
+                err.partial_records = [
+                    {k: _infer(v) for k, v in _dedupe_record(f).items()}
+                    for f in stanzas_fields]
+                raise err
+            fields.append([k, rest[1:] if rest else ""])
+        if fields:
+            stanzas_fields.append(fields)
+    return stanzas_fields
+
+
+def read_recutils(path: str) -> list[dict]:
+    with open(path, encoding="utf-8", errors="surrogateescape") as f:
+        text = f.read()
+    return [{k: _infer(v) for k, v in _dedupe_record(fields).items()}
+            for fields in parse_recutils_text(text)]
+
+
+def parse_recutils_out(text: str) -> list[dict]:
+    """Expected-output parser for --orecutils (record_writer_rec.go:
+    "Key: value" lines, "+ " continuation per embedded newline)."""
+    return [{k: _infer(v) for k, v in _dedupe_record(fields).items()}
+            for fields in parse_recutils_text(text)]
+
+
+# DCF list-valued field names: comma-separated in the format, exposed
+# as arrays (record_reader_dcf.go dcfListFieldNames)
+_DCF_LIST_FIELDS = {
+    "Depends", "Pre-Depends", "Recommends", "Suggests", "Enhances",
+    "Breaks", "Conflicts", "Replaces", "Built-Using", "Build-Depends",
+    "Build-Depends-Indep", "Build-Conflicts", "Build-Conflicts-Indep"}
+
+
+def _parse_dcf_text(text: str) -> list[dict]:
+    """Debian control paragraphs → records (record_reader_dcf.go).
+    Continuation lines start with space/tab and join with newline; list
+    fields split on commas into arrays; all other values stay strings
+    (the DCF reader does NOT type-infer)."""
+    recs: list[dict] = []
+    for para in re.split(r"\n\s*\n", text):
+        lines = [ln for ln in para.split("\n") if ln != ""]
+        if not lines:
+            continue
+        fields: list = []
+        for ln in lines:
+            if ln[0] in (" ", "\t") and fields:
+                fields[-1][1] = fields[-1][1] + "\n" + ln.strip()
+                continue
+            k, _, rest = ln.partition(":")
+            fields.append([k.strip(), rest.strip()])
+        rec: dict = {}
+        for k, v in _dedupe_record(fields).items():
+            if k in _DCF_LIST_FIELDS:
+                rec[k] = [p.strip() for p in v.split(",") if p.strip()]
+            else:
+                rec[k] = v
+        recs.append(rec)
+    return recs
+
+
+def read_dcf(path: str) -> list[dict]:
+    with open(path, encoding="utf-8", errors="surrogateescape") as f:
+        return _parse_dcf_text(f.read())
+
+
+def parse_dcf_out(text: str) -> list[dict]:
+    return _parse_dcf_text(text)
+
+
+def _split_dkvpx_line(line: str, ifs: str, ips: str) -> list:
+    """One DKVPX line → ordered (key, value) pairs with CSV-style
+    double-quoting: keys and values may be independently quoted, ""
+    escapes a quote, separators inside quotes are literal
+    (pkg/dkvpx/dkvpx_reader.go)."""
+    fields: list = []
+    key: str | None = None
+    buf: list[str] = []
+    i, n = 0, len(line)
+    in_quotes = False
+    while i < n:
+        c = line[i]
+        if in_quotes:
+            if c == '"':
+                if i + 1 < n and line[i + 1] == '"':
+                    buf.append('"')
+                    i += 2
+                    continue
+                in_quotes = False
+                i += 1
+                continue
+            buf.append(c)
+            i += 1
+            continue
+        if c == '"':
+            in_quotes = True
+            i += 1
+            continue
+        if c == ips and key is None:
+            key = "".join(buf)
+            buf = []
+            i += 1
+            continue
+        if c == ifs:
+            val = "".join(buf)
+            if key is None:
+                fields.append([str(len(fields) + 1), val])
+            else:
+                fields.append([key, val])
+            key, buf = None, []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    val = "".join(buf)
+    if key is not None or val or fields:
+        fields.append([str(len(fields) + 1) if key is None else key, val])
+    return fields
+
+
+def _check_dkvpx_seps(ifs: str, ips: str) -> None:
+    from miller_ray.functions import FatalError
+
+    if len(ifs) != 1:
+        raise FatalError("mlr: for DKVPX, IFS can only be a single character")
+    if len(ips) != 1:
+        raise FatalError("mlr: for DKVPX, IPS can only be a single character")
+
+
+def read_dkvpx(path: str, ifs: str = ",", ips: str = "=") -> list[dict]:
+    _check_dkvpx_seps(ifs, ips)
+    recs = []
+    with open(path, encoding="utf-8", errors="surrogateescape") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            recs.append({k: _infer(v) for k, v in _dedupe_record(
+                _split_dkvpx_line(line, ifs, ips)).items()})
+    return recs
+
+
+def parse_dkvpx_out(text: str, ofs: str = ",", ops: str = "=") -> list[dict]:
+    recs = []
+    for line in text.splitlines():
+        if not line:
+            continue
+        recs.append({k: _infer(v) for k, v in _dedupe_record(
+            _split_dkvpx_line(line, ofs, ops)).items()})
+    return recs
+
+
 def read_json_in(path: str) -> list[dict]:
     with open(path) as f:
         text = f.read()
@@ -594,7 +811,8 @@ EXPOUT_PARSERS = {"dkvp": parse_dkvp, "xtab": parse_xtab, "pprint": parse_pprint
                   "json": parse_json_out, "csv": parse_csv_out,
                   "tsv": parse_tsv_out, "nidx": parse_nidx_out,
                   "markdown": parse_markdown_out, "yaml": parse_yaml_out,
-                  "csvlite": parse_csvlite_out, "tsvlite": parse_tsv_out}
+                  "csvlite": parse_csvlite_out, "tsvlite": parse_tsv_out,
+                  "recutils": parse_recutils_out, "dcf": parse_dcf_out}
 
 
 def _parse_expout(case: "Case", text: str) -> list[dict]:
@@ -605,6 +823,9 @@ def _parse_expout(case: "Case", text: str) -> list[dict]:
     f = case.ofmt
     if f == "dkvp":
         return parse_dkvp(text, ofs=case.ofs or ",", ops=case.ops or "=")
+    if f == "dkvpx":
+        return parse_dkvpx_out(text, ofs=case.ofs or ",",
+                               ops=case.ops or "=")
     if f == "nidx":
         return parse_nidx_out(text, ofs=case.ofs)
     if f == "pprint":
@@ -654,7 +875,8 @@ def _parse_expout(case: "Case", text: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 _FORMATS = ("csv", "csvlite", "tsv", "tsvlite", "json", "jsonl", "dkvp",
-            "nidx", "xtab", "pprint", "markdown", "yaml")
+            "nidx", "xtab", "pprint", "markdown", "yaml", "recutils",
+            "dcf", "dkvpx")
 
 _FMT_FLAGS: dict = {"--jvstack": (None, None), "--no-jvstack": (None, None),
                     "--jlistwrap": (None, None), "--no-fflush": (None, None),
@@ -728,6 +950,77 @@ class Case:
     infer_mode: str | None = None  # -S strings-only / -A int-as-float
     loads: list = field(default_factory=list)  # --load/--mload libs
     no_dedupe: bool = False  # --no-dedupe-field-names
+    repifs: bool = False  # --repifs: collapse repeated IFS on input
+    gen: dict | None = None  # --igen / --gen-* pseudo-reader options
+    in_place: bool = False  # -I: per-file in-place processing
+    stdin_redirect: bool = False  # input arrived via "< file"
+    fatal: str | None = None  # CLI-level fatal error (mlrrc parse etc.)
+
+
+def _load_mlrrc_tokens(toks: list[str]) -> tuple[list[str], str | None]:
+    """.mlrrc processing (climain/mlrcli_mlrrc.go): returns (flag
+    tokens to PREPEND before the CLI main flags, fatal-error message).
+    Global (pre-section) lines always apply; [name] sections apply only
+    under --profile/-P name. Lines get a "--" prefix when bare; the
+    prepipe/load/profile flags are forbidden inside the file."""
+    profile = None
+    norc = "--norc" in toks
+    for flg in ("--profile", "-P"):
+        if flg in toks:
+            idx = toks.index(flg)
+            if idx + 1 < len(toks):
+                profile = toks[idx + 1]
+    if profile is not None and norc:
+        return [], (f'mlr: --profile "{profile}" was specified along '
+                    f'with --norc, which disables .mlrrc processing.')
+    if norc:
+        return [], None
+    path = os.environ.get("MLRRC")
+    if not path:
+        return [], (f'mlr: --profile "{profile}" was specified, but no '
+                    f'.mlrrc file was found' if profile else None)
+    if path == "__none__":
+        if profile:
+            return [], (f'mlr: --profile "{profile}" was specified, but '
+                        f'.mlrrc processing is disabled since the MLRRC '
+                        f'environment variable is set to "__none__"')
+        return [], None
+    full = path if os.path.isabs(path) else os.path.join(REFERENCE, path)
+    if not os.path.exists(full):
+        return [], (f'mlr: --profile "{profile}" was specified, but no '
+                    f'.mlrrc file was found' if profile else None)
+    out: list[str] = []
+    section = ""
+    found_profile = False
+    for lineno, raw in enumerate(open(full).read().splitlines(), 1):
+        stripped = re.sub(r"#.*", "", raw).strip()
+        if not stripped:
+            continue
+        if stripped.startswith("["):
+            if not stripped.endswith("]"):
+                return [], (f'mlr: parse error at file "{path}" line '
+                            f'{lineno}: {raw}')
+            name = stripped[1:-1].strip()
+            if not name or any(c in name for c in "[]"):
+                return [], (f'mlr: parse error at file "{path}" line '
+                            f'{lineno}: {raw}')
+            section = name
+            if profile and name == profile:
+                found_profile = True
+            continue
+        if section and section != profile:
+            continue
+        line = stripped if stripped.startswith("-") else "--" + stripped
+        parts = line.split()
+        if parts[0] in ("--prepipe", "--prepipex", "--load", "--mload",
+                        "--profile", "-P"):
+            return [], (f'mlr: parse error at file "{path}" line '
+                        f'{lineno}: {raw}')
+        out.extend(parts)
+    if profile and not found_profile:
+        return [], (f'mlr: --profile "{profile}" was specified, but no '
+                    f'[{profile}] section was found in {path}')
+    return out, None
 
 
 def parse_cmd(cmd: str) -> Case:
@@ -735,10 +1028,23 @@ def parse_cmd(cmd: str) -> Case:
     if toks[0] not in ("mlr", "${MLR}"):
         return Case("", [], [], unsupported=f"non-mlr cmd {toks[0]}")
     toks = toks[1:]
+    if os.environ.get("MLRRC") or "--profile" in toks or "-P" in toks:
+        rc_toks, fatal = _load_mlrrc_tokens(toks)
+        if fatal:
+            return Case("", [], [], fatal=fatal)
+        # strip --profile/-P NAME from the CLI tokens, prepend the
+        # mlrrc-derived flags (CLI flags override by coming later)
+        for flg in ("--profile", "-P"):
+            while flg in toks:
+                idx = toks.index(flg)
+                del toks[idx:idx + 2]
+        toks = rc_toks + toks
     ifmt = ofmt = "dkvp"
     files: list[str] = []
     no_input = False
     barred = ragged = implicit_header = no_dedupe = False
+    repifs = in_place = False
+    gen: dict | None = None
     seps: dict[str, str | None] = {k: None for k in
                                    ("ifs", "ips", "irs", "ofs", "ops", "ors")}
     flatsep = num_fmt = None
@@ -794,6 +1100,34 @@ def parse_cmd(cmd: str) -> Case:
         if t == "--ofmt":
             num_fmt = toks[i + 1]
             i += 2
+            continue
+        if t in ("--ofmte", "--ofmtf", "--ofmtg"):
+            # --ofmte 6 == --ofmt %.6e etc. (option_parse.go)
+            num_fmt = f"%.{toks[i + 1]}{t[-1]}"
+            i += 2
+            continue
+        if t == "--repifs":
+            repifs = True
+            i += 1
+            continue
+        if t == "--igen":
+            gen = gen if gen is not None else {}
+            i += 1
+            continue
+        if t in ("--gen-field-name", "--gen-start", "--gen-stop",
+                 "--gen-step"):
+            # any --gen-* flag selects the gen pseudo-reader
+            # (option_parse.go sets InputFileFormat = "gen")
+            gen = gen if gen is not None else {}
+            gen[t[len("--gen-"):]] = toks[i + 1]
+            i += 2
+            continue
+        if t == "-I":
+            in_place = True
+            i += 1
+            continue
+        if t == "--norc":
+            i += 1  # no .mlrrc is ever read in this harness
             continue
         if t == "--skip-comments":
             comments = ("skip", "#")
@@ -878,10 +1212,20 @@ def parse_cmd(cmd: str) -> Case:
             i += 1
             continue
         return Case("", [], [], unsupported=f"main flag {t}")
+    # "mlr <flags> < file" / "mlr <flags> file": no verb defaults to
+    # cat (cli/option_parse.go: "If no verb is given, 'cat' is used")
+    stdin_redirect = False
+    if i < len(toks) and toks[i] == "<":
+        files.append(toks[i + 1])
+        stdin_redirect = True
+        i += 2
     if i >= len(toks):
-        return Case("", [], [], unsupported="no verb")
-    verb = toks[i]
-    i += 1
+        if not files and gen is None and not no_input:
+            return Case("", [], [], unsupported="no verb")
+        verb = "cat"
+    else:
+        verb = toks[i]
+        i += 1
     rest = toks[i:]
     if no_input:
         rest = list(rest) + ["__NO_INPUT__"]
@@ -923,10 +1267,13 @@ def parse_cmd(cmd: str) -> Case:
             if t.startswith("file://"):
                 t = t[len("file://"):]
             if t == "<":
+                stdin_redirect = True
                 j += 1
                 continue  # stdin redirect: next token is the file
             if t and (t.startswith("test/input")
                       or os.path.isfile(os.path.join(REFERENCE, t))
+                      or os.path.isfile(_redirect_write_path(
+                          os.path.join(REFERENCE, t)))
                       or ("/" in t and any(ch in t for ch in "*?[")
                           and any(os.path.isfile(h) for h in __import__(
                               "glob").glob(os.path.join(REFERENCE, t))))):
@@ -945,7 +1292,9 @@ def parse_cmd(cmd: str) -> Case:
                 ops=seps["ops"], ors=seps["ors"], flatsep=flatsep,
                 env=env, barred=barred, comments=comments, ragged=ragged,
                 implicit_header=implicit_header, num_fmt=num_fmt,
-                infer_mode=infer_mode, loads=loads, no_dedupe=no_dedupe)
+                infer_mode=infer_mode, loads=loads, no_dedupe=no_dedupe,
+                repifs=repifs, gen=gen, in_place=in_place,
+                stdin_redirect=stdin_redirect)
 
 
 # ---------------------------------------------------------------------------
@@ -1008,6 +1357,25 @@ def _load_df_body(case: Case) -> pd.DataFrame:
     frames = []
     korder: dict[int, list[str]] = {}
     comments_out: list[str] = []
+    if case.gen is not None:
+        # gen pseudo-reader (pseudo_reader_gen.go): sequential numeric
+        # records; stop is INCLUSIVE, negative steps count down
+        g = case.gen
+        name = g.get("field-name", "i")
+        start = _infer(g.get("start", "1"))
+        stop = _infer(g.get("stop", "100"))
+        step = _infer(g.get("step", "1"))
+        v = start
+        while (v <= stop) if step >= 0 else (v >= stop):
+            frames.append({name: v})
+            v = v + step
+            if step == 0:
+                break  # reference loops forever; one record is enough
+        df = pd.DataFrame(frames)
+        df["__row__"] = np.arange(len(df))
+        df.attrs["korder"] = {1: [name]} if frames else {}
+        df.attrs["raw_records"] = [dict(r) for r in frames]
+        return df
     files = []
     for f in case.files:
         if any(ch in f for ch in "*?["):
@@ -1024,6 +1392,12 @@ def _load_df_body(case: Case) -> pd.DataFrame:
         left_fmt = _flagvals(case.args, "-i")
     for fnum, f in enumerate(files, 1):
         p = os.path.join(REFERENCE, f)
+        if not os.path.exists(p):
+            # precopy targets live in the scratch write root (the
+            # reference tree is read-only); -I reads them back
+            mapped = _redirect_write_path(p)
+            if os.path.exists(mapped):
+                p = mapped
         p = _maybe_decompress(p, case.args)
         fmt = left_fmt if (left_fmt and fnum == 1) else case.ifmt
         # join's -f side is read by the verb's own reader; its comments
@@ -1059,6 +1433,12 @@ def _load_df_body(case: Case) -> pd.DataFrame:
                         implicit_header=case.implicit_header)]
         elif fmt == "yaml":
             recs = read_yaml_in(p)
+        elif fmt == "recutils":
+            recs = read_recutils(p)
+        elif fmt == "dcf":
+            recs = read_dcf(p)
+        elif fmt == "dkvpx":
+            recs = read_dkvpx(p, ifs=case.ifs or ",", ips=case.ips or "=")
         else:
             recs = read_dkvp(p, sep=case.ifs or ",", ips=case.ips or "=")
         korder[fnum] = list(recs[0].keys()) if recs else []
@@ -1090,12 +1470,21 @@ def _preprocess_input(p: str, case: Case, comments_out: list[str]) -> str:
     with open(p, encoding="utf-8", errors="surrogateescape") as f:
         text = f.read()
     if case.irs in (None, "\n") and not case.comments \
-            and "\r\n" not in text:
+            and not case.repifs and "\r\n" not in text:
         return p
     # CRLF/LF autodetect (record_reader autodetects line endings)
     text = text.replace("\r\n", "\n")
     if case.irs and case.irs != "\n":
         text = "\n".join(x for x in text.split(case.irs))
+    if case.repifs and case.ifs:
+        # --repifs: runs of IFS collapse to one separator, and
+        # leading/trailing IFS runs are stripped (record readers'
+        # AllowRepeatIFS)
+        esc = re.escape(case.ifs)
+        text = "\n".join(
+            re.sub(f"(?:{esc})+", case.ifs.replace("\\", "\\\\"),
+                   re.sub(f"^(?:{esc})+|(?:{esc})+$", "", ln))
+            for ln in text.split("\n"))
     if case.comments:
         mode, prefix = case.comments
         lines = []
@@ -1547,9 +1936,15 @@ def execute(case: Case, df: pd.DataFrame):
         out = df.drop(columns=["__row__", "__file__", "__filenum__"], errors="ignore").copy()
         for old, new in zip(pairs[::2], pairs[1::2]):
             if old in out.columns:
-                vals = out[old]
-                out = out.drop(columns=[old])
-                out[new] = vals  # overwrites an existing column (map put)
+                if new in out.columns and new != old:
+                    vals = out[old]
+                    out = out.drop(columns=[old])
+                    out[new] = vals  # overwrites existing column (map put)
+                else:
+                    # no collision: the field is re-keyed IN PLACE
+                    # (mlrmap rename preserves position; -I rewrites
+                    # compare output text byte-wise)
+                    out = out.rename(columns={old: new})
         return out, False
 
     if v == "label":
@@ -3785,9 +4180,6 @@ def _run_case_inner(case_dir: str,
         cmd = f.read().strip()
     rel = os.path.relpath(case_dir, REFERENCE)
     cmd = cmd.replace("${CASEDIR}", rel).replace("./" + rel, rel)
-    case = parse_cmd(cmd)
-    if case.unsupported:
-        return "skip", case.unsupported
     postcmp: list[tuple[str, str]] = []
     pc_file = os.path.join(case_dir, "postcmp")
     if os.path.exists(pc_file):
@@ -3802,6 +4194,35 @@ def _run_case_inner(case_dir: str,
             if os.path.exists(mapped):
                 os.unlink(mapped)
             postcmp.append((os.path.join(REFERENCE, exp_f), mapped))
+    pre_file = os.path.join(case_dir, "precopy")
+    if os.path.exists(pre_file):
+        # regtester.go precopy pairs: stage source files at their
+        # (scratch-mapped) destination before the run; -I reads and
+        # rewrites them there. Runs AFTER the postcmp pre-clear — for
+        # -I the postcmp targets ARE the precopied inputs.
+        import shutil
+
+        for line in open(pre_file).read().splitlines():
+            line = line.replace("${CASEDIR}", rel).strip()
+            if not line:
+                continue
+            src_f, dst_f = line.split()
+            shutil.copyfile(
+                os.path.join(REFERENCE, src_f),
+                _redirect_write_path(os.path.join(REFERENCE, dst_f)))
+    case = parse_cmd(cmd)
+    if case.fatal:
+        # CLI-level fatal (mlrrc parse error, bad profile): should-fail
+        # cases with empty expout pass on the failure itself
+        if expect_fail:
+            with open(os.path.join(case_dir, "expout"), encoding="utf-8",
+                      errors="surrogateescape") as f:
+                if f.read().strip() == "":
+                    return "pass", "failed as expected (CLI fatal)"
+            return "fail", f"{cmd}: expected output before CLI fatal"
+        return "fail", f"{cmd}: {case.fatal}"
+    if case.unsupported:
+        return "skip", case.unsupported
     if not case.env:
         return _run_case_body(case_dir, cmd, case, postcmp, expect_fail)
     saved: dict = {}
@@ -3942,9 +4363,52 @@ def _compare_postcmp(postcmp: list) -> tuple[bool, str]:
     return True, "ok"
 
 
+def _run_in_place(case_dir: str, cmd: str, case: Case, segments,
+                  df: pd.DataFrame, postcmp: list) -> tuple[str, str]:
+    """-I in-place processing (cli mode -I): each input file is run
+    through the verb chain separately and rewritten (at its
+    scratch-mapped path) in the OUTPUT format; stdout stays empty."""
+    for f in sorted(set(df["__file__"])) if "__file__" in df.columns \
+            else []:
+        sub = df[df["__file__"] == f].copy()
+        sub.attrs["korder"] = df.attrs.get("korder", {})
+        raw = df.attrs.get("raw_records")
+        if raw is not None:
+            mask = (df["__file__"] == f).tolist()
+            sub.attrs["raw_records"] = [r for r, m in zip(raw, mask) if m]
+        sub.attrs["stream_end_nr"] = len(sub)
+        cur = sub
+        for seg in segments:
+            sub_case = dataclasses.replace(
+                case, verb=seg[0], args=seg[1:], unsupported=None)
+            cur, _ordered = execute(sub_case, cur)
+            if isinstance(cur, RawText):
+                break
+            cur = cur.copy()
+            cur.attrs.pop("raw_records", None)
+            cur["__row__"] = np.arange(len(cur))
+        if isinstance(cur, RawText):
+            out_text = str(cur)
+        else:
+            recs = [] if cur is None or cur.empty else _df_records(cur)
+            out_text = render_records(recs, case.ofmt,
+                                      flatsep=case.flatsep or ".")
+        target = os.path.join(REFERENCE, f)
+        mapped = _redirect_write_path(target)
+        with open(mapped, "w", encoding="utf-8",
+                  errors="surrogateescape") as fh:
+            fh.write(out_text)
+    pok, pmsg = _compare_postcmp(postcmp)
+    if pok:
+        pok, pmsg = _compare_stderr(case_dir)
+    return ("pass", "in-place ok") if pok else ("fail", f"{cmd}: {pmsg}")
+
+
 def _run_case_body(case_dir: str, cmd: str, case: Case,
                    postcmp: list | None = None,
                    expect_fail: bool = False) -> tuple[str, str]:
+    from miller_ray.functions import FatalError
+
     postcmp = postcmp or []
     if expect_fail:
         case = dataclasses.replace(case, force_seq_dsl=True)
@@ -3966,8 +4430,15 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
             if seg and seg[0] in ("put", "filter") and "-v" in seg[1:]:
                 hdr, segments[si] = _ast_echo(seg)
                 headers.append(hdr)
+        if case.in_place and (not case.files or case.stdin_redirect
+                              or "__NO_INPUT__" in case.args):
+            # -I requires named input files (neither stdin nor -n)
+            raise FatalError("mlr: -I requires input files")
         df = load_df(case)
         passed_comments = df.attrs.get("passed_comments") or []
+        if case.in_place:
+            return _run_in_place(case_dir, cmd, case, segments, df,
+                                 postcmp)
         input_df = df
         # the reader's total record count: end-block NR context
         # survives dropping verbs (verb-head-early-out/0002)
@@ -4005,6 +4476,23 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
             if exp_text == "".join(headers):
                 return "pass", "ast echo (program produces no output)"
         return "skip", str(e)
+    except FatalError as e:
+        # reader-level fatal errors (recutils malformed stanza, dkvpx
+        # separator validation, -I without files): in should-fail mode
+        # compare any partial records emitted before the abort
+        if expect_fail:
+            precs = getattr(e, "partial_records", None) or []
+            got = render_records(precs, case.ofmt,
+                                 flatsep=case.flatsep or ".") \
+                if precs else ""
+            with open(os.path.join(case_dir, "expout"), encoding="utf-8",
+                      errors="surrogateescape") as f:
+                exp_text = f.read()
+            if got.rstrip("\n") == exp_text.rstrip("\n"):
+                return "pass", "failed as expected (reader abort)"
+            return "fail", (f"{cmd}: should-fail reader-abort mismatch: "
+                            f"got {got[:90]!r} want {exp_text[:90]!r}")
+        return "fail", f"raised {type(e).__name__}: {e}"
     except Exception as e:  # noqa: BLE001 — conformance harness reports
         return "fail", f"raised {type(e).__name__}: {e}"
     prefix = "".join(headers)
@@ -4088,7 +4576,7 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
         # collections (mlr auto-unflatten, record_writer_json)
         our_recs = [_auto_unflatten(r, sep=case.flatsep or ".")
                     for r in our_recs]
-    if case.ofmt != "json" and any(
+    if case.ofmt not in ("json", "dcf") and any(
             isinstance(x, (dict, list)) for r in our_recs
             for x in r.values()):
         # non-JSON writers auto-flatten collection values with FLATSEP

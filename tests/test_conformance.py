@@ -133,7 +133,14 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "verb-latin1-to-utf8", "verb-utf8-to-latin1",
           "io-csv-auto-unsparsify", "io-tsv-auto-unsparsify",
           "io-infer-flags", "io-ragged-implicit-header-tsv",
-          "verb-head-early-out"]
+          "verb-head-early-out",
+          # round 4iii: new I/O formats (recutils, dcf, dkvpx, gen
+          # pseudo-reader), --repifs, --ofmte/f/g, -I in-place with
+          # precopy staging, .mlrrc profiles, default-verb cat
+          "io-recutils", "io-dcf", "io-dkvpx", "io-gen",
+          "io-space-padding", "io-in-place-processing",
+          "cli-ofmt", "cli-default-verb-cat", "cli-mlrrc-profiles",
+          "cli-norc"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
