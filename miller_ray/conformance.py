@@ -1129,6 +1129,16 @@ def parse_cmd(cmd: str) -> Case:
         if t == "--norc":
             i += 1  # no .mlrrc is ever read in this harness
             continue
+        if t == "--no-shell":
+            env["MLR_NO_SHELL"] = "1"
+            i += 1
+            continue
+        if t in ("--prepipe", "--prepipex"):
+            if env.get("MLR_NO_SHELL") or os.environ.get("MLR_NO_SHELL"):
+                return Case("", [], [], fatal=(
+                    "mlr: --prepipe is disabled by --no-shell / "
+                    "MLR_NO_SHELL"))
+            return Case("", [], [], unsupported="main flag --prepipe")
         if t == "--skip-comments":
             comments = ("skip", "#")
             i += 1
@@ -1281,6 +1291,25 @@ def parse_cmd(cmd: str) -> Case:
             else:
                 args.append(t)
             j += 1
+    if verb == "script":
+        # mlr script parses format flags AFTER the verb
+        # (transformers/script.go own CLI loop)
+        kept = []
+        for tok in args:
+            fl = _FMT_FLAGS.get(tok)
+            if fl and fl[0] in ("iofmt", "ifmt", "ofmt", "pair", "pairb"):
+                kind2, val2 = fl
+                if kind2 == "iofmt":
+                    ifmt = ofmt = val2
+                elif kind2 == "ifmt":
+                    ifmt = val2
+                elif kind2 == "ofmt":
+                    ofmt = val2
+                else:
+                    ifmt, ofmt = val2
+            else:
+                kept.append(tok)
+        args = kept
     if ifmt == "jsonl":
         ifmt = "json"
 
@@ -1966,6 +1995,51 @@ def execute(case: Case, df: pd.DataFrame):
 
     if v == "nothing":
         return pd.DataFrame(), False
+
+    if v == "script":
+        # mlr script (transformers/script.go): run the -e program once
+        # with a next()-driven record cursor
+        from miller_ray import dsl as DSL
+
+        expr = _flagvals(a, "-e")
+        if expr is None:
+            raise Unsupported("script without -e")
+        prog = DSL.compile_program(expr)
+        recs_in = df.attrs.get("raw_records")
+        if recs_in is None:
+            recs_in = [
+                {k: x for k, x in row.items()
+                 if not str(k).startswith("__") and x is not None
+                 and not (isinstance(x, float) and np.isnan(x))}
+                for _, row in df.iterrows()]
+        recs, texts = DSL.run_script(prog, recs_in, ofmt="%.8f")
+        if texts and not recs:
+            return RawText("\n".join(texts) + "\n"), True
+        if not recs:
+            return pd.DataFrame(), False
+        return _rows_frame(pd.DataFrame({"__rows__": recs})), True
+
+    if v == "surv":
+        # Kaplan-Meier right-censored survival estimate
+        # (transformers/surv.go via gonum statmodel SurvfuncRight):
+        # records missing either field are skipped; event times only
+        dfld = _flagvals(a, "-d")
+        sfld = _flagvals(a, "-s")
+        if not dfld or not sfld or dfld not in df.columns \
+                or sfld not in df.columns:
+            return pd.DataFrame(), False
+        sub = df[[dfld, sfld]].dropna()
+        dur = sub[dfld].astype(float).to_numpy()
+        ev = sub[sfld].astype(float).to_numpy() != 0
+        rows = []
+        s_prob = 1.0
+        for t2 in np.unique(dur):
+            n_at = int((dur >= t2).sum())
+            d2 = int(((dur == t2) & ev).sum())
+            if d2 and n_at:
+                s_prob *= 1.0 - d2 / n_at
+                rows.append({"time": float(t2), "survival": s_prob})
+        return pd.DataFrame(rows), True
 
     if v == "stats2":
         df = _void_to_nan(df, (_flagvals(a, "-f") or "").split(","))
@@ -3924,8 +3998,12 @@ def _norm_coll(v):
     """Normalize numbers inside collection values so our full-precision
     floats compare equal to Miller's %.8f-rendered expout JSON."""
     if isinstance(v, dict):
-        return {str(k): _norm_coll(x) for k, x in v.items()}
-    if isinstance(v, list):
+        # key-sorted: Arrow struct round-trips reorder nested map keys
+        # (record-level keys are sorted in _rec_key already)
+        return {str(k): _norm_coll(x)
+                for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))}
+    if isinstance(v, (list, np.ndarray)):
+        # ndarray: an Arrow list column round-tripped through pandas
         return [_norm_coll(x) for x in v]
     return _norm(v)
 
@@ -3979,7 +4057,7 @@ def _rec_key(rec: dict) -> tuple:
             # csv.DictReader puts ragged-row extras under None — the
             # strict reader drops them (io-tsv-auto-unsparsify/over)
             continue
-        if isinstance(v, (dict, list)):
+        if isinstance(v, (dict, list, np.ndarray)):
             out.append((k, str(_norm_coll(v))))
             continue
         nv = _norm(v)
@@ -4414,6 +4492,7 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
         case = dataclasses.replace(case, force_seq_dsl=True)
     _LAST_STDERR.clear()
     os.environ["CASEDIR"] = os.path.relpath(case_dir, REFERENCE)
+    os.environ.setdefault("MLR_TEST_ROOT", REFERENCE)
     headers: list[str] = []
     passed_comments: list[str] = []
     try:

@@ -63,7 +63,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<string>"(\\.|[^"\\])*")
   | (?P<posfield>\$\[\[\[|\$\[\[|\$\[)
   | (?P<field>\$(\{[^}]*\}|[A-Za-z0-9_]+|\*))
-  | (?P<oosvar>@(\{[^}]*\}|[A-Za-z0-9_]+|\*))
+  | (?P<oosvar>@(\{[^}]*\}|[A-Za-z0-9_]+|\*)?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>\*\*|\.\+|\.-|\.\*|\./|//|<=>|<<|>>>|>>|<=|>=|==|!=~|!=|=~|!~|&&|\|\||\^\^|\?\?\??|[-+*/%<>=!?:;,().{}\[\]|&^~])
 """, re.VERBOSE)
@@ -431,6 +431,55 @@ def _unify_types(a: Value, b: Value) -> tuple[Value, Value]:
     return a, b
 
 
+def _unalias_idx(n: int, m: int) -> int:
+    """1-based index → 0-based, negative aliasing from the end
+    (mlrval_collections.go UnaliasArrayLengthIndex); 0 maps to -1."""
+    if m >= 1:
+        return m - 1
+    if m <= -1:
+        return m + n
+    return -1
+
+
+def _slice_value(c, lo, hi):
+    """Miller slice semantics (bifs/collections.go MillerSliceAccess):
+    1-based INCLUSIVE bounds, negative aliasing, out-of-range clamping,
+    lower>upper → empty; maps and scalars slice to (error); omitted or
+    void bounds default to 1 / length."""
+    if c is None:
+        return None  # absent[slice] = absent
+    if isinstance(c, list):
+        n, empty = len(c), []
+    elif isinstance(c, str):
+        n, empty = len(c), ""
+    else:
+        return "(error)"  # maps and scalars do not slice
+    if lo is None or (isinstance(lo, str) and lo == ""):
+        lo_i = 1
+    elif isinstance(lo, bool) or not isinstance(lo, (int, np.integer)):
+        return "(error)"
+    else:
+        lo_i = int(lo)
+    if hi is None or (isinstance(hi, str) and hi == ""):
+        hi_i = n
+    elif isinstance(hi, bool) or not isinstance(hi, (int, np.integer)):
+        return "(error)"
+    else:
+        hi_i = int(hi)
+    lz, uz = _unalias_idx(n, lo_i), _unalias_idx(n, hi_i)
+    if lz > uz:
+        return empty
+    if lz < 0:
+        lz = 0
+        if lz > uz:
+            return empty
+    if uz > n - 1:
+        uz = n - 1
+        if lz > uz:
+            return empty
+    return c[lz:uz + 1]
+
+
 def _index_value(container, key):
     """Miller collection indexing: maps by key, arrays 1-based with
     negative-from-end; out-of-range / missing -> absent (None)."""
@@ -662,10 +711,37 @@ class _Parser:
         left = self.additive()
         while self.peek() == ("op", "."):
             self.next()
+            # the dot operator doubles as map member access when the
+            # LHS evaluates to a map and the RHS is a bare name
+            # (cst/builtin_functions.go DotCallsiteNode: string2 is the
+            # RHS token literal; concat otherwise)
+            rhs_k, rhs_v = self.peek()
+            nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) \
+                else ("eof", "")
+            member = rhs_v if rhs_k == "ident" and nxt[1] != "(" else None
             right = self.additive()
 
-            def f(t, env, left=left, right=right):
-                a, b = left(t, env), right(t, env)
+            def f(t, env, left=left, right=right, member=member):
+                a = left(t, env)
+                if isinstance(a, dict) and member is not None:
+                    return a.get(member)  # absent when missing
+                if member is not None and _is_arr(a) and \
+                        pa.types.is_struct(a.type):
+                    # vectorized member access on a nested-JSON column
+                    try:
+                        return pc.struct_field(a, member)
+                    except (KeyError, pa.ArrowInvalid):
+                        return None  # absent when missing
+                if a is None and member is not None:
+                    # absent.name: the RHS bare name is usually an
+                    # undefined local (reads absent) — concat of two
+                    # absents is absent
+                    try:
+                        b = right(t, env)
+                    except DslError:
+                        return None
+                else:
+                    b = right(t, env)
                 if a is None and b is None:
                     return None  # absent . absent = absent
                 a = "" if a is None else _to_str_ofmt(a)
@@ -740,11 +816,36 @@ class _Parser:
 
     def postfix(self) -> Expr:
         """primary followed by zero or more [index] accesses (map key /
-        1-based array index; pkg/dsl/cst indexing)."""
+        1-based array index; pkg/dsl/cst indexing) or [lo:hi] slices
+        (bifs/collections.go MillerSliceAccess)."""
         base = self.primary()
         while self.peek() == ("op", "["):
             self.next()
-            idx = self.expr()
+            lo = hi = None
+            is_slice = False
+            if self.peek() == ("op", ":"):
+                is_slice = True
+                self.next()
+                if self.peek() != ("op", "]"):
+                    hi = self.expr()
+            else:
+                idx = self.expr()
+                if self.peek() == ("op", ":"):
+                    is_slice = True
+                    lo = idx
+                    self.next()
+                    if self.peek() != ("op", "]"):
+                        hi = self.expr()
+            if is_slice:
+                self.expect("]")
+
+                def fslice(t, env, base=base, lo=lo, hi=hi):
+                    c = base(t, env)
+                    lv = None if lo is None else _unscalar(lo(t, env))
+                    hv = None if hi is None else _unscalar(hi(t, env))
+                    return _slice_value(c, lv, hv)
+                base = fslice
+                continue
             self.expect("]")
 
             def f(t, env, base=base, idx=idx):
@@ -813,6 +914,10 @@ class _Parser:
         if k == "field":
             name = _field_name(v)
             if name == "*":
+                # $* in expression position needs the whole record —
+                # run the program through the sequential interpreter
+                self.force_seq = True
+
                 def fstar(t, env):
                     srec = env.get("\x00srec")
                     if srec is not None:
@@ -851,7 +956,10 @@ class _Parser:
                 if seq is None:
                     raise DslError("@oosvars require the sequential "
                                    "interpreter or an accumulator plan")
-                if name == "*":
+                if name in ("*", ""):
+                    # @* — and bare @ followed by ["key"] indexing
+                    # (dsl-indirect-oosvar-assignments) — read the
+                    # whole oosvar map
                     return {k: _copyval(v) for k, v in seq["oos"].items()}
                 return seq["oos"].get(name)
             return fo
@@ -996,6 +1104,8 @@ class _Parser:
                     elems.append(self.expr())
                     if self.peek() == ("op", ","):
                         self.next()
+                        if self.peek() == ("op", "]"):
+                            break  # trailing comma (mlr.bnf allows)
                         continue
                     break
             self.expect("]")
@@ -1042,6 +1152,17 @@ class _Parser:
                 self.next()
                 args.append(self.expr())
         self.expect(")")
+        if name == "next" and not args:
+            # mlr script cursor advance (transformers/script.go): load
+            # the next input record into $-space, false at EOF
+            self.force_seq = True
+
+            def fnext(t, env):
+                fn = env.get("\x00script_next")
+                if fn is None:
+                    raise DslError("next() is only valid in mlr script")
+                return fn()
+            return fnext
         if name in _SEQ_FNS:
             self.force_seq = True
         if name not in REGISTRY:
@@ -2065,6 +2186,12 @@ def _seq_oassign(name, idx_exprs, op, rhs, t, env, seq):
     val = rhs(t, env)
     if not isinstance(val, (dict, list)):
         val = _scalarize(val)
+    if name == "" and idx_exprs:
+        # @["name"][...] = ...: bare-@ root indexing; the first index
+        # IS the oosvar name (dsl-indirect-oosvar-assignments)
+        keyvals = [_unseq_val(e(t, env)) for e in idx_exprs]
+        name = _fmt_key(keyvals[0])
+        idx_exprs = [lambda t, env, k=k: k for k in keyvals[1:]]
     if not idx_exprs:
         if op == "=":
             if val is not None:
@@ -2274,7 +2401,9 @@ def _emit_split(base, v) -> list[dict]:
     if not isinstance(v, (dict, list)):
         return [{base if base is not None else "_": v}]
     if isinstance(v, list):
-        v = {str(i): x for i, x in enumerate(v, 1)}
+        # arrays are leaf emittables: one record {name: array}
+        # (dsl-slice/0001 "a35": [3, 4, 5]; empty arrays still emit)
+        return [{base if base is not None else "_": v}]
     if not _has_map_vals(v):
         rec = {kk: vv for kk, vv in v.items() if vv is not None}
         return [rec] if rec else []
@@ -2640,6 +2769,46 @@ def _run_records_impl(self, records: list[dict], seeds: list[dict] | None
     try:
         return _run_records_body(self, records, seeds, quiet, ofmt,
                                  want_filter, sinks, flatsep, end_nr)
+    finally:
+        _bifs.OFMT = saved
+
+
+def run_script(prog, records, ofmt=None, flatsep="."):
+    """mlr script (transformers/script.go): the whole program runs
+    ONCE; the DSL next() function advances a record cursor, loading
+    each input record into $-space and returning false at EOF.
+    Returns (emitted records, text output lines)."""
+    from miller_ray import functions as _bifs
+
+    saved = _bifs.OFMT
+    if ofmt is not None:
+        _bifs.OFMT = ofmt
+    try:
+        seq = {"oos": {}, "emitted": [], "texts": [], "ofmt": ofmt,
+               "flatsep": flatsep}
+        srec: dict = {}
+        cur = {"i": 0}
+
+        def _next():
+            if cur["i"] >= len(records):
+                return False
+            srec.clear()
+            srec.update(records[cur["i"]])
+            cur["i"] += 1
+            return True
+
+        env = {"\x00seq": seq, "\x00funcs": getattr(prog, "funcs", {}),
+               "\x00subrs": getattr(prog, "subrs", {}),
+               "\x00scopes": [{}], "\x00prog": prog,
+               "\x00srec": srec, "\x00script_next": _next}
+        state = {"mask": None, "bare": None}
+        empty = pa.table({})
+        stmts = list(getattr(prog, "begin", []) or []) + \
+            list(prog.statements) + list(getattr(prog, "end", []) or [])
+        prog._exec(stmts, empty, env, None, state)
+        # emitted records also appear in outq ("rec", r); emitted alone
+        # is the deduplicated record list
+        return list(seq["emitted"]), list(seq["texts"])
     finally:
         _bifs.OFMT = saved
 

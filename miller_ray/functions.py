@@ -73,7 +73,17 @@ def _f(x):
 
 # --- strings (pkg/bifs/strings.go) -----------------------------------------
 
-bif("strlen")(lambda x: pc.utf8_length(_s(x)))
+@bif("strlen")
+def _strlen_bif(x):
+    """BIF_strlen: absent passes through; collections are type
+    errors (dsl-mapvars-in-scalar-function-call-contexts)."""
+    if isinstance(x, (dict, list)):
+        return "(error)"
+    if x is None:
+        return None
+    if not isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return len(_render_scalar(x))
+    return pc.utf8_length(_s(x))
 
 
 def _l1_one(v, to_utf8: bool):
@@ -205,16 +215,35 @@ def _go_repl(b) -> str:
 
 
 bif("matches")(lambda x, p: pc.match_substring_regex(_s(x), _raw_pat(p)))
-bif("contains")(lambda x, p: pc.match_substring(_s(x), p))
-# 1-up position; -1 when absent (BIF_index, pkg/bifs/strings.go — note:
-# byte offsets here vs the reference's UTF-8 codepoint offsets; they
-# agree on ASCII, documented divergence for multi-byte text)
+
+
+@bif("contains")
+def _contains_bif(x, p):
+    """BIF_contains (pkg/bifs/strings.go:201): absent x passes
+    through, collections are type errors, scalars coerce to their
+    string form (contains("123", 3) is true)."""
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pc.match_substring(_s(x), _render_scalar(p))
+    if x is None:
+        return None
+    if isinstance(x, (dict, list)) or isinstance(p, (dict, list)):
+        return "(error)"
+    if p is None:
+        return True  # absent substring stringifies to ""
+    return _render_scalar(p) in _render_scalar(x)
+
+
+# 1-up position in codepoints; -1 when not found (BIF_index,
+# pkg/bifs/strings.go:176)
 @bif("index")
 def _index_bif(x, p):
     if not isinstance(x, (pa.Array, pa.ChunkedArray)):
-        if x is None or p is None:
+        if x is None:
+            return None
+        if isinstance(x, (dict, list)) or isinstance(p, (dict, list)):
             return "(error)"
-        i2 = str(x).find(str(p))
+        i2 = _render_scalar(x).find(
+            "" if p is None else _render_scalar(p))
         return i2 + 1 if i2 >= 0 else -1
     return pc.if_else(
         pc.equal(pc.find_substring(_s(x), str(p)), -1),
@@ -1822,10 +1851,21 @@ def _unflatten_fn(m, sep):
     return out
 
 
+def _no_shell() -> bool:
+    """--no-shell / MLR_NO_SHELL disables shell-outs (option_parse.go;
+    bifs/system.go returns an error mlrval instead of executing)."""
+    import os as _os
+
+    v = _os.environ.get("MLR_NO_SHELL", "")
+    return v not in ("", "0", "false")
+
+
 @bif("system")
 def _system(cmd):
     import subprocess
 
+    if _no_shell():
+        return "(error)"
     r = subprocess.run(str(cmd), shell=True, capture_output=True, text=True)
     return r.stdout.rstrip("\n")
 
@@ -1834,9 +1874,37 @@ def _system(cmd):
 def _exec_fn(prog, argv, *rest):
     import subprocess
 
+    if _no_shell():
+        return "(error)"
     args = [str(prog)] + [str(a) for a in (argv or [])]
     r = subprocess.run(args, capture_output=True, text=True)
     return r.stdout.rstrip("\n")
+
+
+@bif("stat")
+def _stat_bif(x):
+    """BIF_stat (bifs/system.go): file metadata map {name, size, mode,
+    modtime, isdir}; an error mlrval when the path does not exist.
+    Relative paths also resolve against MLR_TEST_ROOT (the conformance
+    harness runs with a different cwd than the reference regtester)."""
+    import os as _os
+
+    if isinstance(x, (dict, list)):
+        return "(error)"
+    p = str(x)
+    if not _os.path.isabs(p) and not _os.path.exists(p):
+        root = _os.environ.get("MLR_TEST_ROOT", "")
+        if root and _os.path.exists(_os.path.join(root, p)):
+            p = _os.path.join(root, p)
+    try:
+        st = _os.stat(p)
+    except OSError:
+        return "(error)"
+    return {"name": _os.path.basename(_os.path.normpath(p)),
+            "size": int(st.st_size),
+            "mode": int(st.st_mode & 0o7777),
+            "modtime": int(st.st_mtime),
+            "isdir": bool(__import__("stat").S_ISDIR(st.st_mode))}
 
 
 bif("hostname")(lambda: __import__("socket").gethostname())

@@ -819,6 +819,95 @@ def join(ds, right, on: list[str], how: str = "inner",
     return ds.join(right, join_type=how, num_partitions=num_partitions, on=tuple(on))
 
 
+def sorted_merge_join(ds, left, right_on: list[str],
+                      left_on: list[str] | None = None,
+                      emit_paired: bool = True,
+                      emit_unpaired_left: bool = False,
+                      emit_unpaired_right: bool = False,
+                      lp: str = "", rp: str = "",
+                      ignore_empty: bool = False):
+    """Verb ``join -s`` engine path (join.go --sorted-input;
+    utils/join_bucket_keeper.go:118): both sides are key-sorted, so
+    equal keys form contiguous runs and pairing needs no hash of the
+    full left side. Ray-native shape: tag each side, align to one
+    union schema, and let ``groupby(keys).map_groups`` co-locate each
+    key's run — on already-sorted inputs Ray's sort-based exchange is
+    a near-no-op re-range, not a random shuffle. Each key group pairs
+    left×stream rows (cartesian within the key, as the bucket keeper
+    does for equal-key runs); unpaired sides emit under --ul/--ur.
+
+    Works large-large: no side is ingested whole; memory is bounded by
+    the largest single key run (skewed keys hurt — same caveat as the
+    reference, which buffers one key's bucket).
+
+    Output is unordered (Dataset semantics); Miller's stream order is
+    a single-node streaming artifact."""
+    left_on = left_on or right_on
+    lds = left if not isinstance(left, pd.DataFrame) else None
+    import ray.data as rd
+
+    if lds is None:
+        lds = rd.from_pandas(left)
+    key_ren = {l: r for l, r in zip(left_on, right_on) if l != r}
+    if key_ren:
+        lds = lds.rename_columns(key_ren)
+    snames = [c for c in ds.schema().names if c != "__side__"]
+    lnames = [c for c in lds.schema().names if c != "__side__"]
+    lnonkey = [c for c in lnames if c not in right_on]
+    snonkey = [c for c in snames if c not in right_on]
+    lcols_all = [lp + c for c in lnonkey]
+    scols_all = [rp + c for c in snonkey]
+    # unprefixed collisions: the stream side wins in paired records
+    # (join.go map-put order — left first, right overwrites)
+    out_cols = list(right_on) + lcols_all + scols_all
+    # one union schema (key cols + BOTH sides' prefixed non-keys)
+    ucols = list(dict.fromkeys(out_cols))
+
+    def tag(side: int, nonkey: list[str], prefix: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(index=df.index)
+            for k in right_on:
+                out[k] = df[k] if k in df.columns else None
+            for c in nonkey:
+                out[prefix + c] = df[c]
+            for c in ucols:
+                if c not in out.columns:
+                    out[c] = None
+            out["__side__"] = side
+            return out[ucols + ["__side__"]]
+        return f
+
+    tagged = lds.map_batches(tag(0, lnonkey, lp), batch_format="pandas") \
+        .union(ds.map_batches(tag(1, snonkey, rp), batch_format="pandas"))
+
+    lcols = [lp + c for c in lnonkey]
+    scols = [rp + c for c in snonkey]
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        keyrow = df.iloc[0]
+        key_ok = all(not pd.isna(keyrow[k]) for k in right_on)
+        if ignore_empty:
+            key_ok = key_ok and all(keyrow[k] != "" for k in right_on)
+        ls = df[df["__side__"] == 0]
+        ss = df[df["__side__"] == 1]
+        parts = []
+        if not key_ok or ls.empty or ss.empty:
+            if emit_unpaired_left and not ls.empty:
+                parts.append(ls[list(right_on) + lcols])
+            if emit_unpaired_right and not ss.empty:
+                parts.append(ss[list(right_on) + scols])
+        elif emit_paired:
+            # cartesian within the key run (equal-key bucket pairing)
+            parts.append(ls[list(right_on) + lcols]
+                         .merge(ss[scols], how="cross"))
+        out = pd.concat(parts, ignore_index=True) if parts else \
+            df.iloc[0:0][ucols]
+        return out.reindex(columns=ucols)
+
+    return tagged.groupby(right_on).map_groups(
+        per_key, batch_format="pandas")
+
+
 def mlr_join(ds, left, left_on: list[str], right_on: list[str] | None = None,
              emit_paired: bool = True, emit_unpaired_left: bool = False,
              emit_unpaired_right: bool = False,
@@ -2116,6 +2205,86 @@ def decimate_positional(ds, n: int, group_by: list[str], order_by: str,
         return df[mask]
 
     return ds.groupby(group_by).map_groups(f, batch_format="pandas")
+
+
+def altkv(ds):
+    """Verb ``altkv`` (transformers/altkv.go): positional values become
+    alternating key/value pairs — odd fields are the keys of the even
+    fields; a trailing odd value gets a positional key. Batch-local
+    (each record maps independently); the union schema across batches
+    is data-dependent, as in the reference."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, row in df.iterrows():
+            vals = [x for x in row.tolist() if not pd.isna(x)]
+            r: dict = {}
+            for i in range(0, len(vals) - 1, 2):
+                r[str(vals[i])] = vals[i + 1]
+            if len(vals) % 2:
+                r[str(len(vals) // 2 + 1)] = vals[-1]
+            rows.append(r)
+        return pd.DataFrame(rows)
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def gap(ds, n: int, order_col: str):
+    """Verb ``gap -n`` (transformers/gap.go): insert an all-null
+    spacer record every n records. Presentation-only in the reference;
+    here the spacer keeps the order column (fractional) so downstream
+    sorts preserve placement. Needs an explicit order column in a
+    distributed setting; block-local modulo uses the GLOBAL order
+    index, so the result is partitioning-independent."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in df.iterrows():
+            i = int(row[order_col])
+            if i > 0 and i % n == 0:
+                spacer = {c: None for c in df.columns}
+                spacer[order_col] = i - 0.5
+                out.append(spacer)
+            out.append(row.to_dict())
+        return pd.DataFrame(out)
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def group_like(ds, order_col: str):
+    """Verb ``group-like`` (transformers/group_like.go): records
+    regroup by key-signature (the set of non-null fields), signatures
+    in first-seen stream order, original order within each group.
+    Distributed shape: one pass stamps each row's signature, a tiny
+    groupby finds each signature's first occurrence (broadcast), and a
+    single sort by (signature_first_seen, order) lands the layout —
+    no driver-side loop over rows."""
+    import ray.data as rd  # noqa: F401
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        sigs = []
+        cols = [c for c in df.columns if c != "__sig__"]
+        for _, row in df.iterrows():
+            sigs.append("\x1f".join(
+                c for c in cols if not pd.isna(row[c])))
+        df = df.copy()
+        df["__sig__"] = sigs
+        return df
+
+    stamped = ds.map_batches(stamp, batch_format="pandas")
+    firsts = stamped.groupby("__sig__").min(order_col)
+    first_seen = {r["__sig__"]: r[f"min({order_col})"]
+                  for r in firsts.take_all()}  # tiny: one row/signature
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__sigrank__"] = df["__sig__"].map(first_seen)
+        return df
+
+    out = stamped.map_batches(rank, batch_format="pandas") \
+        .sort(["__sigrank__", order_col]) \
+        .drop_columns(["__sig__", "__sigrank__"])
+    return out
 
 
 def case_keys(ds, how: str = "upper"):

@@ -140,7 +140,13 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "io-recutils", "io-dcf", "io-dkvpx", "io-gen",
           "io-space-padding", "io-in-place-processing",
           "cli-ofmt", "cli-default-verb-cat", "cli-mlrrc-profiles",
-          "cli-norc"]
+          "cli-norc",
+          # round 4iv: slices, bare-@ oosvar indexing, map-dot access,
+          # contains/index/stat BIFs, no-shell guards, mlr script,
+          # Kaplan-Meier surv
+          "dsl-slice", "dsl-contains", "dsl-indirect-oosvar-assignments",
+          "dsl-map-dot", "dsl-mapvars-in-scalar-function-call-contexts",
+          "dsl-stat", "no-shell", "script", "verb-surv"]
 
 
 @pytest.mark.parametrize("suite", SUITES)

@@ -120,3 +120,53 @@ def test_grouped_rank_no_map_groups(rd):
     out = verbs.rank(ds, "x", group_by=["g"]).to_pandas()
     out = out.sort_values(["g", "x"]).reset_index(drop=True)
     assert out["x_rank"].tolist() == [1, 2, 2, 4, 1, 1, 3]
+
+
+def test_altkv(rd):
+    t = pa.table({"1": ["a", "k"], "2": [1, 2], "3": ["b", None],
+                  "4": [5, None]})
+    out = verbs.altkv(rd.from_arrow(t)).to_pandas()
+    recs = out.to_dict("records")
+    assert recs[0]["a"] == 1 and recs[0]["b"] == 5
+    # trailing odd value gets a positional key
+    assert recs[1]["k"] == 2
+
+
+def test_gap(rd):
+    t = pa.table({"x": [10, 20, 30, 40], "ord": [0, 1, 2, 3]})
+    out = verbs.gap(rd.from_arrow(t), 2, "ord").to_pandas()
+    out = out.sort_values("ord").reset_index(drop=True)
+    # one spacer before global index 2
+    assert len(out) == 5
+    assert pd.isna(out["x"].iloc[2])
+
+
+def test_group_like(rd):
+    rows = [{"a": 1, "ord": 0}, {"b": 2, "ord": 1}, {"a": 3, "ord": 2},
+            {"b": 4, "ord": 3}]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = verbs.group_like(ds, "ord").to_pandas()
+    # a-signature rows first (signature first seen at ord 0), in order
+    assert out["ord"].tolist() == [0, 2, 1, 3]
+
+
+def test_sorted_merge_join(rd):
+    left = pd.DataFrame({"id": [1, 1, 2, 4], "lv": ["a", "b", "c", "d"]})
+    stream = rd.from_pandas(pd.DataFrame(
+        {"id": [1, 2, 2, 3], "sv": ["x", "y", "z", "w"]}))
+    out = verbs.sorted_merge_join(stream, left, ["id"]).to_pandas()
+    # inner pairs: id=1 (2 left x 1 stream), id=2 (1 left x 2 stream)
+    assert len(out) == 4
+    assert sorted(out[out["id"] == 1]["lv"]) == ["a", "b"]
+    assert set(out[out["id"] == 2]["sv"]) == {"y", "z"}
+    # unpaired flags
+    ul = verbs.sorted_merge_join(stream, left, ["id"], emit_paired=False,
+                                 emit_unpaired_left=True).to_pandas()
+    assert ul["id"].tolist() == [4]
+    ur = verbs.sorted_merge_join(stream, left, ["id"], emit_paired=False,
+                                 emit_unpaired_right=True).to_pandas()
+    assert ur["id"].tolist() == [3]
+    # --lp/--rp prefixes on non-key fields
+    pref = verbs.sorted_merge_join(stream, left, ["id"],
+                                   lp="l_", rp="r_").to_pandas()
+    assert "l_lv" in pref.columns and "r_sv" in pref.columns
