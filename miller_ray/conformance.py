@@ -1078,6 +1078,10 @@ def parse_cmd(cmd: str) -> Case:
             while i < len(toks) and toks[i] != "--":
                 files.append(toks[i])
                 i += 1
+            if i >= len(toks):
+                # unterminated list is a CLI fatal (option_parse.go)
+                return Case("", [], [], fatal=(
+                    'mlr: "--mfrom" must be terminated by "--".'))
             i += 1  # past the closing --
             continue
         if t in ("--ifs", "--ips", "--irs", "--ofs", "--ops", "--ors"):

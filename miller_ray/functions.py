@@ -347,11 +347,27 @@ def _strrev(x):
 
 # --- arithmetic / math (pkg/bifs/arithmetic.go, mathlib.go) ----------------
 
+def _int_preserving(fn):
+    """ceil/floor/round/roundm are int-preserving (bifs/mathlib.go
+    math-unary dispositions: int input stays int)."""
+    def wrapped(x, *rest):
+        if isinstance(x, (int, np.integer)) and not isinstance(x, bool) \
+                and all(isinstance(r2, (int, np.integer)) for r2 in rest):
+            out = fn(x, *rest)
+            if isinstance(out, (pa.Array, pa.ChunkedArray)):
+                return out
+            sc = out.as_py() if hasattr(out, "as_py") else out
+            return int(sc)
+        return fn(x, *rest)
+    return wrapped
+
+
 bif("abs")(lambda x: pc.abs(x))
-bif("ceiling")(lambda x: pc.ceil(_f(x)))
-bif("floor")(lambda x: pc.floor(_f(x)))
-bif("round")(lambda x: pc.round(_f(x), 0))
-bif("roundm")(lambda x, m: pc.multiply(pc.round(pc.divide(_f(x), m), 0), m))
+bif("ceiling")(_int_preserving(lambda x: pc.ceil(_f(x))))
+bif("floor")(_int_preserving(lambda x: pc.floor(_f(x))))
+bif("round")(_int_preserving(lambda x: pc.round(_f(x), 0)))
+bif("roundm")(_int_preserving(
+    lambda x, m: pc.multiply(pc.round(pc.divide(_f(x), m), 0), m)))
 bif("sgn")(lambda x: pc.sign(x))
 bif("exp")(lambda x: pc.exp(_f(x)))
 bif("expm1")(lambda x: pa.array(np.expm1(np.asarray(_f(x)))))
@@ -796,7 +812,7 @@ def _b64d(x):
 
 # --- round-2 additions: strings, padding, regex, time, modular, math -------
 
-bif("ceil")(lambda x: pc.ceil(_f(x)))  # alias of ceiling
+bif("ceil")(_int_preserving(lambda x: pc.ceil(_f(x))))  # alias of ceiling
 @bif("length")
 def _length(x):
     """Collection size: map -> #keys, array -> #elements, scalar -> 1
