@@ -3651,6 +3651,44 @@ def _exec_join(a: list[str], df: pd.DataFrame):
                     str(lr[k]) for k in lfs) not in matched:
                 ul_out.append(lr)
     else:
+        # genuinely key-sorted inputs run through the ENGINE op
+        # (verbs.sorted_merge_join: tag-union + per-key map_groups);
+        # the bucket-keeper simulation below only covers the
+        # scrambled-input fixtures whose missed-pair output is an
+        # input-order artifact of the reference's streaming keeper
+        def _tup_le(x: tuple, y: tuple) -> bool:
+            for a2, b2 in zip(x, y):
+                c2 = _cmp_keys(a2, b2)
+                if c2 != 0:
+                    return c2 < 0
+            return True
+
+        def _key_sorted(rs: list[dict], kfs: list[str]) -> bool:
+            ks = [tuple(r[k] for k in kfs) for r in rs]
+            return all(_tup_le(ks[i2], ks[i2 + 1])
+                       for i2 in range(len(ks) - 1))
+
+        all_usable = all(usable(lr, lfs) for lr in lrecs) and \
+            all(usable(rr, rfs) for rr in rrecs)
+        if lrecs and rrecs and all_usable and _key_sorted(lrecs, lfs) \
+                and _key_sorted(rrecs, rfs):
+            from miller_ray import verbs
+
+            lframe = pd.DataFrame(lrecs)
+            rframe = pd.DataFrame(rrecs)
+            # groupby keys must agree in type across sides (the sim
+            # hashes str()-keys); stringify for the exchange, the
+            # normalized comparison re-infers numbers
+            for kf, rf2 in zip(lfs, rfs):
+                lframe[kf] = lframe[kf].astype(str)
+                rframe[rf2] = rframe[rf2].astype(str)
+            out = verbs.sorted_merge_join(
+                _ds(rframe), lframe, right_on=rfs, left_on=lfs,
+                emit_paired=emit_paired, emit_unpaired_left=emit_ul,
+                emit_unpaired_right=emit_ur, lp=lp, rp=rp,
+                ignore_empty=ignore_empty).to_pandas()
+            out = out.rename(columns=dict(zip(rfs, jouts)))
+            return out, False
         # bucket keeper: left grouped by CONSECUTIVE equal keys; advance
         # only forward as right keys arrive
         if len(lfs) > 1:

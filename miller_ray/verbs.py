@@ -848,12 +848,13 @@ def sorted_merge_join(ds, left, right_on: list[str],
 
     if lds is None:
         lds = rd.from_pandas(left)
-    key_ren = {l: r for l, r in zip(left_on, right_on) if l != r}
-    if key_ren:
-        lds = lds.rename_columns(key_ren)
+    # left key columns are read under their own names and written
+    # under the stream's (rename inside the tag step — Ray's
+    # rename_columns requires Arrow blocks)
+    lkey_src = dict(zip(right_on, left_on))
     snames = [c for c in ds.schema().names if c != "__side__"]
     lnames = [c for c in lds.schema().names if c != "__side__"]
-    lnonkey = [c for c in lnames if c not in right_on]
+    lnonkey = [c for c in lnames if c not in left_on]
     snonkey = [c for c in snames if c not in right_on]
     lcols_all = [lp + c for c in lnonkey]
     scols_all = [rp + c for c in snonkey]
@@ -863,11 +864,12 @@ def sorted_merge_join(ds, left, right_on: list[str],
     # one union schema (key cols + BOTH sides' prefixed non-keys)
     ucols = list(dict.fromkeys(out_cols))
 
-    def tag(side: int, nonkey: list[str], prefix: str):
+    def tag(side: int, nonkey: list[str], prefix: str, keymap: dict):
         def f(df: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame(index=df.index)
             for k in right_on:
-                out[k] = df[k] if k in df.columns else None
+                src = keymap.get(k, k)
+                out[k] = df[src] if src in df.columns else None
             for c in nonkey:
                 out[prefix + c] = df[c]
             for c in ucols:
@@ -877,8 +879,10 @@ def sorted_merge_join(ds, left, right_on: list[str],
             return out[ucols + ["__side__"]]
         return f
 
-    tagged = lds.map_batches(tag(0, lnonkey, lp), batch_format="pandas") \
-        .union(ds.map_batches(tag(1, snonkey, rp), batch_format="pandas"))
+    tagged = lds.map_batches(tag(0, lnonkey, lp, lkey_src),
+                             batch_format="pandas") \
+        .union(ds.map_batches(tag(1, snonkey, rp, {}),
+                              batch_format="pandas"))
 
     lcols = [lp + c for c in lnonkey]
     scols = [rp + c for c in snonkey]
