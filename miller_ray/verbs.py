@@ -1691,30 +1691,71 @@ def cumulative_fraction(ds, field: str, group_by: list[str] | None = None,
 def stats1_windowed(ds, accs: list[str], fields: list[str], group_by: list[str],
                     order_by: str, window: int):
     """Verb ``stats1 -w n`` (stats1.go:478-550): per-group trailing
-    window of the last n records, re-emitting per record. Miller keeps a
-    ring buffer per group; here it is a per-group pandas rolling over an
-    explicit order column (stream order is not stable distributed).
-    Supported accs: count, sum, mean, min, max, var, stddev.
+    window of the last n records, re-emitting per record. Miller keeps
+    a ring buffer per group; stream order is not stable distributed, so
+    an explicit order column is required.
 
-    NOT a scale path: each group shuffles whole to one reducer and
-    rolls in pandas. The 100-TB shape is sort by (group, order) +
-    map_batches with a (window-1)-row boundary carry per group —
-    unimplemented; this facade is conformance/small-data only."""
+    SCALE path (no per-group reducer): sort by (group..., order), then
+    one parallel task per sorted BLOCK with a (window-1)-row boundary
+    CARRY fetched from the preceding blocks' tails — tiny objects, one
+    per block. A hot group spans many blocks and still parallelizes;
+    per-task memory is block + window-1 rows. Supported accs: count,
+    sum, mean, min, max, var, stddev."""
+    import ray
+    import ray.data as rd
+
     roll_fns = {"count": "count", "sum": "sum", "mean": "mean", "min": "min",
                 "max": "max", "var": "var", "stddev": "std"}
     bad = [a for a in accs if a not in roll_fns]
     if bad:
         raise ValueError(f"unsupported windowed accumulators: {bad}")
+    gb = list(group_by or [])
+    sorted_ds = ds.sort(gb + [order_by]).materialize()
+    block_refs = [br for bundle in sorted_ds.iter_internal_ref_bundles()
+                  for br in bundle.block_refs]
 
-    def apply(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_by)
+    @ray.remote
+    def _nrows(block) -> int:
+        return len(block)
+
+    @ray.remote
+    def _tail(block, k: int):
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        return df.tail(k)
+
+    @ray.remote
+    def _roll(block, *carry_parts):
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        n = len(df)
+        work = pd.concat([*carry_parts, df], ignore_index=True) \
+            if carry_parts else df.reset_index(drop=True)
         for f in fields:
-            r = df[f].rolling(window, min_periods=1)
             for a in accs:
-                df[f"{f}_{a}_w{window}"] = getattr(r, roll_fns[a])()
-        return df
+                fn = roll_fns[a]
+                if gb:
+                    col = work.groupby(gb, sort=False)[f].transform(
+                        lambda s, fn=fn: getattr(
+                            s.rolling(window, min_periods=1), fn)())
+                else:
+                    col = getattr(work[f].rolling(window, min_periods=1),
+                                  fn)()
+                work[f"{f}_{a}_w{window}"] = col
+        # carry rows were context only; emit just this block's rows
+        return work.iloc[len(work) - n:].reset_index(drop=True)
 
-    return ds.groupby(group_by).map_groups(apply, batch_format="pandas")
+    nrows = ray.get([_nrows.remote(b) for b in block_refs])
+    carry_need = window - 1
+    out_refs = []
+    for i, b in enumerate(block_refs):
+        parts, need, j = [], carry_need, i - 1
+        while need > 0 and j >= 0:
+            take = min(need, nrows[j])
+            if take > 0:
+                parts.insert(0, _tail.remote(block_refs[j], take))
+                need -= take
+            j -= 1
+        out_refs.append(_roll.remote(b, *parts))
+    return rd.from_pandas_refs(out_refs)
 
 
 def cut_regex(ds, pattern: str, complement: bool = False):

@@ -170,3 +170,23 @@ def test_sorted_merge_join(rd):
     pref = verbs.sorted_merge_join(stream, left, ["id"],
                                    lp="l_", rp="r_").to_pandas()
     assert "l_lv" in pref.columns and "r_sv" in pref.columns
+
+
+def test_stats1_windowed_boundary_carry(rd):
+    # many blocks force carries across block boundaries; result must
+    # equal a single-partition pandas rolling
+    import numpy as np
+    n = 200
+    df = pd.DataFrame({"g": ["a", "b"] * (n // 2),
+                       "o": list(range(n // 2)) * 2,
+                       "x": np.arange(n, dtype=float)})
+    ds = rd.from_pandas(df).repartition(8)
+    out = verbs.stats1_windowed(ds, ["sum", "mean", "min"], ["x"],
+                                ["g"], "o", 5).to_pandas()
+    out = out.sort_values(["g", "o"]).reset_index(drop=True)
+    ref = df.sort_values(["g", "o"]).reset_index(drop=True)
+    for a, fn in (("sum", "sum"), ("mean", "mean"), ("min", "min")):
+        want = ref.groupby("g", sort=False)["x"].transform(
+            lambda s: getattr(s.rolling(5, min_periods=1), fn)())
+        got = out[f"x_{a}_w5"]
+        assert np.allclose(got.to_numpy(), want.to_numpy()), a
