@@ -1035,6 +1035,61 @@ bif("is_not_array")(_type_pred(lambda t: not (pa.types.is_list(t)
 bif("is_map")(_type_pred(pa.types.is_struct))
 bif("is_not_map")(_type_pred(lambda t: not pa.types.is_struct(t)))
 bif("is_nan")(lambda x: pc.is_nan(_f(x)))
+
+
+@bif("bytes")
+def _bytes_bif(x):
+    """BIF_bytes (bifs/types.go:240): string/void → bytes; other
+    scalar and collection types are type errors; absent passes."""
+    if x is None:
+        return None
+    if isinstance(x, bytes):
+        return x
+    if isinstance(x, str):
+        return x.encode("utf-8", errors="surrogateescape")
+    return "(error)"
+
+
+bif("is_bytes")(lambda x: isinstance(x, bytes))
+
+
+@bif("asserting_bytes")
+def _asserting_bytes(x):
+    if not isinstance(x, bytes):
+        raise FatalError(f"mlr: asserting_bytes failed on {x!r}")
+    return x
+
+
+_SPARK_TICKS = "▁▂▃▄▅▆▇█"
+
+
+@bif("sparkline")
+def _sparkline_bif(coll):
+    """BIF_sparkline (bifs/sparkline.go): one block glyph per element
+    scaled to the collection's min/max; VOID on empty, error for
+    non-collections or non-numeric elements."""
+    if isinstance(coll, dict):
+        vals = list(coll.values())
+    elif isinstance(coll, list):
+        vals = coll
+    else:
+        return "(error)"
+    try:
+        fv = [float(v) for v in vals]
+    except (TypeError, ValueError):
+        return "(error)"
+    if not fv:
+        return ""
+    lo, hi = min(fv), max(fv)
+    n = len(_SPARK_TICKS)
+    out = []
+    for v in fv:
+        if hi == lo:
+            out.append(_SPARK_TICKS[0])
+            continue
+        i = int((n - 1) * (v - lo) / (hi - lo) + 0.5)
+        out.append(_SPARK_TICKS[min(max(i, 0), n - 1)])
+    return "".join(out)
 bif("is_empty")(lambda x: pc.equal(_s(x), ""))
 bif("is_not_empty")(lambda x: pc.not_equal(_s(x), ""))
 # number-shaped per Miller's scanner incl. hex/octal/binary int forms
