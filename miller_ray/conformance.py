@@ -508,6 +508,111 @@ def parse_dkvpx_out(text: str, ofs: str = ",", ops: str = "=") -> list[dict]:
     return recs
 
 
+def _fw_indexes(spec: str, ref_row: str) -> list[int]:
+    """Fixed-width column split points (fixed_width_splitter.go):
+    widths:N,N,... are cumulative offsets; the align specs derive
+    offsets from a reference row's word layout (multi-word variants
+    treat a SINGLE space as intra-word)."""
+    if spec.startswith("widths:"):
+        out, pos = [], 0
+        for w in spec[len("widths:"):].split(","):
+            pos += int(w.strip())
+            out.append(pos)
+        return out
+    multi = spec.endswith("-multi-word")
+    out = []
+    if spec.startswith("left-align"):
+        in_word, first_space = True, False
+        for i, c in enumerate(ref_row):
+            if c != " ":
+                if not in_word:
+                    out.append(i)
+                in_word = True
+            elif multi:
+                if first_space:
+                    in_word, first_space = False, False
+                else:
+                    first_space = True
+            else:
+                in_word = False
+        return out
+    if spec.startswith("right-align"):
+        in_word, first_space = False, False
+        for i, c in enumerate(ref_row):
+            if c != " ":
+                in_word, first_space = True, False
+            else:
+                if in_word:
+                    if multi:
+                        first_space = True
+                    else:
+                        out.append(i)
+                elif multi and first_space:
+                    out.append(i - 1)
+                    first_space = False
+                in_word = False
+        return out
+    raise Unsupported(f"fixed-width spec {spec}")
+
+
+def _fw_split(line: str, indexes: list[int]) -> list[str]:
+    if not indexes:
+        return [line]
+    out, si = [], 0
+    for idx in indexes:
+        if idx > len(line):
+            break
+        out.append(line[si:idx])
+        si = idx
+    rest = line[si:]
+    if rest != "":
+        out.append(rest)
+    return out
+
+
+def read_fixed_width(path: str, spec: str, implicit_header: bool = False,
+                     ragged: bool = False) -> list[dict]:
+    """--fw / --fixed pprint input (record_reader_pprint.go fixed-width
+    path): the first non-separator line is the splitter's reference
+    row; separator lines (dashes/equals) are skipped; blank lines
+    reset the header block."""
+    sep_rx = re.compile(r"^[-=─ ]*$")
+    recs: list[dict] = []
+    hdr: list[str] | None = None
+    indexes: list[int] | None = None
+    with open(path, encoding="utf-8", errors="surrogateescape") as f:
+        for raw in f:
+            line = raw.rstrip("\n").rstrip("\r")
+            if line == "":
+                hdr = indexes = None
+                continue
+            if sep_rx.fullmatch(line):
+                continue
+            if indexes is None:
+                indexes = _fw_indexes(spec, line)
+            fields = [x.strip() for x in _fw_split(line, indexes)]
+            if hdr is None:
+                if implicit_header:
+                    hdr = [str(i) for i in range(1, len(fields) + 1)]
+                else:
+                    hdr = _dedupe_header(fields)
+                    continue
+            elif not ragged and len(hdr) != len(fields):
+                from miller_ray.functions import FatalError
+
+                raise FatalError(
+                    f"mlr: fixed-width header/data length mismatch "
+                    f"{len(hdr)} != {len(fields)}")
+            rec: dict = {}
+            n = min(len(hdr), len(fields))
+            for i in range(n):
+                rec[hdr[i]] = _infer(fields[i])
+            for i in range(len(hdr), len(fields)):
+                rec[str(i + 1)] = _infer(fields[i])
+            recs.append(rec)
+    return recs
+
+
 def read_json_in(path: str) -> list[dict]:
     with open(path) as f:
         text = f.read()
@@ -528,9 +633,22 @@ def read_json_in(path: str) -> list[dict]:
     return list(data)
 
 
-def read_pprint(path: str, ifs: str | None = None) -> list[dict]:
+def read_pprint(path: str, ifs: str | None = None,
+                implicit_header: bool = False) -> list[dict]:
     with open(path) as f:
         text = f.read()
+    if implicit_header:
+        # -N / --implicit-pprint-header: every line is data, keys 1..n
+        recs0: list[dict] = []
+        for ln in text.splitlines():
+            if not ln.strip():
+                continue
+            parts = [x for x in (re.split(
+                "(?:" + re.escape(ifs) + ")+", ln.strip())
+                if ifs and ifs != " " else ln.split()) if x != ""]
+            recs0.append({str(i): _infer("" if v == "-" else v)
+                          for i, v in enumerate(parts, 1)})
+        return recs0
     if ifs and ifs != " ":
         # pprint pads columns with RUNS of the separator; split on runs
         # (record_reader_pprint splitter semantics)
@@ -821,6 +939,27 @@ def _parse_expout(case: "Case", text: str) -> list[dict]:
     if case.ors and case.ors != "\n":
         text = "\n".join(x for x in text.split(case.ors))
     f = case.ofmt
+    if case.headerless_out and f in ("csv", "csvlite", "tsv", "tsvlite",
+                                     "pprint", "markdown"):
+        # headerless output: every line is data, keys are positional
+        import csv as _csv
+        import io as _io
+
+        recs = []
+        for ln in text.splitlines():
+            if not ln.strip():
+                continue
+            if f in ("csv", "csvlite"):
+                row = next(_csv.reader(_io.StringIO(ln),
+                                       delimiter=case.ofs or ","))
+            elif f in ("tsv", "tsvlite"):
+                row = ln.split(case.ofs or "\t")
+            else:
+                row = ln.split()
+            recs.append({str(i): _infer(x.strip() if f == "pprint"
+                                        else x)
+                         for i, x in enumerate(row, 1)})
+        return recs
     if f == "dkvp":
         return parse_dkvp(text, ofs=case.ofs or ",", ops=case.ops or "=")
     if f == "dkvpx":
@@ -955,6 +1094,8 @@ class Case:
     in_place: bool = False  # -I: per-file in-place processing
     stdin_redirect: bool = False  # input arrived via "< file"
     fatal: str | None = None  # CLI-level fatal error (mlrrc parse etc.)
+    fixed_width: str | None = None  # --fw/--fixed spec (pprint reader)
+    headerless_out: bool = False  # -N / --headerless-csv-output
 
 
 def _load_mlrrc_tokens(toks: list[str]) -> tuple[list[str], str | None]:
@@ -1042,6 +1183,8 @@ def parse_cmd(cmd: str) -> Case:
     ifmt = ofmt = "dkvp"
     files: list[str] = []
     no_input = False
+    fixed_width = None
+    headerless_out = False
     barred = ragged = implicit_header = no_dedupe = False
     repifs = in_place = False
     gen: dict | None = None
@@ -1132,6 +1275,38 @@ def parse_cmd(cmd: str) -> Case:
             continue
         if t == "--norc":
             i += 1  # no .mlrrc is ever read in this harness
+            continue
+        if t == "--errors-json":
+            i += 1  # stderr error SHAPE only; stderr text not compared
+            continue
+        if t == "--fw":
+            fixed_width = "left-align-multi-word"
+            i += 1
+            continue
+        if t == "--fixed":
+            fixed_width = toks[i + 1]
+            i += 2
+            continue
+        if t == "-N":
+            # -N = --implicit-csv-header + --headerless-csv-output
+            implicit_header = True
+            headerless_out = True
+            i += 1
+            continue
+        if t == "--headerless-csv-input":
+            implicit_header = True
+            i += 1
+            continue
+        if t in ("--headerless-csv-output", "--ho"):
+            # supported only alongside implicit INPUT (-N): with named
+            # input keys the positional re-keying needs per-record key
+            # order, which the union frame cannot represent faithfully
+            if not implicit_header:
+                return Case("", [], [],
+                            unsupported="--headerless-csv-output "
+                                        "without implicit input")
+            headerless_out = True
+            i += 1
             continue
         if t == "--no-shell":
             env["MLR_NO_SHELL"] = "1"
@@ -1327,7 +1502,8 @@ def parse_cmd(cmd: str) -> Case:
                 implicit_header=implicit_header, num_fmt=num_fmt,
                 infer_mode=infer_mode, loads=loads, no_dedupe=no_dedupe,
                 repifs=repifs, gen=gen, in_place=in_place,
-                stdin_redirect=stdin_redirect)
+                stdin_redirect=stdin_redirect, fixed_width=fixed_width,
+                headerless_out=headerless_out)
 
 
 # ---------------------------------------------------------------------------
@@ -1438,7 +1614,11 @@ def _load_df_body(case: Case) -> pd.DataFrame:
         side_input = case.verb == "join" and fnum == 1
         p = _preprocess_input(p, case,
                               [] if side_input else comments_out)
-        if fmt == "csv":
+        if case.fixed_width and fmt == "pprint":
+            recs = read_fixed_width(p, case.fixed_width,
+                                    implicit_header=case.implicit_header,
+                                    ragged=case.ragged)
+        elif fmt == "csv":
             recs = read_csv(p, sep=case.ifs or ",", ragged=case.ragged,
                             implicit_header=case.implicit_header)
         elif fmt == "csvlite":
@@ -1455,7 +1635,8 @@ def _load_df_body(case: Case) -> pd.DataFrame:
         elif fmt == "json":
             recs = read_json_in(p)
         elif fmt == "pprint":
-            recs = read_pprint(p, ifs=case.ifs)
+            recs = read_pprint(p, ifs=case.ifs,
+                               implicit_header=case.implicit_header)
         elif fmt == "xtab":
             recs = [{k: _infer(v) for k, v in r.items()}
                     for r in parse_xtab(open(p, encoding="utf-8", errors="surrogateescape").read(), ips=case.ips)]
@@ -2022,6 +2203,87 @@ def execute(case: Case, df: pd.DataFrame):
         if not recs:
             return pd.DataFrame(), False
         return _rows_frame(pd.DataFrame({"__rows__": recs})), True
+
+    if v == "sparkline":
+        # transformers/sparkline.go: end-of-stream per-field summary
+        # with a block-glyph strip; non-numeric values error the strip
+        from miller_ray.functions import REGISTRY as _REG
+
+        if _has(a, "--help"):
+            raise Unsupported("sparkline --help")
+        fields = (_flagvals(a, "-f") or "").split(",")
+        work = df.sort_values("__row__") if "__row__" in df.columns else df
+        rows = []
+        for f2 in fields:
+            vals = [x for x in (work[f2] if f2 in work.columns else [])
+                    if not (x is None or (isinstance(x, float)
+                                          and np.isnan(x)))]
+            rec: dict = {"field": f2, "n": len(vals)}
+            spark = _REG["sparkline"](list(vals))
+            if spark != "(error)":
+                nums = []
+                for x in vals:
+                    try:
+                        nums.append(float(x))
+                    except (TypeError, ValueError):
+                        pass
+                if nums:
+                    rec["lo"] = min(nums)
+                    rec["hi"] = max(nums)
+            rec["sparkline"] = spark
+            rows.append(rec)
+        return pd.DataFrame(rows), True
+
+    if v == "bar":
+        # transformers/bar.go: numeric fields replaced by cheesy bars
+        if _has(a, "--help"):
+            raise Unsupported("bar --help")
+        fields = (_flagvals(a, "-f") or "").split(",")
+        lo0 = float(_flagvals(a, "--lo", "0"))
+        hi0 = float(_flagvals(a, "--hi", "100"))
+        w = int(_flagvals(a, "-w", "40"))
+        fill = _flagvals(a, "-c", "*")
+        oob = _flagvals(a, "-x", "#")
+        blank = _flagvals(a, "-b", ".")
+        auto = _has(a, "--auto")
+        bars = []
+        for i2 in range(w + 1):
+            if i2 == 0:
+                bars.append(oob + blank * (w - 1))
+            elif i2 < w:
+                bars.append(fill * i2 + blank * (w - i2))
+            else:
+                bars.append(fill * (w - 1) + oob)
+
+        def _gofmt(x: float) -> str:
+            s2 = repr(float(x))
+            return s2[:-2] if s2.endswith(".0") else s2
+
+        out = df.drop(columns=["__row__", "__file__", "__filenum__"],
+                      errors="ignore").copy()
+        for f2 in fields:
+            if f2 not in out.columns:
+                continue
+            nums = pd.to_numeric(out[f2], errors="coerce")
+            if auto:
+                if nums.notna().any():
+                    lo, hi = float(nums.min()), float(nums.max())
+                else:
+                    lo = hi = 0.0
+                pre, suf = f"[{_gofmt(lo)}]", f"[{_gofmt(hi)}]"
+            else:
+                lo, hi = lo0, hi0
+                pre = suf = ""
+
+            def conv(x, lo=lo, hi=hi, pre=pre, suf=suf):
+                if pd.isna(x):
+                    return x
+                i3 = min(max(int(w * (x - lo) / (hi - lo)), 0), w) \
+                    if hi != lo else 0
+                return pre + bars[i3] + suf
+            out[f2] = [orig if pd.isna(nv) else conv(nv)
+                       for orig, nv in zip(out[f2], nums)]
+        return out, True
 
     if v == "surv":
         # Kaplan-Meier right-censored survival estimate
@@ -3287,6 +3549,11 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         src = lib_src + src
     flags = [x for x in a if x.startswith("-") and len(x) > 1
              and not x[1].isdigit()]
+    if "--explain" in flags and src is not None:
+        # put/filter --explain: validate the DSL and report
+        # (put_or_filter.go --explain; invalid programs exit 1)
+        DSL.compile_program(src)  # DslError propagates (should-fail)
+        return RawText(f"mlr {v}: DSL expression is valid.\n"), True
     # -S/-F are Miller-6 no-ops (type inference moved to the readers);
     # -w prints warnings to stderr without changing the record stream
     if any(fl not in ("-x", "-q", "-S", "-F", "-w") for fl in flags):
@@ -4294,12 +4561,191 @@ def _ast_echo(seg: list[str]) -> tuple[str, list[str]]:
     return hdr, rest
 
 
+_AUXENTS = ("lecat", "termcvt", "hex", "unhex")
+
+
+def _run_auxent(case_dir: str, cmd: str) -> tuple[str, str]:
+    """mlr auxiliary byte-level entry points (pkg/auxents): lecat,
+    termcvt, hex, unhex. Pure byte transforms with optional `> file`
+    shell redirect (mapped to scratch) and byte-exact expout/postcmp
+    comparison."""
+    toks = shlex.split(cmd.strip())
+    toks = toks[1:]  # past "mlr"
+    verb = toks[0]
+    toks = toks[1:]
+    flags: list[str] = []
+    infiles: list[str] = []
+    outfile: str | None = None
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "<":
+            infiles.append(toks[i + 1])
+            i += 2
+        elif t == ">":
+            outfile = toks[i + 1]
+            i += 2
+        elif t.startswith("-"):
+            flags.append(t)
+            i += 1
+        else:
+            infiles.append(t)
+            i += 1
+    data = b"".join(
+        open(os.path.join(REFERENCE, f2), "rb").read() for f2 in infiles)
+    if verb == "lecat":
+        out = bytearray()
+        for b2 in data:
+            if b2 == 0x0d:
+                out += b"[CR]"
+            elif b2 == 0x0a:
+                out += b"[LF]\n"
+            else:
+                out.append(b2)
+        result = bytes(out)
+    elif verb == "termcvt":
+        terms = {"--cr2crlf": (b"\r", b"\r\n"), "--lf2crlf": (b"\n", b"\r\n"),
+                 "--crlf2cr": (b"\r\n", b"\r"), "--crlf2lf": (b"\r\n", b"\n"),
+                 "--cr2lf": (b"\r", b"\n"), "--lf2cr": (b"\n", b"\r")}
+        it, ot = (b"\n", b"\n")
+        for fl in flags:
+            if fl in terms:
+                it, ot = terms[fl]
+        result = data.replace(it, ot)
+    elif verb == "unhex":
+        out = bytearray()
+        for line in data.decode("ascii", errors="replace").splitlines():
+            for field in re.split(r"\s+", line):
+                if field:
+                    out.append(int(field, 16))
+        result = bytes(out)
+    elif verb == "hex":
+        raw = "-r" in flags
+        lines = []
+        for off in range(0, len(data), 16):
+            chunk = data[off:off + 16]
+            parts = []
+            for j in range(16):
+                parts.append(f"{chunk[j]:02x} " if j < len(chunk)
+                             else "   ")
+                if j % 4 == 3 and 0 < j < 15:
+                    parts.append(" ")
+            body = "".join(parts)
+            if raw:
+                lines.append(body)
+            else:
+                ascii_tail = "".join(
+                    chr(b2) if 0x20 <= b2 <= 0x7e else "."
+                    for b2 in chunk)
+                lines.append(f"{off:08x}: {body}|{ascii_tail}|")
+        result = ("\n".join(lines) + "\n" if lines else "").encode()
+    else:
+        return "skip", f"auxent {verb}"
+    if outfile is not None:
+        target = _redirect_write_path(os.path.join(REFERENCE, outfile))
+        with open(target, "wb") as fh:
+            fh.write(result)
+        stdout_bytes = b""
+    else:
+        stdout_bytes = result
+    exp = b""
+    exp_p = os.path.join(case_dir, "expout")
+    if os.path.exists(exp_p):
+        exp = open(exp_p, "rb").read()
+    # the regtester normalizes CRLF to LF before comparing
+    stdout_bytes = stdout_bytes.replace(b"\r\n", b"\n")
+    exp = exp.replace(b"\r\n", b"\n")
+    if stdout_bytes.rstrip(b"\n") != exp.rstrip(b"\n"):
+        return "fail", (f"{cmd}: auxent byte mismatch: got "
+                        f"{stdout_bytes[:60]!r} want {exp[:60]!r}")
+    pc_file = os.path.join(case_dir, "postcmp")
+    if os.path.exists(pc_file):
+        rel = os.path.relpath(case_dir, REFERENCE)
+        for line in open(pc_file).read().splitlines():
+            line = line.replace("${CASEDIR}", rel).strip()
+            if not line:
+                continue
+            exp_f, act_f = line.split()
+            want = open(os.path.join(REFERENCE, exp_f), "rb").read()
+            mapped = _redirect_write_path(os.path.join(REFERENCE, act_f))
+            got = open(mapped, "rb").read() if os.path.exists(mapped) \
+                else None
+            if got != want:
+                return "fail", f"{cmd}: auxent postcmp mismatch {act_f}"
+    return "pass", "auxent ok"
+
+
+def _repl_render(v) -> str:
+    """mlr repl value echo: JSON strings, plain numbers/bools,
+    lowercase hex for bytes (repl/verbs.go print of evaluated
+    expressions)."""
+    if v is None:
+        return ""
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, (dict, list)):
+        from miller_ray import dsl as DSL
+
+        return DSL._mlr_json(v, ofmt="%.8f") if isinstance(v, dict) \
+            else json.dumps(v, ensure_ascii=False)
+    return str(v)
+
+
+def _run_repl_script(case_dir: str, cmd: str) -> tuple[str, str]:
+    """mlr repl -s -q: evaluate one DSL expression per input line and
+    echo each value (non-interactive script mode). Persistent local
+    scope across lines."""
+    from miller_ray import dsl as DSL
+
+    toks = shlex.split(cmd.strip())
+    infile = toks[toks.index("<") + 1] if "<" in toks else toks[-1]
+    path = os.path.join(REFERENCE, infile)
+    seq = {"oos": {}, "emitted": [], "texts": [], "flatsep": "."}
+    env = {"\x00seq": seq, "\x00funcs": {}, "\x00subrs": {},
+           "\x00scopes": [{}], "\x00srec": {}}
+    out_lines: list[str] = []
+    empty = pa.table({})
+    for raw in open(path, encoding="utf-8", errors="surrogateescape"):
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        try:
+            p = DSL._Parser(DSL._lex(line))
+            e = p.expr()
+            if p.peek()[0] != "eof":
+                return "skip", f"repl statement line {line[:40]!r}"
+            val = e(empty, env)
+            if DSL._is_arr(val):
+                val = DSL._scalarize(val)
+            out_lines.append(_repl_render(val))
+        except Exception as ex:  # noqa: BLE001 — itemized skip
+            return "skip", f"repl: {type(ex).__name__}: {ex}"
+    exp_p = os.path.join(case_dir, "expout")
+    exp = open(exp_p, encoding="utf-8").read() if os.path.exists(exp_p) \
+        else ""
+    got = "\n".join(out_lines)
+    if got.rstrip("\n") == exp.rstrip("\n"):
+        return "pass", "repl script ok"
+    return "fail", (f"{cmd}: repl mismatch got {got[:80]!r} "
+                    f"want {exp[:80]!r}")
+
+
 def _run_case_inner(case_dir: str,
                     expect_fail: bool = False) -> tuple[str, str]:
     with open(os.path.join(case_dir, "cmd")) as f:
         cmd = f.read().strip()
     rel = os.path.relpath(case_dir, REFERENCE)
     cmd = cmd.replace("${CASEDIR}", rel).replace("./" + rel, rel)
+    ctoks = cmd.split()
+    if len(ctoks) >= 2 and ctoks[0] in ("mlr", "${MLR}") \
+            and ctoks[1] in _AUXENTS:
+        return _run_auxent(case_dir, cmd)
+    if len(ctoks) >= 4 and ctoks[1] == "repl" and "-s" in ctoks:
+        return _run_repl_script(case_dir, cmd)
     postcmp: list[tuple[str, str]] = []
     pc_file = os.path.join(case_dir, "postcmp")
     if os.path.exists(pc_file):
@@ -4665,9 +5111,11 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
         our_recs = [{k: (nf % x if isinstance(x, float)
                          and not x.is_integer() else x)
                      for k, x in r.items()} for r in our_recs]
-    if case.ofmt == "nidx":
-        # the nidx writer drops keys and emits values positionally
-        # (record_writer_nidx)
+    if case.ofmt == "nidx" or (case.headerless_out and case.ofmt in (
+            "csv", "csvlite", "tsv", "tsvlite", "pprint", "markdown")):
+        # the nidx writer — and headerless csv/tsv/pprint output —
+        # drops keys and emits values positionally
+        # (record_writer_nidx; --headerless-csv-output)
         our_recs = [{str(i): v for i, (k, v) in enumerate(r.items(), 1)
                      if not (v is None or (isinstance(v, float)
                                            and math.isnan(v)))}

@@ -2332,6 +2332,59 @@ def group_like(ds, order_col: str):
     return out
 
 
+def bar(ds, fields: list[str], lo: float = 0.0, hi: float = 100.0,
+        width: int = 40, fill: str = "*", oob: str = "#",
+        blank: str = "."):
+    """Verb ``bar`` (transformers/bar.go): numeric fields replaced by
+    fixed-width ASCII bars. Pure per-batch map; --auto (two-pass
+    min/max) is a stats1 pre-pass + this with lo/hi filled in."""
+    bars = []
+    for i in range(width + 1):
+        if i == 0:
+            bars.append(oob + blank * (width - 1))
+        elif i < width:
+            bars.append(fill * i + blank * (width - i))
+        else:
+            bars.append(fill * (width - 1) + oob)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for fld in fields:
+            nums = pd.to_numeric(df[fld], errors="coerce")
+            idx = ((width * (nums - lo) / (hi - lo))
+                   .clip(0, width)).astype("Int64")
+            df[fld] = [bars[i] if pd.notna(i) else orig
+                       for orig, i in zip(df[fld], idx)]
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def sparkline_verb(ds, fields: list[str]) -> pd.DataFrame:
+    """Verb ``sparkline`` (transformers/sparkline.go): per-field
+    end-of-stream summary record {field, n, lo, hi, sparkline}.
+    Scale note: the glyph strip is one character PER RECORD — at scale
+    cap the input (sample/head) first; the min/max reduction itself is
+    distributed."""
+    from miller_ray.functions import REGISTRY
+
+    stats = ds.select_columns(fields).to_pandas()
+    rows = []
+    for f in fields:
+        vals = [x for x in stats[f] if not (x is None or (
+            isinstance(x, float) and np.isnan(x)))]
+        rec: dict = {"field": f, "n": len(vals)}
+        spark = REGISTRY["sparkline"](list(vals))
+        if spark != "(error)" and vals:
+            nums = pd.to_numeric(pd.Series(vals), errors="coerce").dropna()
+            if len(nums):
+                rec["lo"] = float(nums.min())
+                rec["hi"] = float(nums.max())
+        rec["sparkline"] = spark
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
 def case_keys(ds, how: str = "upper"):
     """Verb ``case -k`` (case.go): apply the case mapping to field
     NAMES (schema-level rename; no data movement)."""

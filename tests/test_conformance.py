@@ -146,7 +146,12 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           # Kaplan-Meier surv
           "dsl-slice", "dsl-contains", "dsl-indirect-oosvar-assignments",
           "dsl-map-dot", "dsl-mapvars-in-scalar-function-call-contexts",
-          "dsl-stat", "no-shell", "script", "verb-surv"]
+          "dsl-stat", "no-shell", "script", "verb-surv",
+          # round 4v: fixed-width pprint input, byte-level aux tools,
+          # presentation verbs
+          "cli-fixed-width", "auxents", "verb-bar", "verb-sparkline",
+          # round 4vi: put/filter --explain, repl -s script mode
+          "dsl-explain", "dsl-hashing"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
