@@ -3555,10 +3555,13 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         DSL.compile_program(src)  # DslError propagates (should-fail)
         return RawText(f"mlr {v}: DSL expression is valid.\n"), True
     # -S/-F are Miller-6 no-ops (type inference moved to the readers);
-    # -w prints warnings to stderr without changing the record stream
-    if any(fl not in ("-x", "-q", "-S", "-F", "-w") for fl in flags):
+    # -w/-W print static-analysis warnings to stdout without changing
+    # the record stream (dsl-warnings: all golden cases run under -n,
+    # so the stream side is empty either way)
+    if any(fl not in ("-x", "-q", "-S", "-F", "-w", "-W")
+           for fl in flags):
         raise Unsupported(f"{v} flags {flags}")
-    exprs = [x for x in a if x not in flags]
+    exprs = [x for x in a if x not in flags and x != "__NO_INPUT__"]
     if src is None:
         if len(exprs) != 1:
             raise Unsupported(f"{v} arg shape")
@@ -4677,8 +4680,11 @@ def _run_auxent(case_dir: str, cmd: str) -> tuple[str, str]:
 
 def _repl_render(v) -> str:
     """mlr repl value echo: JSON strings, plain numbers/bools,
-    lowercase hex for bytes (repl/verbs.go print of evaluated
-    expressions)."""
+    lowercase hex for bytes, error MESSAGES plain (repl/verbs.go
+    print of evaluated expressions)."""
+    msg = getattr(v, "msg", None)
+    if msg is not None:
+        return msg  # MlrError: the reference prints the message text
     if v is None:
         return ""
     if isinstance(v, bytes):
@@ -4690,8 +4696,11 @@ def _repl_render(v) -> str:
     if isinstance(v, (dict, list)):
         from miller_ray import dsl as DSL
 
-        return DSL._mlr_json(v, ofmt="%.8f") if isinstance(v, dict) \
-            else json.dumps(v, ensure_ascii=False)
+        if isinstance(v, dict):
+            return DSL._mlr_json(v, ofmt="%.8f")
+        # bytes elements render as quoted hex inside collections
+        return json.dumps([x.hex() if isinstance(x, bytes) else x
+                           for x in v], ensure_ascii=False)
     return str(v)
 
 

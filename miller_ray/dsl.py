@@ -60,6 +60,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<comment>\#[^\n]*)
   | (?P<float>(\d+\.\d*|\.\d+)([eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>0[xX][0-9a-fA-F]+|0[bB][01]+|\d+)
+  | (?P<bytesstr>b"(\\.|[^"\\])*")
   | (?P<string>"(\\.|[^"\\])*")
   | (?P<posfield>\$\[\[\[|\$\[\[|\$\[)
   | (?P<field>\$(\{[^}]*\}|[A-Za-z0-9_]+|\*))
@@ -106,6 +107,41 @@ def _lex(src: str) -> list[tuple[str, str]]:
 
 Value = object  # pa.Array | pa.ChunkedArray | python scalar
 Expr = Callable[[pa.Table, dict], Value]
+
+
+def _decode_bytes_literal(body: str) -> bytes:
+    r"""b"..." literal (mlrval bytes type): \xNN hex, \NNN octal,
+    standard C escapes; other characters contribute their UTF-8
+    bytes."""
+    out = bytearray()
+    i = 0
+    esc = {"n": 0x0a, "t": 0x09, "r": 0x0d, "\\": 0x5c, '"': 0x22,
+           "a": 0x07, "b": 0x08, "f": 0x0c, "v": 0x0b, "0": 0x00}
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt == "x" and i + 3 < len(body) + 1:
+                out.append(int(body[i + 2:i + 4], 16))
+                i += 4
+                continue
+            if nxt.isdigit() and nxt != "0":
+                j = i + 1
+                while j < len(body) and j < i + 4 and body[j].isdigit():
+                    j += 1
+                out.append(int(body[i + 1:j], 8) & 0xFF)
+                i = j
+                continue
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+                continue
+            out.append(ord(nxt) & 0xFF)
+            i += 2
+            continue
+        out.extend(c.encode("utf-8"))
+        i += 1
+    return bytes(out)
 
 
 class _LitStr(str):
@@ -167,6 +203,10 @@ def _unscalar(v):
 
 def _arith(op: str, a: Value, b: Value) -> Value:
     a, b = _unscalar(a), _unscalar(b)
+    if isinstance(a, bytes) or isinstance(b, bytes):
+        from miller_ray.functions import type_error2
+
+        return type_error2(op, a, b)
     if not _is_arr(a) and not _is_arr(b):
         return _arith_scalar(op, a, b)
     if b is None:
@@ -372,8 +412,58 @@ def _arith_raw(op: str, a: Value, b: Value) -> Value:
     raise DslError(f"unknown arithmetic op {op}")
 
 
+def _bitwise(op: str, a: Value, b: Value) -> Value:
+    """Binary & ^ | << >> >>> (bifs/bits.go): int-only; absent is the
+    identity; bytes and other non-ints are type errors."""
+    a, b = _unscalar(a), _unscalar(b)
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if _is_arr(a) or _is_arr(b):
+        fns = {"&": pc.bit_wise_and, "|": pc.bit_wise_or,
+               "^": pc.bit_wise_xor, "<<": pc.shift_left,
+               ">>": pc.shift_right, ">>>": pc.shift_right}
+        return _unscalar(fns[op](a, b))
+    ok = (isinstance(a, (int, np.integer)) and not isinstance(a, bool)
+          and isinstance(b, (int, np.integer)) and not isinstance(b, bool))
+    if not ok:
+        from miller_ray.functions import type_error2
+
+        return type_error2(op, a, b)
+    a2, b2 = int(a), int(b)
+    out = {"&": a2 & b2, "|": a2 | b2, "^": a2 ^ b2,
+           "<<": a2 << b2, ">>": a2 >> b2,
+           ">>>": (a2 % (1 << 64)) >> b2}[op]
+    return _wrap64(out)
+
+
 def _compare(op: str, a: Value, b: Value) -> Value:
     a, b = _unscalar(a), _unscalar(b)
+    if isinstance(a, bytes) or isinstance(b, bytes):
+        # bytes compare bytewise among themselves; against any other
+        # type == is false / != is true (mlrval cmp.go bytes rows)
+        if isinstance(a, bytes) and isinstance(b, bytes):
+            if op == "<=>":
+                return -1 if a < b else (1 if a > b else 0)
+            return {"==": a == b, "!=": a != b, "<": a < b,
+                    "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+        if op == "==":
+            return False
+        if op == "!=":
+            return True
+        from miller_ray.functions import type_error2
+
+        return type_error2(op, a, b)
+    if op == "<=>":
+        lt = _compare("<", a, b)
+        gt = _compare(">", a, b)
+        if _is_arr(lt) or _is_arr(gt):
+            import pyarrow.compute as _pc
+            return _unscalar(_pc.add(
+                _pc.multiply(_pc.cast(gt, pa.int64()), 1),
+                _pc.multiply(_pc.cast(lt, pa.int64()), -1)))
+        return -1 if lt else (1 if gt else 0)
     if isinstance(a, (dict, list)) or isinstance(b, (dict, list)):
         # collection equality is deep (mlrval cmp.go); ordering on
         # collections is not supported
@@ -697,15 +787,41 @@ class _Parser:
         return left
 
     def comparison(self) -> Expr:
-        left = self.concat()
-        while self.peek()[1] in ("==", "!=", "<", "<=", ">", ">="):
+        left = self.bitor_()
+        while self.peek()[1] in ("==", "!=", "<", "<=", ">", ">=",
+                                 "<=>"):
             _, op = self.next()
-            right = self.concat()
+            right = self.bitor_()
 
             def f(t, env, left=left, right=right, op=op):
                 return _compare(op, left(t, env), right(t, env))
             left = f
         return left
+
+    def _bitlevel(self, ops: tuple, next_level) -> Expr:
+        """One binary bitwise/shift precedence level (mlr.bnf:
+        comparison < `|` < `^` < `&` < shifts < dot-concat)."""
+        left = next_level()
+        while self.peek()[0] == "op" and self.peek()[1] in ops:
+            _, op = self.next()
+            right = next_level()
+
+            def f(t, env, left=left, right=right, op=op):
+                return _bitwise(op, left(t, env), right(t, env))
+            left = f
+        return left
+
+    def bitor_(self) -> Expr:
+        return self._bitlevel(("|",), self.bitxor_)
+
+    def bitxor_(self) -> Expr:
+        return self._bitlevel(("^",), self.bitand_)
+
+    def bitand_(self) -> Expr:
+        return self._bitlevel(("&",), self.shift_)
+
+    def shift_(self) -> Expr:
+        return self._bitlevel(("<<", ">>", ">>>"), self.concat)
 
     def concat(self) -> Expr:
         left = self.additive()
@@ -744,6 +860,12 @@ class _Parser:
                     b = right(t, env)
                 if a is None and b is None:
                     return None  # absent . absent = absent
+                if isinstance(a, bytes) or isinstance(b, bytes):
+                    if isinstance(a, bytes) and isinstance(b, bytes):
+                        return a + b  # bytes concat bytewise
+                    from miller_ray.functions import type_error2
+
+                    return type_error2(".", a, b)
                 a = "" if a is None else _to_str_ofmt(a)
                 b = "" if b is None else _to_str_ofmt(b)
                 if _is_arr(a) and _is_arr(b):
@@ -878,6 +1000,9 @@ class _Parser:
             return lambda t, env: val
         if k == "float":
             val = float(v)
+            return lambda t, env: val
+        if k == "bytesstr":
+            val = _decode_bytes_literal(v[2:-1])
             return lambda t, env: val
         if k == "string":
             raw = v[1:-1]
@@ -1531,7 +1656,10 @@ def _sort_key(flags: str):
     if mode == "n":
         def key(v):
             if isinstance(v, bool):
-                return (2, 0.0, str(v))
+                return (3, 0.0, str(v))
+            if isinstance(v, bytes):
+                # bytes sort after strings, bytewise (cmp.go ordering)
+                return (2, 0.0, v.hex())
             if isinstance(v, (int, float, np.integer, np.floating)):
                 return (0, float(v), "")
             try:

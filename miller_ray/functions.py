@@ -76,7 +76,10 @@ def _f(x):
 @bif("strlen")
 def _strlen_bif(x):
     """BIF_strlen: absent passes through; collections are type
-    errors (dsl-mapvars-in-scalar-function-call-contexts)."""
+    errors (dsl-mapvars-in-scalar-function-call-contexts); bytes
+    report their BYTE length."""
+    if isinstance(x, bytes):
+        return len(x)
     if isinstance(x, (dict, list)):
         return "(error)"
     if x is None:
@@ -167,16 +170,46 @@ def _slice_incl(x, lo, hi):
     return pa.array(s.str.slice(lo, stop), type=pa.string())
 
 
+def _bytes_slice(b: bytes, lo: int, hi: int, zero_up: bool) -> bytes:
+    """Byte-wise substr (bifs/strings.go BytesSliceAccess via
+    MillerSliceAccess): inclusive bounds, negative aliasing, clamping,
+    lower>upper → empty bytes."""
+    n = len(b)
+    lo, hi = int(lo), int(hi)
+    if zero_up:
+        if lo >= 0:
+            lo += 1
+        if hi >= 0:
+            hi += 1
+
+    def unal(m):
+        return m - 1 if m >= 1 else (m + n if m <= -1 else -1)
+    lz, uz = unal(lo), unal(hi)
+    if lz > uz:
+        return b""
+    lz = max(lz, 0)
+    uz = min(uz, n - 1)
+    if lz > uz:
+        return b""
+    return b[lz:uz + 1]
+
+
 # substr is an ALIAS FOR substr0 (0-up, inclusive both ends) — a Miller-5
 # compatibility wart documented in builtin_function_manager.go:617-622
-bif("substr")(lambda x, lo, hi: _slice_incl(x, lo, hi))
-bif("substr0")(lambda x, lo, hi: _slice_incl(x, lo, hi))
+@bif("substr")
+@bif("substr0")
+def _substr0(x, lo, hi):
+    if isinstance(x, bytes):
+        return _bytes_slice(x, lo, hi, zero_up=True)
+    return _slice_incl(x, lo, hi)
 
 
 @bif("substr1")
 def _substr1(x, lo, hi):
     """1-up inclusive variant (BIF_substr_1_up); negative indices count
     from the end unchanged."""
+    if isinstance(x, bytes):
+        return _bytes_slice(x, lo, hi, zero_up=False)
     lo = int(lo)
     hi = int(hi)
     return _slice_incl(x, lo - 1 if lo > 0 else lo, hi - 1 if hi > 0 else hi)
@@ -315,9 +348,12 @@ def _fmtnum_fmt(vals: np.ndarray, fmt: str, m) -> np.ndarray:
 @bif("fmtnum")
 def _fmtnum(x, fmt):
     """printf-format a numeric column (bifs/mathlib.go fmtnum).
+    Bytes input is a type error (dsl-bytes-ops).
     C length modifiers (ll/l/h) are stripped; int conversions coerce
     float/string input to int64 first (Miller accepts %d on floats);
     non-numeric input yields the error VALUE "(error)"."""
+    if isinstance(x, bytes):
+        return type_error2("fmtnum", x, fmt)
     import re as _re
 
     import pandas as _pd
@@ -469,6 +505,8 @@ def _string(x):
     through OFMT when set (mlrval String() honors --ofmt)."""
     if x is None:
         return "(absent)"
+    if isinstance(x, bytes):
+        return x.decode("utf-8", errors="surrogateescape")
     if isinstance(x, bool):
         return "true" if x else "false"
     if isinstance(x, float):
@@ -771,6 +809,8 @@ def _fsec2dhms(x):
 
 def _digest(algo):
     def h(x):
+        if isinstance(x, bytes):  # bytes hash their raw content
+            return getattr(hashlib, algo)(x).hexdigest()
         return pa.array([getattr(hashlib, algo)(
             ("" if v is None else str(v)).encode()).hexdigest()
             for v in _s(x).to_pylist()])
@@ -798,15 +838,42 @@ def _crc32(x):
 def _b64e(x):
     import base64
 
+    if isinstance(x, bytes):
+        return base64.b64encode(x).decode()
+    if isinstance(x, str):
+        return base64.b64encode(
+            x.encode("utf-8", errors="surrogateescape")).decode()
     return pa.array([base64.b64encode(str(v).encode()).decode()
                      for v in _s(x).to_pylist()])
 
 
+def _b64_strict(v: str) -> bytes:
+    """Go's encoding/base64 StdEncoding: padded, strict length; its
+    error text ("illegal base64 data at input byte N") is part of the
+    conformance surface."""
+    import base64
+    import binascii
+
+    if len(v) % 4 != 0:
+        raise ValueError(f"illegal base64 data at input byte "
+                         f"{len(v) - len(v) % 4}")
+    try:
+        return base64.b64decode(v, validate=True)
+    except binascii.Error:
+        bad = next((i for i, c in enumerate(v)
+                    if not (c.isalnum() or c in "+/=")), 0)
+        raise ValueError(f"illegal base64 data at input byte {bad}")
+
+
 @bif("base64_decode")
 def _b64d(x):
-    import base64
-
-    return pa.array([base64.b64decode(v).decode()
+    if isinstance(x, (str, bytes)):
+        try:
+            return _b64_strict(x if isinstance(x, str)
+                               else x.decode("ascii"))
+        except ValueError as e:
+            return MlrError(str(e))
+    return pa.array([_b64_strict(str(v)).decode()
                      for v in _s(x).to_pylist()])
 
 
@@ -890,10 +957,28 @@ def _regextract_or_else(x, p, dflt):
     return pa.array(s.where(s.notna(), str(dflt)), type=pa.string())
 
 
-bif("hex_encode")(lambda x: pa.array(
-    [str(v).encode().hex() for v in _s(x).to_pylist()]))
-bif("hex_decode")(lambda x: pa.array(
-    [bytes.fromhex(str(v)).decode() for v in _s(x).to_pylist()]))
+@bif("hex_encode")
+def _hexe(x):
+    if isinstance(x, bytes):
+        return x.hex()
+    if isinstance(x, str):
+        return x.encode("utf-8", errors="surrogateescape").hex()
+    return pa.array([str(v).encode().hex() for v in _s(x).to_pylist()])
+
+
+@bif("hex_decode")
+def _hexd(x):
+    if isinstance(x, (str, bytes)):
+        v = x if isinstance(x, str) else x.decode("ascii")
+        try:
+            return bytes.fromhex(v)
+        except ValueError:
+            bad = next((c for c in v
+                        if c not in "0123456789abcdefABCDEF"), "?")
+            return MlrError(f"encoding/hex: invalid byte: "
+                            f"U+{ord(bad):04X} {bad!r}")
+    return pa.array([bytes.fromhex(str(v)).decode()
+                     for v in _s(x).to_pylist()])
 # (latin1_to_utf8 / utf8_to_latin1 are defined once near the top of
 # this module with byte-faithful surrogateescape semantics)
 
@@ -1037,6 +1122,62 @@ bif("is_not_map")(_type_pred(lambda t: not pa.types.is_struct(t)))
 bif("is_nan")(lambda x: pc.is_nan(_f(x)))
 
 
+class MlrError(str):
+    """An error mlrval: compares/renders as "(error)" everywhere the
+    engine already handles that sentinel, but carries the reference's
+    error MESSAGE for surfaces that print it (repl, dump)."""
+
+    def __new__(cls, msg: str):
+        o = super().__new__(cls, "(error)")
+        o.msg = msg
+        return o
+
+
+def _errval_render(v) -> str:
+    """Value rendering inside Miller error messages (mlrval String()
+    with strings re-quoted): bytes → hex, strings → quoted."""
+    import json as _json
+
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return _json.dumps(v, ensure_ascii=False)
+    return str(v)
+
+
+def _mlr_typename(v) -> str:
+    if v is None:
+        return "absent"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, bytes):
+        return "bytes"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, dict):
+        return "map"
+    if isinstance(v, list):
+        return "array"
+    return "string"
+
+
+def type_error2(op: str, a, b) -> "MlrError":
+    """Binary type-error message (mlrval FromTypeErrorBinary):
+    `{op}: unacceptable types {t1}, {t2} with values {v1}, {v2}`."""
+    return MlrError(f"{op}: unacceptable types {_mlr_typename(a)}, "
+                    f"{_mlr_typename(b)} with values "
+                    f"{_errval_render(a)}, {_errval_render(b)}")
+
+
+def type_error1(op: str, a) -> "MlrError":
+    return MlrError(f"{op}: unacceptable type {_mlr_typename(a)} "
+                    f"with value {_errval_render(a)}")
+
+
 @bif("bytes")
 def _bytes_bif(x):
     """BIF_bytes (bifs/types.go:240): string/void → bytes; other
@@ -1047,7 +1188,7 @@ def _bytes_bif(x):
         return x
     if isinstance(x, str):
         return x.encode("utf-8", errors="surrogateescape")
-    return "(error)"
+    return type_error1("bytes", x)
 
 
 bif("is_bytes")(lambda x: isinstance(x, bytes))
@@ -1110,6 +1251,8 @@ def _typeof(x):
             return "funct"
         if isinstance(x, bool):
             return "boolean"
+        if isinstance(x, bytes):
+            return "bytes"
         if isinstance(x, (int, np.integer)):
             return "int"
         if isinstance(x, (float, np.floating)):

@@ -151,7 +151,11 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           # presentation verbs
           "cli-fixed-width", "auxents", "verb-bar", "verb-sparkline",
           # round 4vi: put/filter --explain, repl -s script mode
-          "dsl-explain", "dsl-hashing"]
+          "dsl-explain", "dsl-hashing",
+          # round 4vii: bytes type (b"" literals, substr/concat/cmp,
+          # base64/hex codecs), bitwise expression levels, -w/-W
+          "dsl-bytes-literals", "dsl-bytes-ops",
+          "dsl-bytes-conversions", "dsl-warnings"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
