@@ -821,6 +821,66 @@ def q_stats1_windowed(sf_dir: str):
     return _round(out, {"value_mean_w5": 6, "value_sum_w5": 6, "value_min_w5": 6})
 
 
+def q_sorted_join(sf_dir: str):
+    """join -s engine path: sorted-merge join of lineitem (stream)
+    against orders (left) on the order key."""
+    from miller_ray import verbs
+
+    stream = _t(sf_dir, "lineitem",
+                ["l_orderkey", "l_linenumber", "l_quantity"])
+    left = _t(sf_dir, "orders",
+              ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    out = verbs.sorted_merge_join(
+        stream, left, right_on=["l_orderkey"], left_on=["o_orderkey"])
+    return out.select_columns(["l_orderkey", "l_linenumber",
+                               "l_quantity", "o_totalprice",
+                               "o_orderpriority"])
+
+
+def q_surv_km(sf_dir: str):
+    """Kaplan-Meier survival over events: duration = round(value),
+    status = odd event_id."""
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+
+    def status(df):
+        return (df["event_id"] % 2) != 0
+
+    out = verbs.surv(
+        ds.map_batches(
+            lambda df: df.assign(value=np.floor(df["value"] + 0.5)),
+            batch_format="pandas"),
+        "value", status)
+    out["survival"] = out["survival"].round(8)
+    return out
+
+
+def q_bar_bars(sf_dir: str):
+    """bar verb: events.value as 40-char ASCII bars on [0, 100]."""
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+    return verbs.bar(ds, ["value"], lo=0.0, hi=100.0, width=40)
+
+
+def q_group_like(sf_dir: str):
+    """group-like over a het stream built from events (rows with null
+    props drop the column)."""
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def hetify(df):
+        df = df.copy()
+        df.loc[df["event_id"] % 3 == 0, "value"] = None
+        return df
+
+    out = verbs.group_like(ds.map_batches(hetify, batch_format="pandas"),
+                           "event_id")
+    return out
+
+
 def q_cut_regex(sf_dir: str):
     from miller_ray import verbs
 
@@ -1149,6 +1209,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top10": q_ann_lsh_top10,
         "lang_id": q_lang_id,
         "multimodal_av": q_multimodal_av,
+        # round 4: engine ops promoted from the conformance harness
+        "sorted_join": q_sorted_join,
+        "surv_km": q_surv_km,
+        "bar_bars": q_bar_bars,
+        "group_like": q_group_like,
     }
 
 
@@ -1509,4 +1574,29 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(COALESCE(lag(value) OVER w, -1.0), 6) AS value_shift_lag, "
             "ROUND(COALESCE(lead(value) OVER w, -1.0), 6) AS value_shift_lead "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)",
+        "sorted_join":
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice, "
+            "o_orderpriority FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey",
+        "surv_km":
+            "WITH ev AS (SELECT floor(value + 0.5) AS duration, "
+            "(event_id % 2) <> 0 AS status FROM events "
+            "WHERE value IS NOT NULL), "
+            "agg AS (SELECT duration, count(*) AS n_here, "
+            "sum(CASE WHEN status THEN 1 ELSE 0 END) AS d "
+            "FROM ev GROUP BY duration), "
+            "r AS (SELECT duration, d, sum(n_here) OVER "
+            "(ORDER BY duration DESC) AS n_at FROM agg), "
+            "s AS (SELECT duration, d, exp(sum(ln(1.0 - "
+            "CAST(d AS DOUBLE)/n_at)) OVER (ORDER BY duration)) "
+            "AS survival FROM r) "
+            "SELECT duration AS time, round(survival, 8) AS survival "
+            "FROM s WHERE d > 0",
+        "bar_bars":
+            "SELECT event_id, CASE WHEN value IS NULL THEN NULL "
+            "WHEN i <= 0 THEN '#' || repeat('.', 39) "
+            "WHEN i >= 40 THEN repeat('*', 39) || '#' "
+            "ELSE repeat('*', i) || repeat('.', 40 - i) END AS value "
+            "FROM (SELECT event_id, value, "
+            "CAST(floor(40 * value / 100.0) AS INT) AS i FROM events)",
     }

@@ -2332,6 +2332,46 @@ def group_like(ds, order_col: str):
     return out
 
 
+def surv(ds, duration_field: str, status_field) -> pd.DataFrame:
+    """Verb ``surv`` (transformers/surv.go): Kaplan-Meier
+    right-censored survival estimate, event times only.
+
+    Scale shape: a (duration, status)-keyed COUNT reduction — small
+    whenever durations repeat — then a tiny driver fold in descending
+    duration order for the at-risk suffix sums. No per-record data
+    reaches the driver. ``status_field`` may be a column name or a
+    callable batch→bool-Series for derived statuses."""
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["__dur__"] = pd.to_numeric(df[duration_field],
+                                       errors="coerce")
+        if callable(status_field):
+            out["__ev__"] = status_field(df)
+        else:
+            out["__ev__"] = pd.to_numeric(df[status_field],
+                                          errors="coerce") != 0
+        return out.dropna(subset=["__dur__"])
+
+    vc = count(ds.map_batches(stamp, batch_format="pandas"),
+               group_by=["__dur__", "__ev__"])
+    vc = vc.sort_values("__dur__", ascending=False).reset_index(drop=True)
+    rows = []
+    n_at = 0
+    acc: list = []
+    for dur, grp in vc.groupby("__dur__", sort=False):
+        n_here = int(grp["count"].sum())
+        d = int(grp.loc[grp["__ev__"], "count"].sum())
+        n_at += n_here
+        acc.append((float(dur), d, n_at))
+    s_prob = 1.0
+    for dur, d, n in reversed(acc):  # ascending duration
+        if d:
+            s_prob *= 1.0 - d / n
+            rows.append({"time": dur, "survival": s_prob})
+    return pd.DataFrame(rows)
+
+
 def bar(ds, fields: list[str], lo: float = 0.0, hi: float = 100.0,
         width: int = 40, fill: str = "*", oob: str = "#",
         blank: str = "."):
@@ -2351,9 +2391,9 @@ def bar(ds, fields: list[str], lo: float = 0.0, hi: float = 100.0,
         df = df.copy()
         for fld in fields:
             nums = pd.to_numeric(df[fld], errors="coerce")
-            idx = ((width * (nums - lo) / (hi - lo))
-                   .clip(0, width)).astype("Int64")
-            df[fld] = [bars[i] if pd.notna(i) else orig
+            idx = np.floor(width * (nums - lo) / (hi - lo)) \
+                .clip(0, width)
+            df[fld] = [bars[int(i)] if pd.notna(i) else orig
                        for orig, i in zip(df[fld], idx)]
         return df
 
