@@ -1467,7 +1467,7 @@ _TYPE_CHECKS = {
     "bool": lambda v: isinstance(v, (bool, np.bool_)),
     "map": lambda v: isinstance(v, dict),
     "arr": lambda v: isinstance(v, list),
-    "funct": lambda v: isinstance(v, tuple) and len(v) == 3
+    "funct": lambda v: isinstance(v, tuple) and len(v) in (3, 4)
     and v[0] == "\x00funcval",
 }
 
@@ -1532,7 +1532,10 @@ def _call_func(self, fv, argvals, t, env):
 
 
 def _is_funcval(v) -> bool:
-    return isinstance(v, tuple) and len(v) == 3 and v[0] == "\x00funcval"
+    # 3-tuple = plain (params, body); 4-tuple adds the captured scope
+    # chain (closure literals, round-3 first-class-functions)
+    return isinstance(v, tuple) and len(v) in (3, 4) \
+        and v[0] == "\x00funcval"
 
 
 def _as_funcval(v, hof: str):
@@ -1550,12 +1553,23 @@ def _one_pair(v, hof: str) -> tuple:
 # Higher-order functions (pkg/dsl/cst/hofs.go). Each takes the
 # already-evaluated arg list plus (t, env); the UDF value is invoked
 # through _call_func so it sees $-fields and @oosvars.
+def _check_hof_arity(fv, n: int, hof: str) -> None:
+    """HOF lambdas must match the collection's pair shape exactly
+    (hofs.go arity validation — enforced even on empty collections;
+    dsl-first-class-functions *-errors cases)."""
+    if len(fv[1]) != n:
+        raise DslError(f"{hof}: function must take {n} argument(s); "
+                       f"got {len(fv[1])}")
+
+
 def _hof_apply(vals, t, env):
     coll, fv = vals[0], _as_funcval(vals[1], "apply")
     prog = env.get("\x00prog")
     if isinstance(coll, list):
+        _check_hof_arity(fv, 1, "apply")
         return [_call_func(prog, fv, [e], t, env) for e in coll]
     if isinstance(coll, dict):
+        _check_hof_arity(fv, 2, "apply")
         out = {}
         for k, v in coll.items():
             rk, rv = _one_pair(_call_func(prog, fv, [k, v], t, env), "apply")
@@ -1568,9 +1582,11 @@ def _hof_select(vals, t, env):
     coll, fv = vals[0], _as_funcval(vals[1], "select")
     prog = env.get("\x00prog")
     if isinstance(coll, list):
+        _check_hof_arity(fv, 1, "select")
         return [e for e in coll
                 if _truthy(_call_func(prog, fv, [e], t, env))]
     if isinstance(coll, dict):
+        _check_hof_arity(fv, 2, "select")
         return {k: v for k, v in coll.items()
                 if _truthy(_call_func(prog, fv, [k, v], t, env))}
     raise DslError("select: first argument is not a collection")
@@ -1580,11 +1596,13 @@ def _hof_fold(vals, t, env):
     coll, fv, init = vals[0], _as_funcval(vals[1], "fold"), vals[2]
     prog = env.get("\x00prog")
     if isinstance(coll, list):
+        _check_hof_arity(fv, 2, "fold")
         acc = init
         for e in coll:
             acc = _call_func(prog, fv, [acc, e], t, env)
         return acc
     if isinstance(coll, dict):
+        _check_hof_arity(fv, 4, "fold")
         if not coll:
             return None
         ak, av = _one_pair(init, "fold")
@@ -1599,6 +1617,7 @@ def _hof_reduce(vals, t, env):
     coll, fv = vals[0], _as_funcval(vals[1], "reduce")
     prog = env.get("\x00prog")
     if isinstance(coll, list):
+        _check_hof_arity(fv, 2, "reduce")
         if not coll:
             return None
         acc = coll[0]
@@ -1606,6 +1625,7 @@ def _hof_reduce(vals, t, env):
             acc = _call_func(prog, fv, [acc, e], t, env)
         return acc
     if isinstance(coll, dict):
+        _check_hof_arity(fv, 4, "reduce")
         if not coll:
             return None
         items = list(coll.items())
@@ -1621,9 +1641,11 @@ def _hof_any(vals, t, env):
     coll, fv = vals[0], _as_funcval(vals[1], "any")
     prog = env.get("\x00prog")
     if isinstance(coll, list):
+        _check_hof_arity(fv, 1, "any")
         return any(_truthy(_call_func(prog, fv, [e], t, env))
                    for e in coll)
     if isinstance(coll, dict):
+        _check_hof_arity(fv, 2, "any")
         return any(_truthy(_call_func(prog, fv, [k, v], t, env))
                    for k, v in coll.items())
     raise DslError("any: first argument is not a collection")
@@ -1633,9 +1655,11 @@ def _hof_every(vals, t, env):
     coll, fv = vals[0], _as_funcval(vals[1], "every")
     prog = env.get("\x00prog")
     if isinstance(coll, list):
+        _check_hof_arity(fv, 1, "every")
         return all(_truthy(_call_func(prog, fv, [e], t, env))
                    for e in coll)
     if isinstance(coll, dict):
+        _check_hof_arity(fv, 2, "every")
         return all(_truthy(_call_func(prog, fv, [k, v], t, env))
                    for k, v in coll.items())
     raise DslError("every: first argument is not a collection")
@@ -2357,7 +2381,8 @@ def _unseq_val(v):
     stay Python scalars, collections and funcvals pass through."""
     if isinstance(v, (dict, list)):
         return v
-    if isinstance(v, tuple) and len(v) == 3 and v[0] == "\x00funcval":
+    if isinstance(v, tuple) and len(v) in (3, 4) \
+            and v[0] == "\x00funcval":
         return v
     return _scalarize(v)
 

@@ -1247,7 +1247,8 @@ def _typeof(x):
         # (mlrval_type.go)
         if x is None:
             return "absent"
-        if isinstance(x, tuple) and len(x) == 3 and x[0] == "\x00funcval":
+        if isinstance(x, tuple) and len(x) in (3, 4) \
+                and x[0] == "\x00funcval":
             return "funct"
         if isinstance(x, bool):
             return "boolean"
