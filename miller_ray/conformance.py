@@ -139,6 +139,11 @@ def read_dkvp(path: str, sep: str = ",", ips: str = "=") -> list[dict]:
 # by load_df for the duration of one case's input read.
 NO_DEDUPE = False
 
+# set while running a should-fail case: reader-level VALIDATION errors
+# become FatalError (pass when the reference also rejects) instead of
+# Unsupported (skip)
+EXPECT_FAIL_MODE = [False]
+
 
 def _dedupe_header(hdr: list[str]) -> list[str]:
     """Duplicate CSV header names get _2, _3... suffixes
@@ -179,9 +184,13 @@ def read_csv(path: str, sep: str = ",", ragged: bool = False,
     out = []
     for row in data:
         if len(row) != len(hdr) and not ragged and not implicit_header:
-            raise Unsupported(
-                f"ragged CSV input without --allow-ragged-csv-input "
-                f"({len(row)} fields vs {len(hdr)} header)")
+            msg = (f"ragged CSV input without --allow-ragged-csv-input "
+                   f"({len(row)} fields vs {len(hdr)} header)")
+            if EXPECT_FAIL_MODE[0]:
+                from miller_ray.functions import FatalError
+
+                raise FatalError("mlr: " + msg)
+            raise Unsupported(msg)
         keys = hdr if len(row) <= len(hdr) else _dedupe_header(
             hdr + [str(k) for k in range(len(hdr) + 1, len(row) + 1)])
         out.append({k: _infer(v) for k, v in zip(keys, row)})
@@ -3835,8 +3844,12 @@ def _exec_join(a: list[str], df: pd.DataFrame):
     jout = j or lf
     if lf is None or rf is None:
         raise Unsupported("join without key names")
-    if _has(a, "--lk") or _has(a, "--rk"):
-        raise Unsupported("join --lk/--rk")
+    lk = _flagvals(a, "--lk", _flagvals(a, "--left-keep-field-names")) \
+        if (_has(a, "--lk") or _has(a, "--left-keep-field-names")) \
+        else None
+    rk = _flagvals(a, "--rk", _flagvals(a, "--right-keep-field-names")) \
+        if (_has(a, "--rk") or _has(a, "--right-keep-field-names")) \
+        else None
     # join.go:74-75: prefixes default EMPTY and, when given, apply to
     # ALL non-join fields of that side, paired and unpaired records
     # alike; colliding names without prefixes overwrite (map semantics)
@@ -3861,10 +3874,32 @@ def _exec_join(a: list[str], df: pd.DataFrame):
 
     # multi-field join keys: -j/-l/-r take comma-separated lists
     # (join.go splitAxisNames)
+    fval = _flagvals(a, "-f")
+    # when -f's FILE resolved, parse_cmd moved it to case.files and the
+    # next args token is another flag; a path-looking leftover means
+    # the file could not be opened
+    if fval is not None and not fval.startswith("-") \
+            and not os.path.exists(os.path.join(REFERENCE, fval)) \
+            and not os.path.exists(fval):
+        # join -f FILE whose path did not resolve to an input: the
+        # reference fails to open it (non-windows-left-file-not-found)
+        from miller_ray.functions import FatalError
+
+        raise FatalError(f"mlr: open {fval} failed")
     lfs = lf.split(",")
     rfs = rf.split(",")
     jouts = jout.split(",")
     lrecs, rrecs = recs(left), recs(right)
+    if lk is not None:
+        # --lk: keep only these left fields (join fields implied);
+        # --lk "" makes the left file a pure row-selector (join.go:23)
+        keep_l = {k for k in (lk or "").split(",") if k} | set(lfs)
+        lrecs = [{k: v for k, v in r.items() if k in keep_l}
+                 for r in lrecs]
+    if rk is not None:
+        keep_r = {k for k in (rk or "").split(",") if k} | set(rfs)
+        rrecs = [{k: v for k, v in r.items() if k in keep_r}
+                 for r in rrecs]
     if ignore_empty:
         # --ignore-empty: records whose join value is "" never pair
         def usable(rec, kfs):
@@ -4984,6 +5019,7 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
                    expect_fail: bool = False) -> tuple[str, str]:
     from miller_ray.functions import FatalError
 
+    EXPECT_FAIL_MODE[0] = expect_fail
     postcmp = postcmp or []
     if expect_fail:
         case = dataclasses.replace(case, force_seq_dsl=True)
@@ -5052,10 +5088,11 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
             if exp_text == "".join(headers):
                 return "pass", "ast echo (program produces no output)"
         return "skip", str(e)
-    except FatalError as e:
+    except (FatalError, FileNotFoundError) as e:
         # reader-level fatal errors (recutils malformed stanza, dkvpx
-        # separator validation, -I without files): in should-fail mode
-        # compare any partial records emitted before the abort
+        # separator validation, ragged CSV, missing input file, -I
+        # without files): in should-fail mode compare any partial
+        # records emitted before the abort
         if expect_fail:
             precs = getattr(e, "partial_records", None) or []
             got = render_records(precs, case.ofmt,

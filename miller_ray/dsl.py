@@ -412,30 +412,52 @@ def _arith_raw(op: str, a: Value, b: Value) -> Value:
     raise DslError(f"unknown arithmetic op {op}")
 
 
+def _bw_class(v) -> str:
+    if v is None:
+        return "absent"
+    if isinstance(v, (bool, np.bool_)):
+        return "other"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, str) and v == "":
+        return "void"
+    return "other"
+
+
 def _bitwise(op: str, a: Value, b: Value) -> Value:
-    """Binary & ^ | << >> >>> (bifs/bits.go): int-only; absent is the
-    identity; bytes and other non-ints are type errors."""
+    """Binary & ^ | << >> >>> per bifs/bits.go disposition matrices:
+    int∘int computes; VOID absorbs against numerics; ABSENT is the
+    identity against ints but pairs with void/absent to absent and
+    with floats to a type error; everything else is a type error."""
     a, b = _unscalar(a), _unscalar(b)
-    if a is None:
-        return b
-    if b is None:
-        return a
     if _is_arr(a) or _is_arr(b):
         fns = {"&": pc.bit_wise_and, "|": pc.bit_wise_or,
                "^": pc.bit_wise_xor, "<<": pc.shift_left,
                ">>": pc.shift_right, ">>>": pc.shift_right}
         return _unscalar(fns[op](a, b))
-    ok = (isinstance(a, (int, np.integer)) and not isinstance(a, bool)
-          and isinstance(b, (int, np.integer)) and not isinstance(b, bool))
-    if not ok:
-        from miller_ray.functions import type_error2
+    ca, cb = _bw_class(a), _bw_class(b)
+    if ca == "int" and cb == "int":
+        a2, b2 = int(a), int(b)
+        out = {"&": a2 & b2, "|": a2 | b2, "^": a2 ^ b2,
+               "<<": a2 << b2, ">>": a2 >> b2,
+               ">>>": (a2 % (1 << 64)) >> b2}[op]
+        return _wrap64(out)
+    pair = (ca, cb)
+    if pair in (("int", "void"), ("void", "int"), ("void", "void"),
+                ("void", "float"), ("float", "void")):
+        return ""
+    if pair == ("int", "absent"):
+        return a
+    if pair == ("absent", "int"):
+        return b
+    if pair in (("void", "absent"), ("absent", "void"),
+                ("absent", "absent")):
+        return None
+    from miller_ray.functions import type_error2
 
-        return type_error2(op, a, b)
-    a2, b2 = int(a), int(b)
-    out = {"&": a2 & b2, "|": a2 | b2, "^": a2 ^ b2,
-           "<<": a2 << b2, ">>": a2 >> b2,
-           ">>>": (a2 % (1 << 64)) >> b2}[op]
-    return _wrap64(out)
+    return type_error2(op, a, b)
 
 
 def _compare(op: str, a: Value, b: Value) -> Value:
