@@ -2296,6 +2296,29 @@ def gap(ds, n: int, order_col: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def group_by_verb(ds, fields: list[str], order_col: str):
+    """Verb ``group-by`` (transformers/group_by.go): records regroup
+    by the VALUES of the given fields, groups in first-seen stream
+    order, original order within each group. Distributed shape: a tiny
+    groupby finds each key's first occurrence (broadcast), then one
+    sort by (key_first_seen, order) — same plan as group_like, keyed
+    by values instead of schema signature."""
+    firsts = ds.groupby(fields).min(order_col)
+    fdf = firsts.to_pandas()  # tiny: one row per distinct key tuple
+    first_seen = {tuple(r[f] for f in fields): r[f"min({order_col})"]
+                  for _, r in fdf.iterrows()}
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__grprank__"] = [first_seen.get(tuple(r))
+                             for r in df[fields].itertuples(index=False)]
+        return df
+
+    return ds.map_batches(rank, batch_format="pandas") \
+        .sort(["__grprank__", order_col]) \
+        .drop_columns(["__grprank__"])
+
+
 def group_like(ds, order_col: str):
     """Verb ``group-like`` (transformers/group_like.go): records
     regroup by key-signature (the set of non-null fields), signatures

@@ -190,3 +190,11 @@ def test_stats1_windowed_boundary_carry(rd):
             lambda s: getattr(s.rolling(5, min_periods=1), fn)())
         got = out[f"x_{a}_w5"]
         assert np.allclose(got.to_numpy(), want.to_numpy()), a
+
+
+def test_group_by_verb(rd):
+    df = pd.DataFrame({"g": ["b", "a", "b", "a"], "x": [1, 2, 3, 4],
+                       "ord": [0, 1, 2, 3]})
+    out = verbs.group_by_verb(rd.from_pandas(df), ["g"], "ord").to_pandas()
+    # b first seen at ord 0: b-group rows first, stream order within
+    assert out["ord"].tolist() == [0, 2, 1, 3]
