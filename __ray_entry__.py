@@ -1109,7 +1109,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # r01+r02+r03) rotate behind the cap. Every entry keeps its
     # oracle_sql() pair, so scripts/check_oracle.py still covers 66/66.
     return {
-        # --- round-4 window: previously past the 50-cap ---
+        # --- round-4 window: previously past the 50-cap, plus the
+        # --- round-4 ENGINE ops (never driver-checked) ---
+        "sorted_join": q_sorted_join,
+        "surv_km": q_surv_km,
+        "bar_bars": q_bar_bars,
         "format_values": q_format_values,
         "summary": q_summary,
         "summary_full": q_summary_full,
@@ -1144,15 +1148,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_similar": q_count_similar,
         "step_delta": q_step_delta,
         "sec2gmt": q_sec2gmt,
-        "case_upper": q_case_upper,
-        "fill_empty": q_fill_empty,
         "seqgen": q_seqgen,
         "dedup_exact": q_dedup_exact,
         "lang_counts": q_lang_counts,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "ann_top10": q_ann_top10,
-        "label": q_label,
         "template": q_template,
         "grep": q_grep,
         "nest_explode": q_nest_explode,
@@ -1161,6 +1162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reshape_wide": q_reshape_wide,
         "ssub": q_ssub,
         "gsub": q_gsub,
+        "case_upper": q_case_upper,
+        "fill_empty": q_fill_empty,
+        "label": q_label,
         # --- rotated behind the 50-cap (driver-green r01..r03; still
         # --- covered by scripts/check_oracle.py every round) ---
         "count_distinct": q_count_distinct,
@@ -1209,10 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top10": q_ann_lsh_top10,
         "lang_id": q_lang_id,
         "multimodal_av": q_multimodal_av,
-        # round 4: engine ops promoted from the conformance harness
-        "sorted_join": q_sorted_join,
-        "surv_km": q_surv_km,
-        "bar_bars": q_bar_bars,
+        # round 4: rows-only engine ops
         "group_like": q_group_like,
     }
 
