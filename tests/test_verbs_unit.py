@@ -198,3 +198,26 @@ def test_group_by_verb(rd):
     out = verbs.group_by_verb(rd.from_pandas(df), ["g"], "ord").to_pandas()
     # b first seen at ord 0: b-group rows first, stream order within
     assert out["ord"].tolist() == [0, 2, 1, 3]
+
+
+def test_bar_and_sparkline_verbs(rd):
+    t = pa.table({"id": [1, 2, 3], "v": [0.0, 50.0, 200.0]})
+    out = verbs.bar(rd.from_arrow(t), ["v"], lo=0.0, hi=100.0,
+                    width=10).to_pandas().sort_values("id")
+    bars = out["v"].tolist()
+    assert bars[0] == "#" + "." * 9        # at lo -> oob char
+    assert bars[1] == "*" * 5 + "." * 5    # midpoint
+    assert bars[2] == "*" * 9 + "#"        # beyond hi -> capped oob
+    sp = verbs.sparkline_verb(rd.from_arrow(t), ["v"])
+    row = sp[sp["field"] == "v"].iloc[0]
+    assert row["n"] == 3 and row["lo"] == 0.0 and row["hi"] == 200.0
+    assert len(row["sparkline"]) == 3
+
+
+def test_surv_kaplan_meier(rd):
+    # surv.csv fixture semantics (transformers/surv.go golden case)
+    df = pd.DataFrame({"d": [1, 2, 3, 4, 5], "s": [1, 0, 1, 0, 1]})
+    out = verbs.surv(rd.from_pandas(df), "d", "s")
+    assert out["time"].tolist() == [1.0, 3.0, 5.0]
+    want = [0.8, 0.8 * (2 / 3), 0.0]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(out["survival"], want))
