@@ -1432,6 +1432,7 @@ def parse_cmd(cmd: str) -> Case:
     if no_input:
         rest = list(rest) + ["__NO_INPUT__"]
     # split off trailing file args (no flags after them in these suites)
+    dsl_ofmt = None
     args = []
     j = 0
     cur_verb = verb
@@ -1452,6 +1453,25 @@ def parse_cmd(cmd: str) -> Case:
         m_att = re.fullmatch(r"-n(\d+)", t)
         if m_att:
             args.extend(["-n", m_att.group(1)])
+            j += 1
+            continue
+        if t == "-o" and cur_verb in ("put", "filter") and \
+                j + 1 < len(rest) and rest[j + 1] in _FORMATS:
+            # put/filter re-parse unknown flags as WRITER options with
+            # their own options copy (put_or_filter.go:328-343 "mlr
+            # main and mlr put have different output formats"): -o FMT
+            # sets the DSL redirect/emit writer format only
+            dsl_ofmt = rest[j + 1]
+            j += 2
+            continue
+        if t in _FMT_FLAGS and cur_verb in ("put", "filter") and \
+                _FMT_FLAGS[t][0] in ("ofmt", "iofmt"):
+            dsl_ofmt = _FMT_FLAGS[t][1]
+            if _FMT_FLAGS[t][0] == "iofmt":
+                dsl_ofmt = _FMT_FLAGS[t][1]
+            j += 1
+            continue
+        if t == "--no-fflush" and cur_verb in ("put", "filter"):
             j += 1
             continue
         if t.startswith("-") and not re.fullmatch(r"-\d+(\.\d+)?", t):
@@ -1502,6 +1522,12 @@ def parse_cmd(cmd: str) -> Case:
             else:
                 kept.append(tok)
         args = kept
+    if dsl_ofmt is not None:
+        if "-q" in args:
+            # quiet put: the DSL writer's output IS the whole stdout
+            ofmt = dsl_ofmt
+        else:
+            args.append("__DSL_OFMT_MIXED__")
     if ifmt == "jsonl":
         ifmt = "json"
 
@@ -3492,6 +3518,31 @@ def _render_sink_items(items: list, ofmt: str,
     recs = [p for k, p in items if k == "rec"]
     out = ""
     if recs:
+        if ofmt == "json":
+            # the JSON writer emits emitp paths as NESTED MAPS (the
+            # writer receives the real structure; integer-keyed maps
+            # stay maps — no arrayification: dsl-redirects/0041)
+            def _nest(rec: dict) -> dict:
+                out: dict = {}
+                for k, x in rec.items():
+                    parts = str(k).split(flatsep)
+                    if len(parts) == 1 or any(p == "" for p in parts):
+                        out[k] = x
+                        continue
+                    node = out
+                    ok = True
+                    for p2 in parts[:-1]:
+                        nxt = node.setdefault(p2, {})
+                        if not isinstance(nxt, dict):
+                            ok = False
+                            break
+                        node = nxt
+                    if ok:
+                        node[parts[-1]] = x
+                    else:
+                        out[k] = x
+                return out
+            recs = [_nest(dict(r)) for r in recs]
         out += render_records(recs, ofmt, flatsep=flatsep)
     pend = ""
     for k, p in items:
@@ -3560,6 +3611,10 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                 lib_files.append(p2)
         lib_src = "".join(open(p2).read() + "\n" for p2 in lib_files)
         src = lib_src + src
+    if "__DSL_OFMT_MIXED__" in a:
+        raise Unsupported(
+            f"{v} with a separate DSL writer format AND a pass-through "
+            f"record stream (two concurrent output writers)")
     flags = [x for x in a if x.startswith("-") and len(x) > 1
              and not x[1].isdigit()]
     if "--explain" in flags and src is not None:
@@ -3680,6 +3735,20 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         except (TypeError, KeyError, IndexError) as e:
             raise Unsupported(f"dsl seq {type(e).__name__}: {e}")
         _write_dsl_sinks(sinks, ofmt, flatsep)
+        for cmd2, ent in (sinks.get("pipes") or {}).items():
+            # pipe redirect: rendered output runs through the shell
+            # command; the command's stdout joins mlr's stdout
+            import subprocess
+
+            rendered = _render_sink_items(ent["items"], ofmt, flatsep)
+            r2 = subprocess.run(cmd2, shell=True, input=rendered,
+                                capture_output=True, text=True)
+            texts = list(texts) + [ln for ln in
+                                   r2.stdout.rstrip("\n").split("\n")
+                                   if r2.stdout.strip()]
+            stream = list(stream) + [("text", ln) for ln in
+                                     r2.stdout.rstrip("\n").split("\n")
+                                     if r2.stdout.strip()]
         if texts:
             if recs and ofmt == "pprint":
                 # the pprint writer buffers records until end-of-stream
@@ -5155,7 +5224,13 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
             return "fail", f"{cmd}: passed-comments mismatch"
         raw_exp = "\n".join(ln for ln in raw_exp.splitlines()
                             if not ln.startswith(mode_prefix))
-    expected = _parse_expout(case, raw_exp)
+    try:
+        expected = _parse_expout(case, raw_exp)
+    except Unsupported:
+        raise
+    except Exception as e:  # noqa: BLE001 — malformed-for-format expout
+        return "fail", (f"{cmd}: expout unparseable as {case.ofmt}: "
+                        f"{type(e).__name__}: {e}")
     our_recs = [] if ours is None or ours.empty else _df_records(ours)
     if case.num_fmt:
         # --ofmt: float-typed values render through the format

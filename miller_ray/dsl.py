@@ -1120,6 +1120,9 @@ class _Parser:
             if v == "M_E":
                 return lambda t, env: float(np.e)
             if v == "NF":
+                # needs the whole record: sequential interpreter
+                self.force_seq = True
+
                 def fnf(t, env):
                     srec = env.get("\x00srec")
                     if srec is None:
@@ -2643,6 +2646,19 @@ def _redirect_items(seq, env, t, redir):
     if redir is None:
         return None
     mode, tgt = redir
+    if mode == "pipe":
+        import os as _os
+
+        if _os.environ.get("MLR_NO_SHELL", "") not in ("", "0", "false"):
+            from miller_ray.functions import FatalError
+
+            raise FatalError(
+                "mlr: piped redirects are disabled by --no-shell / "
+                "MLR_NO_SHELL")
+        cmd = _to_str(_scalarize(_unseq_val(tgt(t, env))))
+        pipes = seq.setdefault("outpipes", {})
+        ent = pipes.setdefault(cmd, {"items": []})
+        return ent["items"]
     if tgt == "stdout":
         return None
     if tgt == "stderr":
@@ -3086,6 +3102,7 @@ def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
     if sinks is not None:
         sinks["files"] = seq.get("outfiles", {})
         sinks["stderr"] = seq.get("stderr_items", [])
+        sinks["pipes"] = seq.get("outpipes", {})
     return out_records, texts, stream
 
 
@@ -3200,7 +3217,9 @@ def _parse_redirect(p: "_Parser"):
         return None
     p.next()
     if v == "|":
-        raise DslError("redirect pipes are not supported")
+        # pipe redirect: rendered output streams through a shell
+        # command (cst output-handler pipe targets)
+        return ("pipe", p.expr())
     mode = "a" if v == ">>" else "w"
     if v == ">" and p.peek() == ("op", ">"):
         p.next()
@@ -3720,7 +3739,7 @@ _SEQ_ONLY_KINDS = frozenset((
     "localdecl", "localassign", "lidxassign", "fidxassign", "dynassign",
     "posassign", "srec_assign", "oall_assign", "unset_multi",
     "while", "dowhile", "for_bind", "for_c",
-    "break", "continue", "return", "callsubr",
+    "break", "continue", "return", "callsubr", "teestmt",
 ))
 
 
