@@ -1884,6 +1884,115 @@ def execute(case: Case, df: pd.DataFrame):
             out = out.rename(columns={"count": name})
         return out, False
 
+    if v == "stats1" and (_has(a, "-s") or _has(a, "-w")):
+        # stats1 -s / -w: per-record stats — cumulative (-s) or over a
+        # trailing window of the last n values (-w n); per -g group
+        # (stats1.go -s/-w). Sequential by definition; the ENGINE scale
+        # path for -w is verbs.stats1_windowed.
+        if _has(a, "-s") and _has(a, "-w"):
+            from miller_ray.functions import FatalError
+
+            raise FatalError("mlr stats1: -s and -w are incompatible")
+        window = int(_flagvals(a, "-w")) if _has(a, "-w") else None
+        accs = (_flagvals(a, "-a") or "").split(",")
+        g = _flagvals(a, "-g")
+        gb = g.split(",") if g else []
+        if _has(a, "--fr"):
+            rx2 = re.compile(_flagvals(a, "--fr"))
+            fields = [c for c in df.columns
+                      if not str(c).startswith("__") and c not in gb
+                      and rx2.search(str(c))]
+        else:
+            fields = (_flagvals(a, "-f") or "").split(",")
+        supported = {"mean", "sum", "count", "min", "max", "mode",
+                     "antimode", "var", "stddev", "median",
+                     "distinct_count"}
+        bad = [x for x in accs if x not in supported
+               and not re.fullmatch(r"p\d+(\.\d+)?", x)]
+        if bad:
+            raise Unsupported(f"stats1 -s accs {bad}")
+        work = df.sort_values("__row__")
+        state: dict = {}
+        rows = []
+        for _, row in work.iterrows():
+            rec = {k: x for k, x in row.items()
+                   if not str(k).startswith("__")
+                   and not (x is None or (isinstance(x, float)
+                                          and pd.isna(x)))}
+            key = tuple(str(rec.get(k2)) for k2 in gb) if gb else ()
+            st = state.setdefault(key, {f2: [] for f2 in fields})
+            for f2 in fields:
+                xv = rec.get(f2)
+                ok2 = isinstance(xv, (int, float, np.integer,
+                                      np.floating)) and not (
+                    isinstance(xv, float) and np.isnan(xv))
+                if not ok2 and isinstance(xv, str) and re.fullmatch(
+                        r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?",
+                        str(xv)):
+                    ok2 = True
+                # one slot per RECORD: the -w window spans the last n
+                # records of the group, absent values excluded from
+                # the stats but occupying window slots (stats1.go -w)
+                st[f2].append(xv if ok2 else None)
+            for f2 in fields:
+                vals = st[f2]
+                if window is not None:
+                    vals = vals[-window:]
+                vals = [x2 for x2 in vals if x2 is not None]
+                if not vals:
+                    continue
+                nums = [float(x2) for x2 in vals]
+                from collections import Counter
+
+                for acc in accs:
+                    m_p = re.fullmatch(r"p(\d+(?:\.\d+)?)", acc)
+                    if m_p or acc in ("median", "distinct_count"):
+                        kname = f"{f2}_{acc}"
+                        if acc == "distinct_count":
+                            rec[kname] = len({str(x2) for x2 in vals})
+                            continue
+                        p3 = 50.0 if acc == "median" \
+                            else float(m_p.group(1))
+                        srt = sorted(vals, key=float)
+                        idx = min(int(p3 * len(srt) / 100.0),
+                                  len(srt) - 1)
+                        rec[kname] = srt[idx]
+                        continue
+                    kname = f"{f2}_{acc}"
+                    if acc == "count":
+                        rec[kname] = len(vals)
+                    elif acc == "sum":
+                        s2 = sum(nums)
+                        rec[kname] = int(s2) if s2.is_integer() and all(
+                            float(x2).is_integer() for x2 in nums) \
+                            else s2
+                    elif acc == "mean":
+                        rec[kname] = sum(nums) / len(nums)
+                    elif acc == "min":
+                        rec[kname] = min(vals, key=float)
+                    elif acc == "max":
+                        rec[kname] = max(vals, key=float)
+                    elif acc in ("var", "stddev"):
+                        if len(nums) < 2:
+                            rec[kname] = ""
+                        else:
+                            m2 = sum(nums) / len(nums)
+                            var = sum((x2 - m2) ** 2
+                                      for x2 in nums) / (len(nums) - 1)
+                            rec[kname] = var if acc == "var" \
+                                else var ** 0.5
+                    elif acc in ("mode", "antimode"):
+                        cnt = Counter(str(x2) for x2 in vals)
+                        best = None
+                        for v2, c2 in cnt.items():
+                            if best is None or (
+                                    c2 > cnt[best] if acc == "mode"
+                                    else c2 < cnt[best]):
+                                best = v2
+                        rec[kname] = _infer(best)
+            rows.append(rec)
+        return _rows_frame(pd.DataFrame({"__rows__": rows})), True
+
     if v == "stats1":
         if _has(a, "-s") or _has(a, "-w"):
             raise Unsupported("stats1 -s/-w")

@@ -106,9 +106,9 @@ def test_filter_statement():
 
 
 def test_errors():
-    with pytest.raises(dsl.DslError):
-        # pipe redirects remain unsupported (file redirects parse)
-        dsl.compile_program('tee | "cat", $*')
+    # pipe redirects PARSE since round 4 (output streams through a
+    # shell command at run time; dsl-redirects golden cases)
+    dsl.compile_program('tee | "cat", $*')
     with pytest.raises(dsl.DslError):
         # unknown function: parses (could be a forward-defined UDF) but
         # fails at evaluation time
