@@ -878,8 +878,9 @@ def parse_pprint(text: str) -> list[dict]:
 
 
 def parse_json_out(text: str) -> list[dict]:
-    # Miller writes the error VALUE bare even in JSON output
-    text = re.sub(r"(:\s*)\(error\)", r'\1"(error)"', text)
+    # Miller writes the error VALUE bare even in JSON output — as a
+    # map value and as an array element
+    text = re.sub(r"([:,[]\s*)\(error\)", r'\1"(error)"', text)
     try:
         data = json.loads(text)
         if isinstance(data, dict):
@@ -938,12 +939,35 @@ def parse_tsv_out(text: str) -> list[dict]:
     return list(csv.DictReader(io.StringIO(text), delimiter="\t"))
 
 
+# The reference regtester exports MLR_OFMT=%.8f globally
+# (regtest/regtester.go:161) — EXCEPT that non-windows/* cases are
+# unconditionally skipped by it (regtester.go:371 returns before
+# running), so their expouts predate the global OFMT and carry full
+# float precision. run_case() clears this for those cases.
+REGTEST_OFMT: list = ["%.8f"]
+
+
 EXPOUT_PARSERS = {"dkvp": parse_dkvp, "xtab": parse_xtab, "pprint": parse_pprint,
                   "json": parse_json_out, "csv": parse_csv_out,
                   "tsv": parse_tsv_out, "nidx": parse_nidx_out,
                   "markdown": parse_markdown_out, "yaml": parse_yaml_out,
                   "csvlite": parse_csvlite_out, "tsvlite": parse_tsv_out,
                   "recutils": parse_recutils_out, "dcf": parse_dcf_out}
+
+
+def _miller_regex(spec: str):
+    """CompileMillerRegex (lib/regex.go:97): "..."/"/.../" wrappers are
+    stripped; a trailing `i` outside the wrapper makes the pattern
+    case-insensitive."""
+    n = len(spec)
+    if n >= 2:
+        for q in ('"', "/"):
+            if spec.startswith(q):
+                if spec.endswith(q):
+                    return re.compile(spec[1:n - 1])
+                if spec.endswith(q + "i"):
+                    return re.compile(spec[1:n - 2], re.IGNORECASE)
+    return re.compile(spec)
 
 
 def _parse_expout(case: "Case", text: str) -> list[dict]:
@@ -1032,7 +1056,12 @@ _FORMATS = ("csv", "csvlite", "tsv", "tsvlite", "json", "jsonl", "dkvp",
 
 _FMT_FLAGS: dict = {"--jvstack": (None, None), "--no-jvstack": (None, None),
                     "--jlistwrap": (None, None), "--no-fflush": (None, None),
-                    "--records-per-batch": ("skipval", None)}
+                    "--records-per-batch": ("skipval", None),
+                    # in-process decompression (option_parse.go:3296):
+                    # _decompress_input keys off the file extension; the
+                    # flag itself needs no state
+                    "--gzin": (None, None), "--bz2in": (None, None),
+                    "--zin": (None, None), "--zstdin": (None, None)}
 for _f in _FORMATS:
     _FMT_FLAGS[f"--{_f}"] = ("iofmt", _f)
     _FMT_FLAGS[f"--i{_f}"] = ("ifmt", _f)
@@ -1498,7 +1527,14 @@ def parse_cmd(cmd: str) -> Case:
                           os.path.join(REFERENCE, t)))
                       or ("/" in t and any(ch in t for ch in "*?[")
                           and any(os.path.isfile(h) for h in __import__(
-                              "glob").glob(os.path.join(REFERENCE, t))))):
+                              "glob").glob(os.path.join(REFERENCE, t))))
+                      # an absolute path that is NOT a /regex/ form is
+                      # an input file even when missing — the reader
+                      # fails on it (non-windows/file-not-found)
+                      or (t.startswith("/")
+                          and not t.endswith(("/", "/i"))
+                          and "," not in t and "/" in t[1:]
+                          and not re.search(r"[\^$*?\[(|]", t))):
                 files.append(t)
             else:
                 args.append(t)
@@ -2345,7 +2381,7 @@ def execute(case: Case, df: pd.DataFrame):
                  if not str(k).startswith("__") and x is not None
                  and not (isinstance(x, float) and np.isnan(x))}
                 for _, row in df.iterrows()]
-        recs, texts = DSL.run_script(prog, recs_in, ofmt="%.8f")
+        recs, texts = DSL.run_script(prog, recs_in, ofmt=REGTEST_OFMT[0])
         if texts and not recs:
             return RawText("\n".join(texts) + "\n"), True
         if not recs:
@@ -2586,16 +2622,59 @@ def execute(case: Case, df: pd.DataFrame):
                        errors="ignore"), True
 
     if v == "having-fields":
-        fl = _flagvals(a, "--at-least")
-        if fl is None:
+        # six criteria over each record's OWN key set
+        # (transformers/having_fields.go:239-366)
+        work = df.sort_values("__row__") if "__row__" in df.columns else df
+        meta = {"__row__", "__file__", "__filenum__"}
+        raw0 = df.attrs.get("raw_records")
+        if raw0 is not None:
+            keysets = [[k for k in r] for r in raw0]
+        else:
+            cols = [c for c in work.columns if c not in meta]
+            keysets = [[c for c in cols
+                        if not (pd.isna(row[c]) if not isinstance(
+                            row[c], (list, dict, np.ndarray))
+                            else False)]
+                       for _, row in work.iterrows()]
+
+        def _mode(flag):
+            val = _flagvals(a, flag)
+            return None if val is None else val
+
+        keep: list[bool] = []
+        if (fl := _mode("--at-least")) is not None:
+            need = set(fl.split(","))
+            keep = [need.issubset(ks) for ks in keysets]
+        elif (fl := _mode("--which-are")) is not None:
+            need = set(fl.split(","))
+            keep = [len(ks) == len(need) and set(ks) == need
+                    for ks in keysets]
+        elif (fl := _mode("--at-most")) is not None:
+            need = set(fl.split(","))
+            keep = [set(ks).issubset(need) for ks in keysets]
+        elif (fl := _mode("--all-matching")) is not None:
+            rx = _miller_regex(fl)
+            keep = [all(rx.search(str(k)) for k in ks) for ks in keysets]
+        elif (fl := _mode("--any-matching")) is not None:
+            rx = _miller_regex(fl)
+            keep = [any(rx.search(str(k)) for k in ks) for ks in keysets]
+        elif (fl := _mode("--none-matching")) is not None:
+            rx = _miller_regex(fl)
+            keep = [not any(rx.search(str(k)) for k in ks)
+                    for ks in keysets]
+        else:
             raise Unsupported("having-fields mode")
-        need = fl.split(",")
-        out = df
-        for c in need:
-            if c not in out.columns:
-                return pd.DataFrame(), False
-            out = out[out[c].notna()]
-        return out.drop(columns=["__row__", "__file__", "__filenum__"], errors="ignore"), True
+        out = work[pd.Series(keep, index=work.index)]
+        out = out.drop(columns=[c for c in meta if c in out.columns])
+        if raw0 is not None:
+            out = out.copy()
+            out.attrs["raw_records"] = [r for r, k2 in zip(raw0, keep)
+                                        if k2]
+        # drop all-absent columns so sparse records keep their shape
+        live = [c for c in out.columns
+                if not out[c].map(lambda x: pd.isna(x) if not isinstance(
+                    x, (list, dict, np.ndarray)) else False).all()]
+        return out[live], True
 
     if v == "cat":
         if "--filename" in a or "--filenum" in a:
@@ -2836,8 +2915,17 @@ def execute(case: Case, df: pd.DataFrame):
             raise Unsupported("sub args")
         pat, rep = pos[-2], pos[-1]
         work = _drop_meta(df).copy()
-        targets = [c for c in work.columns] if _has(a, "-a") else \
-            [c for c in (fields or []) if c in work.columns]
+        if _has(a, "-a"):
+            targets = [c for c in work.columns]
+        elif _has(a, "-r"):
+            # -r: -f names are field-name regexes (subs.go:187),
+            # compiled through CompileMillerRegex ("..."/"/.../" and
+            # trailing-i forms)
+            pats = [_miller_regex(fx) for fx in (fields or [])]
+            targets = [c for c in work.columns
+                       if any(p.search(str(c)) for p in pats)]
+        else:
+            targets = [c for c in (fields or []) if c in work.columns]
         rep_py = re.sub(r"\\(\d)", r"\\g<\1>", rep)
         for c in targets:
             def one(x):
@@ -3474,7 +3562,7 @@ def _render_rec_lines(rec: dict, ofmt: str,
         # promotion (NaN fill) — render without the float formatter
         if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
             return str(int(v))
-        return DSL._print_render(v, "%.8f")
+        return DSL._print_render(v, REGTEST_OFMT[0])
 
     items = [(str(k), rv(v)) for k, v in flat.items()]
     if not items:
@@ -3518,7 +3606,7 @@ def _render_value(v) -> str:
         return str(int(v))
     # the regtest harness exports MLR_OFMT=%.8f globally
     # (regtester.go:161): float-typed values render through it
-    return DSL._print_render(v, "%.8f")
+    return DSL._print_render(v, REGTEST_OFMT[0])
 
 
 def _csv_quote(s: str) -> str:
@@ -3548,7 +3636,7 @@ def render_records(recs: list[dict], fmt: str, flatsep: str = ".") -> str:
         flat_recs.append(fr)
     recs = flat_recs
     if fmt == "json":
-        parts = [DSL._mlr_json(r, ofmt="%.8f") for r in recs]
+        parts = [DSL._mlr_json(r, ofmt=REGTEST_OFMT[0]) for r in recs]
         return "[\n" + ",\n".join(parts) + "\n]\n" if parts else "[\n]\n"
     lines: list[str] = []
     if fmt in ("csv", "csvlite", "tsv", "tsvlite"):
@@ -3724,6 +3812,44 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         raise Unsupported(
             f"{v} with a separate DSL writer format AND a pass-through "
             f"record stream (two concurrent output writers)")
+    if "-s" in a:
+        # put/filter -s name=value: preset @name as if by a begin block
+        # (put_or_filter.go:278 "mlr put -s sum=0" == put 'begin{@sum=0}');
+        # the value is type-inferred like record values
+        presets = []
+        rest2 = []
+        j = 0
+        while j < len(a):
+            if a[j] == "-s" and j + 1 < len(a):
+                nm, sep, val = a[j + 1].partition("=")
+                if not sep:
+                    raise Unsupported(f"{v} -s without name=value")
+                iv = _infer(val)
+                if isinstance(iv, str):
+                    lit = '"' + iv.replace("\\", "\\\\") \
+                                  .replace('"', '\\"') + '"'
+                else:
+                    lit = val
+                presets.append(f"begin {{ @{nm} = {lit} }}")
+                j += 2
+            else:
+                rest2.append(a[j])
+                j += 1
+        a = rest2
+        if src is not None:
+            src = "\n".join(presets) + "\n" + src
+        else:
+            # presets attach ahead of the inline expression below
+            loads_src = "\n".join(presets) + "\n"
+            exprs0 = [x for x in a
+                      if not (x.startswith("-") and len(x) > 1
+                              and not x[1].isdigit())
+                      and x != "__NO_INPUT__"]
+            if len(exprs0) == 1:
+                a = [x for x in a if x not in exprs0]
+                src = loads_src + exprs0[0]
+            else:
+                raise Unsupported(f"{v} -s arg shape")
     flags = [x for x in a if x.startswith("-") and len(x) > 1
              and not x[1].isdigit()]
     if "--explain" in flags and src is not None:
@@ -3835,7 +3961,7 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
             # the reference regtest exports MLR_OFMT=%.8f globally
             # (regtester.go:161) — float-typed prints render through it
             recs, texts, stream = prog.run_records(
-                records, seeds=seeds, quiet=quiet, ofmt="%.8f",
+                records, seeds=seeds, quiet=quiet, ofmt=REGTEST_OFMT[0],
                 want_filter=(v == "filter"), sinks=sinks,
                 flatsep=flatsep,
                 end_nr=df.attrs.get("stream_end_nr"))
@@ -3885,7 +4011,7 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                     r = _auto_unflatten({k: x for k, x in payload.items()
                                          if not str(k).startswith("__")},
                                         sep=flatsep)
-                    obj = DSL._mlr_json(r, ofmt="%.8f")
+                    obj = DSL._mlr_json(r, ofmt=REGTEST_OFMT[0])
                     parts.append(("," if started else "[") + "\n" + obj)
                     started = True
                 if pend:
@@ -4555,6 +4681,8 @@ def _norm(v) -> str:
         return "\x00absent"
     if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.hex()  # mlrval_output.go:96 bytes render as hex
     if isinstance(v, _SrcInt):
         # source-form ints RENDER as their original text ("0123"),
         # so normalize the text exactly like the parsed expout side
@@ -4730,11 +4858,20 @@ def run_case(case_dir: str) -> tuple[str, str]:
             if sep and k.strip():
                 saved_env[k.strip()] = os.environ.get(k.strip())
                 os.environ[k.strip()] = v2
+    saved_ofmt = REGTEST_OFMT[0]
+    if "non-windows/dsl-redirects" in case_dir:
+        # these expouts were generated before regtester.go:161 set
+        # MLR_OFMT globally (the regtester skips non-windows/* cases
+        # unconditionally, regtester.go:371, so they were never
+        # regenerated) — full float precision; the sibling
+        # verb-sub-gsub-ssub/non-windows expouts DO carry %.8f
+        REGTEST_OFMT[0] = None
     try:
         return _run_case_inner(case_dir, expect_fail)
     except Unsupported as e:
         return "skip", str(e)
     finally:
+        REGTEST_OFMT[0] = saved_ofmt
         for k, old in saved_env.items():
             if old is None:
                 os.environ.pop(k, None)
@@ -4914,7 +5051,7 @@ def _repl_render(v) -> str:
         from miller_ray import dsl as DSL
 
         if isinstance(v, dict):
-            return DSL._mlr_json(v, ofmt="%.8f")
+            return DSL._mlr_json(v, ofmt=REGTEST_OFMT[0])
         # bytes elements render as quoted hex inside collections
         return json.dumps([x.hex() if isinstance(x, bytes) else x
                            for x in v], ensure_ascii=False)
@@ -5280,6 +5417,12 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
             got = render_records(precs, case.ofmt,
                                  flatsep=case.flatsep or ".") \
                 if precs else ""
+            if not precs and case.ofmt == "json" \
+                    and not re.search(r"--o?jsonl\b", cmd) \
+                    and isinstance(e, FileNotFoundError):
+                # the JSON writer emits its list wrapper even when the
+                # reader opens no file (non-windows/file-not-found)
+                got = "[\n]\n"
             with open(os.path.join(case_dir, "expout"), encoding="utf-8",
                       errors="surrogateescape") as f:
                 exp_text = f.read()
@@ -5434,10 +5577,13 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
 def run_suite(suite: str) -> dict:
     base = os.path.join(REFERENCE, "test/cases", suite)
     out = {"pass": 0, "fail": 0, "skip": 0, "failures": []}
-    for case_id in sorted(os.listdir(base)):
-        cdir = os.path.join(base, case_id)
-        if not os.path.isdir(cdir) or not os.path.exists(os.path.join(cdir, "cmd")):
-            continue
+    case_dirs = []
+    for root, dirs, files in os.walk(base):
+        if "cmd" in files:
+            case_dirs.append(root)
+            dirs[:] = []  # a case dir never nests further cases
+    for cdir in sorted(case_dirs):
+        case_id = os.path.relpath(cdir, base)
         status, detail = run_case(cdir)
         out[status] += 1
         if status == "fail":

@@ -61,7 +61,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<float>(\d+\.\d*|\.\d+)([eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>0[xX][0-9a-fA-F]+|0[bB][01]+|\d+)
   | (?P<bytesstr>b"(\\.|[^"\\])*")
-  | (?P<string>"(\\.|[^"\\])*")
+  | (?P<string>"(\\.|[^"\\])*"i?)
   | (?P<posfield>\$\[\[\[|\$\[\[|\$\[)
   | (?P<field>\$(\{[^}]*\}|[A-Za-z0-9_]+|\*))
   | (?P<oosvar>@(\{[^}]*\}|[A-Za-z0-9_]+|\*)?)
@@ -646,6 +646,7 @@ _SEQ_FNS = frozenset((
     "variance", "stddev", "skewness", "kurtosis", "mode", "antimode",
     "percentile", "percentiles", "distinct_count", "null_count",
     "minlen", "maxlen", "sort_collection", "hasvalue", "is_empty_map",
+    "json_parse", "json_stringify", "sparkline",
     "is_nonempty_map", "format", "unformat", "unformatx", "strmatchx",
     "flatten", "unflatten",
     # scalar-only local-time implementations
@@ -778,18 +779,31 @@ class _Parser:
             right = self.comparison()
 
             def f(t, env, left=left, right=right, op=op):
+                from miller_ray.functions import MLR_NULL, _MlrNull
+
                 a = left(t, env)
                 pat = right(t, env)
                 if _is_arr(pat):
                     raise DslError("=~ pattern must be a literal")
+                if isinstance(pat, _MlrNull):
+                    # `x =~ null` returns null and RESETS captures to
+                    # the unset state (dsl-regex-matching/null-reset)
+                    env["\x00caps"] = None
+                    return MLR_NULL
                 pat = str(_regex_of(pat))
                 if not _is_arr(a):
                     if a is None:
                         return None  # absent =~ pattern is absent
                     m0 = re.search(pat, str(a))
-                    if op == "=~" and m0:
-                        env["\x00caps"] = [m0.group(0)] + \
-                            ["" if g is None else g for g in m0.groups()]
+                    if op == "=~":
+                        if m0:
+                            env["\x00caps"] = [m0.group(0)] + \
+                                ["" if g is None else g
+                                 for g in m0.groups()]
+                        else:
+                            # failed match CLEARS captures to empty
+                            # strings (regex.go captures-on-no-match)
+                            env["\x00caps"] = [""] * 10
                     return (m0 is None) if op == "!~" else (m0 is not None)
                 m = pc.match_substring_regex(pc.cast(a, pa.string()), pat)
                 if op == "=~":
@@ -1027,6 +1041,12 @@ class _Parser:
             val = _decode_bytes_literal(v[2:-1])
             return lambda t, env: val
         if k == "string":
+            ci = v.endswith('"i')
+            if ci:
+                # case-insensitive regex literal "..."i (mlr.bnf
+                # regex_case_insensitive; lib/regex.go): the string
+                # VALUE keeps the body, regex consumers see (?i)
+                v = v[:-1]
             raw = v[1:-1]
             pieces = re.split(r"(\\[0-9])", raw)
             # regex-position consumers (sub/gsub/=~ ...) need the RAW
@@ -1040,14 +1060,19 @@ class _Parser:
                 # \x01)
                 def f(t, env, pieces=pieces):
                     caps = env.get("\x00caps")
-                    if caps is None:
-                        raise DslError("\\N used before any =~ match")
                     out = None
                     for p in pieces:
                         if re.fullmatch(r"\\[0-9]", p):
-                            i2 = int(p[1])
-                            part = (caps[i2] if i2 < len(caps)
-                                    else "")
+                            if caps is None:
+                                # captures unset (never matched, or
+                                # reset by `=~ null`): \N stays
+                                # LITERAL (dsl-regex-matching/
+                                # null-reset)
+                                part = p
+                            else:
+                                i2 = int(p[1])
+                                part = (caps[i2] if i2 < len(caps)
+                                        else "")
                         elif p:
                             part = p.encode().decode("unicode_escape")
                         else:
@@ -1055,6 +1080,16 @@ class _Parser:
                         out = part if out is None else _concat_vals(out, part)
                     return out if out is not None else ""
                 return f
+            if ci:
+                # a case-insensitive regex literal's string VALUE is
+                # the verbatim quoted form `"..."i` (leaves.go:270
+                # RegexLiteralNode keeps the original literal; only
+                # CompileMillerRegex strips it) — so `"a"."d$"i`
+                # concatenates to a pattern that matches nothing
+                # (dsl-regex-matching/0013)
+                val = _LitStr(v + "i")
+                val.raw = "(?i)" + raw.replace('\\"', '"')
+                return lambda t, env: val
             val = _LitStr(raw.encode().decode("unicode_escape"))
             val.raw = raw.replace('\\"', '"')
             return lambda t, env: val
@@ -1115,6 +1150,11 @@ class _Parser:
                 return lambda t, env: True
             if v == "false":
                 return lambda t, env: False
+            if v == "null":
+                # JSON-null literal (mlr.bnf null_literal; mlrval
+                # MT_NULL) — distinct from absent
+                from miller_ray.functions import MLR_NULL
+                return lambda t, env: MLR_NULL
             if v == "M_PI":
                 return lambda t, env: float(np.pi)
             if v == "M_E":
@@ -2571,9 +2611,12 @@ def _has_map_vals(d: dict) -> bool:
 
 def _emit_split(base, v) -> list[dict]:
     """emit (unprefixed) of one target with keynames exhausted
-    (emit_emitp.go): scalar -> {name: v}; map of scalars -> the map as
-    one record; map with nested maps -> recurse per key (keys do NOT
-    become fields — golden dsl-emit/0006)."""
+    (emit_emitp.go:501 executeNonIndexedNonLashedEmit): scalar ->
+    {name: v}; map whose FIRST value is not a map (Mlrmap.IsNested,
+    mlrmap_accessors.go:823 checks only Head) -> the map as one
+    record, nested values kept in place; map whose first value IS a
+    map -> recurse per (key, value) with the child key as the next
+    name (golden dsl-emit/0006)."""
     if v is None:
         return []
     if not isinstance(v, (dict, list)):
@@ -2582,12 +2625,13 @@ def _emit_split(base, v) -> list[dict]:
         # arrays are leaf emittables: one record {name: array}
         # (dsl-slice/0001 "a35": [3, 4, 5]; empty arrays still emit)
         return [{base if base is not None else "_": v}]
-    if not _has_map_vals(v):
+    first = next(iter(v.values()), None)
+    if not isinstance(first, dict):
         rec = {kk: vv for kk, vv in v.items() if vv is not None}
         return [rec] if rec else []
     recs: list[dict] = []
-    for vv in v.values():
-        recs.extend(_emit_split(base, vv))
+    for kk, vv in v.items():
+        recs.extend(_emit_split(kk, vv))
     return recs
 
 
@@ -2868,6 +2912,11 @@ def _json_scalar(v, ofmt: str | None = None) -> str:
 
     if v is None:
         return '""'
+    if type(v).__name__ == "_MlrNull":
+        return "null"
+    if isinstance(v, bytes):
+        # bytes render as lowercase hex (mlrval_output.go:96)
+        return json.dumps(v.hex())
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (int, np.integer)):

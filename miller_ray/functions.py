@@ -25,6 +25,27 @@ import pyarrow.compute as pc
 
 REGISTRY: dict[str, Callable] = {}
 
+
+class _MlrNull:
+    """The JSON-null mlrval (reference mlrval MT_NULL,
+    mlrval_constants.go:31 printrep "null"). Distinct from absent
+    (Python None) and void (""): the DSL `null` literal and JSON null
+    values carry it. Falsy; renders as "null"."""
+
+    __slots__ = ()
+
+    def __repr__(self):
+        return "null"
+
+    def __str__(self):
+        return "null"
+
+    def __bool__(self):
+        return False
+
+
+MLR_NULL = _MlrNull()
+
 # Process-wide float output format, mirroring the reference's MLR_OFMT
 # environment variable (regtester.go:161 sets %.8f for golden tests).
 # None outside conformance runs.
@@ -431,12 +452,40 @@ def _is_num_arg(x):
     return isinstance(x, (int, float)) and not isinstance(x, bool)
 
 
+def _minmax_coll(v, want_max: bool):
+    """min/max folded over a collection's values, recursing into
+    nested collections (arithmetic.go bif_min_unary_array /
+    BIF_min_within_map_values); empty -> VOID."""
+    vals = list(v.values()) if isinstance(v, dict) else list(v)
+    best = None
+    for x in vals:
+        if isinstance(x, (dict, list)):
+            x = _minmax_coll(x, want_max)
+        if x is None or x == "":
+            continue
+        if best is None:
+            best = x
+            continue
+        bn, xn = _is_num_arg(best), _is_num_arg(x)
+        if bn != xn:
+            # numbers sort BELOW strings (mlrval_type.go:82-84)
+            if (not xn) if want_max else xn:
+                best = x
+        else:
+            if (x > best) if want_max else (x < best):
+                best = x
+    return "" if best is None else best
+
+
 @bif("min")
 def _min_fn(*xs):
     """Variadic min under Miller's total order: numbers sort BELOW
-    strings (mlrval_type.go:82-84); zero args -> VOID."""
+    strings (mlrval_type.go:82-84); zero args -> VOID; a single
+    map/array arg folds over its values (bif_min_unary)."""
     if not xs:
         return ""
+    if len(xs) == 1 and isinstance(xs[0], (dict, list)):
+        return _minmax_coll(xs[0], want_max=False)
     nums = [x for x in xs if _is_num_arg(x)]
     strs = [x for x in xs if not _is_num_arg(x)]
     if nums:
@@ -446,9 +495,12 @@ def _min_fn(*xs):
 
 @bif("max")
 def _max_fn(*xs):
-    """Variadic max: strings sort ABOVE numbers; zero args -> VOID."""
+    """Variadic max: strings sort ABOVE numbers; zero args -> VOID;
+    a single map/array arg folds over its values."""
     if not xs:
         return ""
+    if len(xs) == 1 and isinstance(xs[0], (dict, list)):
+        return _minmax_coll(xs[0], want_max=True)
     nums = [x for x in xs if _is_num_arg(x)]
     strs = [x for x in xs if not _is_num_arg(x)]
     if strs:
@@ -506,6 +558,9 @@ def _string(x):
     if x is None:
         return "(absent)"
     if isinstance(x, bytes):
+        # reinterpret raw bytes as text (strings.go:25 BIF_string);
+        # invalid UTF-8 survives as raw bytes (surrogateescape), the
+        # same way Miller's own JSON writer emits them verbatim
         return x.decode("utf-8", errors="surrogateescape")
     if isinstance(x, bool):
         return "true" if x else "false"
@@ -1209,12 +1264,10 @@ def _sparkline_bif(coll):
     """BIF_sparkline (bifs/sparkline.go): one block glyph per element
     scaled to the collection's min/max; VOID on empty, error for
     non-collections or non-numeric elements."""
-    if isinstance(coll, dict):
-        vals = list(coll.values())
-    elif isinstance(coll, list):
-        vals = coll
-    else:
-        return "(error)"
+    fb = _check_coll(coll)
+    if fb is not None:
+        return fb[1]
+    vals = list(coll.values()) if isinstance(coll, dict) else coll
     try:
         fv = [float(v) for v in vals]
     except (TypeError, ValueError):
@@ -1247,6 +1300,8 @@ def _typeof(x):
         # (mlrval_type.go)
         if x is None:
             return "absent"
+        if isinstance(x, _MlrNull):
+            return "null"
         if isinstance(x, tuple) and len(x) in (3, 4) \
                 and x[0] == "\x00funcval":
             return "funct"
@@ -1555,15 +1610,31 @@ for _nm, _base in [
     _mk_asserting(_nm, REGISTRY[_base])
 
 
+_ABS_FALLBACK = ("\x00collfb", None)
+_ERR_FALLBACK = ("\x00collfb", "(error)")
+
+
+def _check_coll(v):
+    """check_collection (bifs/stats.go:151): map/array pass (returns
+    None); absent arg stays absent; anything else — null, error, any
+    scalar — yields the error VALUE "(error)"."""
+    if isinstance(v, (dict, list)):
+        return None
+    if v is None:
+        return _ABS_FALLBACK
+    return _ERR_FALLBACK
+
+
+def _coll_vals(v) -> list:
+    return list(v.values()) if isinstance(v, dict) else list(v)
+
+
 def _coll_nums(v) -> list:
     """Numeric values of a collection argument (bifs/stats.go ingest:
     non-numeric and void values are skipped)."""
-    vals = v.values() if isinstance(v, dict) else v
-    if not isinstance(vals, (list, type({}.values()))):
-        raise TypeError("collection-stats function expects map/array")
     out = []
-    for x in vals:
-        if isinstance(x, bool) or x is None:
+    for x in _coll_vals(v):
+        if isinstance(x, bool) or x is None or isinstance(x, _MlrNull):
             continue
         if isinstance(x, (int, float, np.integer, np.floating)):
             out.append(float(x))
@@ -1577,6 +1648,9 @@ def _coll_nums(v) -> list:
 def _coll_stat(name):
     def deco(fn):
         def f(v, *args):
+            fb = _check_coll(v)
+            if fb is not None:
+                return fb[1]
             return fn(_coll_nums(v), *args)
         REGISTRY[name] = f
         f.__name__ = name
@@ -1588,9 +1662,14 @@ def _int_if_whole(x: float):
     return int(x) if float(x).is_integer() and abs(x) < 1e15 else x
 
 
-@_coll_stat("count")
-def _c_count(xs):
-    return len(xs)
+@bif("count")
+def _c_count(v):
+    """count of ALL collection elements, nested values included as one
+    each (bifs/stats.go:182 BIF_count CollectionFold +1 per element)."""
+    fb = _check_coll(v)
+    if fb is not None:
+        return fb[1]
+    return len(v)
 
 
 @_coll_stat("sum")
@@ -1620,14 +1699,14 @@ def _c_mean(xs):
 
 @_coll_stat("meaneb")
 def _c_meaneb(xs):
-    """mean with error bar: map {mean, var-of-mean} (bifs/stats.go
-    BIF_meaneb)."""
+    """error bar of the mean: sqrt(variance/n), void for n<2
+    (bifs/stats.go:55 BIF_finalize_mean_eb)."""
     n = len(xs)
     if n < 2:
-        return {"mean": xs[0] if xs else None, "meaneb": None}
+        return None
     m = sum(xs) / n
     var = sum((x - m) ** 2 for x in xs) / (n - 1)
-    return {"mean": m, "meaneb": (var / n) ** 0.5}
+    return (var / n) ** 0.5
 
 
 @_coll_stat("variance")
@@ -1676,73 +1755,185 @@ def _pctl_type1(xs: list, p: float):
     return s[min(idx, len(s) - 1)]
 
 
-@_coll_stat("median")
-def _c_median(xs):
-    return _pctl_type1(xs, 50)
+def _is_num_scalar(x) -> bool:
+    return isinstance(x, (int, float, np.integer, np.floating)) \
+        and not isinstance(x, bool)
 
 
-@_coll_stat("percentile")
-def _c_pctl(xs, p):
-    return _pctl_type1(xs, float(p))
+def _pctl_noninterp(sarr: list, p: float):
+    """percentiles.go:193 GetPercentileNonInterpolated: R quantile
+    type=1, any element type."""
+    n = len(sarr)
+    idx = int(p * n / 100.0)
+    return sarr[min(max(idx, 0), n - 1)]
 
 
-@_coll_stat("percentiles")
-def _c_pctls(xs, ps):
-    if not isinstance(ps, list):
+def _pctl_interp(sarr: list, p: float):
+    """percentiles.go:9 GetPercentileLinearlyInterpolated: R type=7;
+    non-numeric arithmetic yields the error VALUE except at the last
+    index (returned verbatim)."""
+    import math as _math
+
+    n = len(sarr)
+    findex = max((p / 100.0) * (n - 1), 0.0)
+    iindex = int(_math.floor(findex))
+    if iindex >= n - 1:
+        return sarr[iindex]
+    a, b = sarr[iindex], sarr[iindex + 1]
+    if not (_is_num_scalar(a) and _is_num_scalar(b)):
+        return "(error)"
+    return a + (findex - iindex) * (b - a)
+
+
+def _pctls_with_options(v, ps, opts, single: bool):
+    """bif_percentiles_with_options_aux (bifs/stats.go:543): options
+    {array_is_sorted/ais, interpolate_linearly/il,
+    output_array_not_map/oa}; output map keyed by each percentile's
+    string form; empty collection yields VOID per percentile."""
+    fb = _check_coll(v)
+    if fb is not None:
+        return fb[1]
+    interp = sorted_in = out_array = False
+    if opts is not None:
+        if not isinstance(opts, dict):
+            return "(error)"
+        for k, ov in opts.items():
+            if not isinstance(ov, bool):
+                return "(error)"
+            if k in ("array_is_sorted", "ais"):
+                sorted_in = ov
+            elif k in ("interpolate_linearly", "il"):
+                interp = ov
+            elif k in ("output_array_not_map", "oa"):
+                out_array = ov
+    if sorted_in:
+        if not isinstance(v, list):
+            return "(error)"
+        sarr = list(v)
+    else:
+        sarr = _sort_collection(_coll_vals(v))
+    if single:
         ps = [ps]
-    return {_render_scalar(_int_if_whole(float(p))): _pctl_type1(
-        xs, float(p)) for p in ps}
+    elif not isinstance(ps, list):
+        return "(error)"
+    outs = []
+    for p in ps:
+        if isinstance(p, str):
+            ip = _infer_str(p)
+            p = ip if not isinstance(ip, str) else None
+        if isinstance(p, bool) or not _is_num_scalar(p):
+            outs.append("(error)")
+        elif not sarr:
+            outs.append("")
+        elif interp:
+            outs.append(_pctl_interp(sarr, float(p)))
+        else:
+            outs.append(_pctl_noninterp(sarr, float(p)))
+    if single:
+        return outs[0]
+    if out_array:
+        return outs
+    return {_render_scalar(p): o for p, o in zip(ps, outs)}
 
 
-@_coll_stat("mode")
-def _c_mode(xs):
-    if not xs:
-        return None
-    cnts: dict = {}
-    for x in xs:
-        cnts[x] = cnts.get(x, 0) + 1
-    tgt = max(cnts.values())
-    return _int_if_whole(next(x for x in cnts if cnts[x] == tgt))
+@bif("median")
+def _c_median(v, opts=None):
+    return _pctls_with_options(v, 50.0, opts, single=True)
 
 
-@_coll_stat("antimode")
-def _c_antimode(xs):
-    if not xs:
-        return None
-    cnts: dict = {}
-    for x in xs:
-        cnts[x] = cnts.get(x, 0) + 1
-    tgt = min(cnts.values())
-    return _int_if_whole(next(x for x in cnts if cnts[x] == tgt))
+@bif("percentile")
+def _c_pctl(v, p, opts=None):
+    return _pctls_with_options(v, p, opts, single=True)
+
+
+@bif("percentiles")
+def _c_pctls(v, ps, opts=None):
+    return _pctls_with_options(v, ps, opts, single=False)
+
+
+def _mode_common(v, anti: bool):
+    """bif_mode_or_antimode (bifs/stats.go): equivalence classes by
+    rendered string, FIRST-seen representative wins ties; VOID on
+    empty."""
+    fb = _check_coll(v)
+    if fb is not None:
+        return fb[1]
+    vals = _coll_vals(v)
+    if not vals:
+        return ""
+    counts: dict = {}
+    reps: dict = {}
+    for x in vals:
+        ks = _render_scalar(x) if not isinstance(x, (dict, list)) \
+            else repr(x)
+        if ks in counts:
+            counts[ks] += 1
+        else:
+            counts[ks] = 1
+            reps[ks] = x
+    best_k, best_n = None, None
+    for ks, n in counts.items():
+        if best_n is None or (n < best_n if anti else n > best_n):
+            best_k, best_n = ks, n
+    return reps[best_k]
+
+
+@bif("mode")
+def _c_mode(v):
+    return _mode_common(v, anti=False)
+
+
+@bif("antimode")
+def _c_antimode(v):
+    return _mode_common(v, anti=True)
 
 
 @bif("distinct_count")
 def _c_distinct(v):
-    vals = list(v.values()) if isinstance(v, dict) else list(v)
+    """distinct by rendered string, null elements included
+    (bifs/stats.go:215 OriginalString keys)."""
+    fb = _check_coll(v)
+    if fb is not None:
+        return fb[1]
     seen = set()
-    for x in vals:
-        if x is not None:
+    for x in _coll_vals(v):
+        if isinstance(x, (dict, list)):
+            seen.add(repr(x))
+        elif x is None:
+            seen.add("\x00absent")
+        else:
             seen.add(_render_scalar(x))
     return len(seen)
 
 
 @bif("null_count")
 def _c_nullcount(v):
-    vals = list(v.values()) if isinstance(v, dict) else list(v)
-    return sum(1 for x in vals if x is None or x == "")
+    """count of void ("") and JSON-null elements; absent elements do
+    NOT count (bifs/stats.go:195 IsVoid||IsNull)."""
+    fb = _check_coll(v)
+    if fb is not None:
+        return fb[1]
+    return sum(1 for x in _coll_vals(v)
+               if isinstance(x, _MlrNull) or x == "")
 
 
 @bif("minlen")
 def _c_minlen(v):
-    vals = list(v.values()) if isinstance(v, dict) else list(v)
-    lens = [len(_render_scalar(x)) for x in vals if x is not None]
+    fb = _check_coll(v)
+    if fb is not None:
+        return fb[1]
+    lens = [len(_render_scalar(x)) for x in _coll_vals(v)
+            if x is not None]
     return min(lens) if lens else None
 
 
 @bif("maxlen")
 def _c_maxlen(v):
-    vals = list(v.values()) if isinstance(v, dict) else list(v)
-    lens = [len(_render_scalar(x)) for x in vals if x is not None]
+    fb = _check_coll(v)
+    if fb is not None:
+        return fb[1]
+    lens = [len(_render_scalar(x)) for x in _coll_vals(v)
+            if x is not None]
     return max(lens) if lens else None
 
 
@@ -2005,10 +2196,57 @@ def _strpntime_local(s, fmt, *tz):
 # random.go; nondeterministic fns exist for API completeness and are
 # excluded from golden comparisons) ------------------------------------------
 
-if "json_decode" in REGISTRY:
-    bif("json_parse")(REGISTRY["json_decode"])
-if "json_encode" in REGISTRY:
-    bif("json_stringify")(REGISTRY["json_encode"])
+def _json_single_line(v) -> str:
+    """Miller JSON_SINGLE_LINE rendering (mlrval FormatAsJSON): space
+    after ':' and ',', no newlines."""
+    from miller_ray import dsl as _dsl
+
+    if isinstance(v, dict):
+        return "{" + ", ".join(
+            f'"{_dsl._fmt_key(k)}": {_json_single_line(x)}'
+            for k, x in v.items()) + "}"
+    if isinstance(v, list):
+        return "[" + ", ".join(_json_single_line(x) for x in v) + "]"
+    return _dsl._json_scalar(v, OFMT)
+
+
+@bif("json_parse")
+def _json_parse_bif(x):
+    """BIF_json_parse (collections.go:778): void passes through,
+    non-string is a type error, bad JSON is the error value; JSON null
+    parses to the null mlrval."""
+    import json as _json
+
+    if x == "":
+        return ""
+    if not isinstance(x, str):
+        return "(error)"
+
+    def fix(v):
+        if v is None:
+            return MLR_NULL
+        if isinstance(v, dict):
+            return {k: fix(x2) for k, x2 in v.items()}
+        if isinstance(v, list):
+            return [fix(x2) for x2 in v]
+        return v
+    try:
+        return fix(_json.loads(x))
+    except _json.JSONDecodeError:
+        return "(error)"
+
+
+@bif("json_stringify")
+def _json_stringify_bif(x, multiline=None):
+    """BIF_json_stringify_unary/_binary (collections.go:792): default
+    single-line; second arg true switches to the vertical form."""
+    if multiline is not None and not isinstance(multiline, bool):
+        return "(error)"
+    if multiline:
+        from miller_ray import dsl as _dsl
+
+        return _dsl._mlr_json(x, ofmt=OFMT)
+    return _json_single_line(x)
 
 
 @bif("flatten")
@@ -2158,8 +2396,10 @@ _scalar_pred("is_absent", lambda x: x is None)
 _scalar_pred("is_present", lambda x: x is not None)
 _scalar_pred("is_empty", lambda x: isinstance(x, str) and x == "")
 _scalar_pred("is_not_empty", lambda x: x is not None and x != "")
-_scalar_pred("is_null", lambda x: x is None or x == "")
-_scalar_pred("is_not_null", lambda x: not (x is None or x == ""))
+_scalar_pred("is_null", lambda x: x is None or x == ""
+             or isinstance(x, _MlrNull))
+_scalar_pred("is_not_null", lambda x: not (x is None or x == ""
+                                           or isinstance(x, _MlrNull)))
 _scalar_pred("is_bool", lambda x: isinstance(x, bool))
 _scalar_pred("is_boolean", lambda x: isinstance(x, bool))
 _scalar_pred("is_int", lambda x: isinstance(x, (int, np.integer))

@@ -146,7 +146,8 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           # Kaplan-Meier surv
           "dsl-slice", "dsl-contains", "dsl-indirect-oosvar-assignments",
           "dsl-map-dot", "dsl-mapvars-in-scalar-function-call-contexts",
-          "dsl-stat", "no-shell", "script", "verb-surv",
+          "dsl-stat", "dsl-stats", "non-windows", "no-shell", "script",
+          "verb-surv",
           # round 4v: fixed-width pprint input, byte-level aux tools,
           # presentation verbs
           "cli-fixed-width", "auxents", "verb-bar", "verb-sparkline",
