@@ -4825,7 +4825,10 @@ def _auto_unflatten(rec: dict, sep: str = ".") -> dict:
     for k, v in rec.items():
         parts = str(k).split(sep)
         if len(parts) == 1 or any(p == "" for p in parts):
-            out[k] = v
+            # non-dotted keys still pass through unflattenTerminal:
+            # "{}"/"[]" strings restore to empty collections
+            # (mlrmap_flatten_unflatten.go:257-271)
+            out[k] = {} if v == "{}" else [] if v == "[]" else v
             continue
         node = out
         for p in parts[:-1]:
@@ -5059,42 +5062,10 @@ def _repl_render(v) -> str:
 
 
 def _run_repl_script(case_dir: str, cmd: str) -> tuple[str, str]:
-    """mlr repl -s -q: evaluate one DSL expression per input line and
-    echo each value (non-interactive script mode). Persistent local
-    scope across lines."""
-    from miller_ray import dsl as DSL
+    """mlr repl -q -s: full session replay (miller_ray.repl)."""
+    from miller_ray.repl import run_repl_case
 
-    toks = shlex.split(cmd.strip())
-    infile = toks[toks.index("<") + 1] if "<" in toks else toks[-1]
-    path = os.path.join(REFERENCE, infile)
-    seq = {"oos": {}, "emitted": [], "texts": [], "flatsep": "."}
-    env = {"\x00seq": seq, "\x00funcs": {}, "\x00subrs": {},
-           "\x00scopes": [{}], "\x00srec": {}}
-    out_lines: list[str] = []
-    empty = pa.table({})
-    for raw in open(path, encoding="utf-8", errors="surrogateescape"):
-        line = raw.strip()
-        if not line or line.startswith("#"):
-            continue
-        try:
-            p = DSL._Parser(DSL._lex(line))
-            e = p.expr()
-            if p.peek()[0] != "eof":
-                return "skip", f"repl statement line {line[:40]!r}"
-            val = e(empty, env)
-            if DSL._is_arr(val):
-                val = DSL._scalarize(val)
-            out_lines.append(_repl_render(val))
-        except Exception as ex:  # noqa: BLE001 — itemized skip
-            return "skip", f"repl: {type(ex).__name__}: {ex}"
-    exp_p = os.path.join(case_dir, "expout")
-    exp = open(exp_p, encoding="utf-8").read() if os.path.exists(exp_p) \
-        else ""
-    got = "\n".join(out_lines)
-    if got.rstrip("\n") == exp.rstrip("\n"):
-        return "pass", "repl script ok"
-    return "fail", (f"{cmd}: repl mismatch got {got[:80]!r} "
-                    f"want {exp[:80]!r}")
+    return run_repl_case(case_dir, cmd)
 
 
 def _run_case_inner(case_dir: str,

@@ -156,7 +156,9 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           # round 4vii: bytes type (b"" literals, substr/concat/cmp,
           # base64/hex codecs), bitwise expression levels, -w/-W
           "dsl-bytes-literals", "dsl-bytes-ops",
-          "dsl-bytes-conversions", "dsl-warnings"]
+          "dsl-bytes-conversions", "dsl-warnings",
+          # round 4viii: full REPL session engine (miller_ray/repl.py)
+          "repl"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
