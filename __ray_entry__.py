@@ -372,6 +372,13 @@ def q_ann_top10(sf_dir: str):
                                 queries_m, k=10)
 
 
+def q_embed_cosine_pairs(sf_dir: str):
+    from miller_ray.stages import dedup
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_cosine_pairs(ds, threshold=0.4)
+
+
 def q_label(sf_dir: str):
     from miller_ray import verbs
 
@@ -1129,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reorder": q_reorder,
         "split_write": q_split_write,
         "tee": q_tee,
+        "embed_cosine_pairs": q_embed_cosine_pairs,
         # --- driver-checked continuity set ---
         "count_by_group": q_count_by_group,
         "stats1_moments": q_stats1_moments,
@@ -1384,6 +1392,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q.query_id, CAST(row_number() OVER (PARTITION BY q.query_id "
             "ORDER BY list_cosine_similarity(v.embedding, q.e) DESC, v.vec_id) AS BIGINT) "
             "AS rank, v.vec_id FROM embeddings v CROSS JOIN q QUALIFY rank <= 10",
+        "embed_cosine_pairs":
+            "SELECT a.vec_id AS id1, b.vec_id AS id2 "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4",
         "label":
             "SELECT r_regionkey AS regionkey, r_name AS name FROM region",
         "template":

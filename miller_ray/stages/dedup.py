@@ -474,3 +474,141 @@ def ngram_jaccard(ds, pairs_df: pd.DataFrame, text_col: str = "text",
         j = len(sa & sb) / max(1, len(sa | sb))
         out.append((a, b, j))
     return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+
+
+def embedding_cosine_pairs(ds, threshold: float = 0.4,
+                           emb_col: str = "embedding",
+                           id_col: str = "vec_id") -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT: every unordered id
+    pair whose cosine similarity is >= ``threshold``. Output columns
+    (id1, id2) with id1 < id2, sorted — float-free like brute_force_topk
+    so the result hashes stably against a SQL oracle.
+
+    Scale shape (the broadcast baseline, mirroring ann.brute_force_topk):
+    the normalized corpus matrix is built once on the driver and
+    broadcast via ray.put; each block computes ``corpus @ block.T`` and
+    emits only the above-threshold pairs where corpus_id < block_id, so
+    every pair is produced exactly once with no shuffle. Per-pair output
+    is tiny (two int64s); the driver holds only the edge list. Bounded
+    by the broadcast: fine to ~10M x 64 float32 (~2.5 GB object-store
+    share, read zero-copy by every task); beyond that use
+    embedding_cosine_pairs_lsh, which buckets by hyperplane signature
+    instead of broadcasting. float64 accumulation keeps the threshold
+    comparison stable against a double-precision oracle."""
+    import ray
+
+    corpus = pa.concat_tables(
+        ray.get(ds.select_columns([id_col, emb_col]).to_arrow_refs()),
+        promote_options="default")
+    from miller_ray.stages.ann import _emb_matrix
+    if corpus.num_rows == 0:
+        return pd.DataFrame({"id1": pd.Series(dtype=np.int64),
+                             "id2": pd.Series(dtype=np.int64)})
+    cm = _emb_matrix(corpus, emb_col)
+    cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+    cids = corpus[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ref = ray.put((cids, cm))
+
+    class PairScorer:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"id1": pa.array([], type=pa.int64()),
+                                 "id2": pa.array([], type=pa.int64())})
+            b = _emb_matrix(t, emb_col)
+            b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True),
+                               1e-30)
+            bids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = self.m @ b.T  # (corpus, block), float64
+            mask = (sims >= threshold) & (self.ids[:, None] < bids[None, :])
+            ci, bj = np.nonzero(mask)
+            return pa.table({"id1": pa.array(self.ids[ci]),
+                             "id2": pa.array(bids[bj])})
+
+    pairs = ds.map_batches(PairScorer, batch_format="pyarrow",
+                           zero_copy_batch=True, concurrency=(1, 4))
+    pdf = pairs.to_pandas()  # edge list only
+    return pdf.sort_values(["id1", "id2"]).reset_index(drop=True)
+
+
+def embedding_cosine_pairs_lsh(ds, threshold: float = 0.4,
+                               emb_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               n_planes: int = 24, band_bits: int = 4,
+                               bucket_cap: int = 2000,
+                               seed: int = 97) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs at scale: hyperplane-LSH banding
+    instead of an all-pairs broadcast. Same output contract as
+    embedding_cosine_pairs but approximate — a pair is scored only if it
+    collides in at least one band, so recall depends on (threshold,
+    band_bits, n_bands): P(catch) = 1 - (1 - p^band_bits)^n_bands with
+    p = 1 - acos(sim)/pi (random-hyperplane collision probability,
+    Charikar SimHash).
+
+    Stages: (1) sign each embedding against n_planes shared hyperplanes
+    (one matmul per block); (2) explode light (band, bucket, id) rows
+    plus the embedding payload; (3) prune singleton buckets — they can't
+    make pairs — via the same partial-count + broadcast keep-set used by
+    minhash_dedup; (4) per-bucket exact cosine scoring in map_groups
+    (vectorized matmul over the bucket's members, hot buckets capped at
+    ``bucket_cap`` by deterministic id-hash sample); (5) dedupe pair
+    rows across bands. Only the surviving edge list reaches the driver."""
+    from miller_ray.stages.ann import _emb_matrix, _lsh_planes
+
+    n_bands = n_planes // band_bits
+    d = None
+
+    def sign_and_explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"band": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             emb_col: t[emb_col]})
+        m = _emb_matrix(t, emb_col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        planes = _lsh_planes(m.shape[1], n_planes, seed)
+        bits = (m @ planes.T > 0)  # (n, n_planes)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        weights = (1 << np.arange(band_bits, dtype=np.int64))
+        out_band, out_bucket, out_id, out_row = [], [], [], []
+        for band in range(n_bands):
+            chunk = bits[:, band * band_bits:(band + 1) * band_bits]
+            bucket = chunk.astype(np.int64) @ weights
+            out_band.append(np.full(len(ids), band, dtype=np.int64))
+            out_bucket.append(bucket)
+            out_id.append(ids)
+            out_row.append(np.arange(len(ids)))
+        rows = np.concatenate(out_row)
+        emb = t[emb_col].combine_chunks().take(pa.array(rows))
+        return pa.table({
+            "band": pa.array(np.concatenate(out_band)),
+            "bucket": pa.array(np.concatenate(out_bucket)),
+            id_col: pa.array(np.concatenate(out_id)),
+            emb_col: emb,
+        })
+
+    exploded = ds.map_batches(sign_and_explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    pruned = _keep_multi_member_buckets(exploded, ["band", "bucket"])
+
+    def score_bucket(t: pa.Table) -> pa.Table:
+        t = _cap_bucket(t, id_col, bucket_cap)
+        m = _emb_matrix(t, emb_col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ m.T
+        i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+        id1 = np.minimum(ids[i], ids[j])
+        id2 = np.maximum(ids[i], ids[j])
+        return pa.table({"id1": pa.array(id1), "id2": pa.array(id2)})
+
+    pairs = pruned.groupby(["band", "bucket"]).map_groups(
+        score_bucket, batch_format="pyarrow")
+    pdf = pairs.to_pandas()  # edge list only
+    if pdf.empty:
+        return pd.DataFrame({"id1": pd.Series(dtype=np.int64),
+                             "id2": pd.Series(dtype=np.int64)})
+    pdf = pdf.drop_duplicates(["id1", "id2"])
+    return pdf.sort_values(["id1", "id2"]).reset_index(drop=True)

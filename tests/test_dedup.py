@@ -84,3 +84,50 @@ def test_lsh_persisted_index(ray_session, tmp_path, sf_dir):
     pruned = ann.lsh_index_topk(idx, queries, k=5, n_planes=4,
                                 probe_hamming=1)
     assert set(pruned["query_id"]) == {0, 1}
+
+
+def test_embedding_cosine_pairs_exact(ray_session, sf_dir):
+    """Exact embedding near-dup pairs == the numpy all-pairs answer."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from miller_ray.stages import dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    got = dedup.embedding_cosine_pairs(ds, threshold=0.4)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    e = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    s = e @ e.T
+    i, j = np.nonzero(np.triu(s >= 0.4, k=1))
+    exp = sorted(zip(np.minimum(ids[i], ids[j]).tolist(),
+                     np.maximum(ids[i], ids[j]).tolist()))
+    assert list(zip(got["id1"], got["id2"])) == exp
+    assert len(exp) > 0  # the threshold actually exercises pairs
+
+
+def test_embedding_cosine_pairs_lsh(ray_session, sf_dir):
+    """LSH-bucketed variant: perfect precision (every emitted pair is a
+    true above-threshold pair — in-bucket scoring is exact cosine) and
+    high recall at the banding chosen for the test threshold."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from miller_ray.stages import dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    # 12 bands x 2 bits: P(catch sim>=0.4) = 1-(1-p^2)^12 ~ 0.999
+    # with p = 1 - acos(0.4)/pi ~ 0.631
+    lsh = dedup.embedding_cosine_pairs_lsh(ds, threshold=0.4,
+                                           n_planes=24, band_bits=2)
+    exact = dedup.embedding_cosine_pairs(ds, threshold=0.4)
+    lshp = set(zip(lsh["id1"], lsh["id2"]))
+    exactp = set(zip(exact["id1"], exact["id2"]))
+    assert lshp <= exactp  # no false positives ever
+    assert len(lshp & exactp) / len(exactp) >= 0.9
