@@ -717,14 +717,79 @@ def decimate(ds, n: int = 10):
 def fill_down(ds, fields: list[str], group_by: list[str], order_by: str):
     """Verb ``fill-down -f`` (fill_down.go:112): carry last non-null
     value forward within a group, ordered by ``order_by`` (Miller uses
-    stream order; distributed needs an explicit order column)."""
+    stream order; distributed needs an explicit order column).
 
-    def ffill(df: pd.DataFrame) -> pd.DataFrame:
+    SCALE path (no per-group reducer): one global sort by
+    (group..., order), then one parallel task per sorted BLOCK seeded
+    with a tiny carry — the last non-null value per (group, field)
+    from all preceding blocks, chained on the driver over small
+    per-(block, group) summary rows (same shape as ``step`` /
+    ``stats1_windowed``). A hot group spanning many blocks still
+    parallelizes; blocks whose leading rows are null inherit the
+    carry instead of waiting on a single per-group reducer."""
+    import ray
+    import ray.data as rd
+
+    gb = list(group_by or [])
+    sorted_ds = ds.sort(gb + [order_by]).materialize()
+    block_refs = [br for bundle in sorted_ds.iter_internal_ref_bundles()
+                  for br in bundle.block_refs]
+
+    @ray.remote
+    def _summary(block) -> list:
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        if not len(df):
+            return []
         df = df.sort_values(order_by)
-        df[fields] = df[fields].ffill()
+        g = df.groupby(gb, sort=False) if gb else [((), df)]
+        rows = []
+        for key, sub in g:
+            if gb and not isinstance(key, tuple):
+                key = (key,)
+            last = {}
+            for f in fields:
+                nn = sub[f].dropna()
+                last[f] = nn.iloc[-1] if len(nn) else None
+            rows.append((key, last))
+        return rows
+
+    summaries = ray.get([_summary.remote(b) for b in block_refs])
+    state: dict[tuple, dict] = {}
+    carries: list[dict] = []
+    for sm in summaries:
+        carries.append({k: dict(v) for k, v in state.items()})
+        for key, last in sm:
+            cur = state.setdefault(key, {})
+            for f, v in last.items():
+                if v is not None:
+                    cur[f] = v
+
+    @ray.remote
+    def _apply(block, carry: dict) -> pd.DataFrame:
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        if not len(df):
+            return df
+        df = df.sort_values(order_by).reset_index(drop=True)
+        groups = df.groupby(gb, sort=False).indices if gb \
+            else {(): np.arange(len(df))}
+        for key, idx in groups.items():
+            if gb and not isinstance(key, tuple):
+                key = (key,)
+            cr = carry.get(key, {})
+            sub = df.loc[idx, fields].ffill()
+            for f in fields:
+                if f in cr:
+                    sub[f] = sub[f].fillna(cr[f])
+            df.loc[idx, fields] = sub
         return df
 
-    return ds.groupby(group_by).map_groups(ffill, batch_format="pandas")
+    out_refs = [_apply.remote(b, carries[i])
+                for i, b in enumerate(block_refs)]
+    return rd.from_pandas_refs(out_refs)
+
+
+_STEPPERS = {"delta", "shift", "shift_lag", "shift_lead", "rsum", "rprod",
+             "counter", "ewma", "ratio", "from-first"}
 
 
 def step(ds, fields: list[str], steppers: list[str], group_by: list[str],
@@ -732,40 +797,204 @@ def step(ds, fields: list[str], steppers: list[str], group_by: list[str],
     """Verb ``step -a delta,shift,rsum,counter,ewma`` (step.go:631-712):
     per-group successive-record functions over an explicit order column.
     ``ewma`` uses Miller's recursive form with smoothing ``ewma_alpha``
-    (step.go ewma stepper; ``-d`` flag)."""
+    (step.go ewma stepper; ``-d`` flag).
 
-    def apply(df: pd.DataFrame) -> pd.DataFrame:
+    SCALE path (no per-group reducer): one global sort by
+    (group..., order), then one parallel task per sorted BLOCK. Every
+    stepper is a prefix computation, so a block only needs a TINY
+    incoming carry per group it contains: previous value (delta/shift/
+    ratio), running sum/prod/count (rsum/rprod/counter), the group's
+    first value (from-first), the chained EWMA state (linear in the
+    carry: e_end = A + (1-alpha)^n * e_in, so per-block A and decay
+    fold on the driver), and the NEXT block's first value (shift_lead).
+    The driver chains per-(block, group) summary rows in block order —
+    O(blocks x groups-per-block) scalar work, the same accepted shape
+    as stats1_windowed — and each block then finishes independently. A
+    hot group spanning many blocks still parallelizes."""
+    import ray
+    import ray.data as rd
+
+    bad = [s for s in steppers if s not in _STEPPERS]
+    if bad:
+        raise ValueError(f"unsupported stepper: {bad[0]}")
+    gb = list(group_by or [])
+    sorted_ds = ds.sort(gb + [order_by]).materialize()
+    block_refs = [br for bundle in sorted_ds.iter_internal_ref_bundles()
+                  for br in bundle.block_refs]
+
+    @ray.remote
+    def _summary(block) -> pd.DataFrame:
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        if not len(df):
+            return pd.DataFrame()
         df = df.sort_values(order_by)
-        for f in fields:
-            for s in steppers:
-                if s == "ewma":
-                    df[f"{f}_ewma"] = df[f].ewm(alpha=ewma_alpha, adjust=False).mean()
-                elif s == "delta":
-                    df[f"{f}_delta"] = df[f].diff().fillna(0)
-                elif s == "shift" or s == "shift_lag":
-                    df[f"{f}_{s}"] = df[f].shift(1)
-                elif s == "shift_lead":
-                    df[f"{f}_shift_lead"] = df[f].shift(-1)
-                elif s == "rsum":
-                    df[f"{f}_rsum"] = df[f].cumsum()
-                elif s == "rprod":
-                    df[f"{f}_rprod"] = df[f].cumprod()
-                elif s == "counter":
-                    df[f"{f}_counter"] = np.arange(1, len(df) + 1, dtype=np.int64)
-                elif s == "ratio":
-                    r = df[f] / df[f].shift(1)
-                    if len(r):
-                        # no previous value: ratio is 1, not NaN
-                        # (step.go stepperRatio process, FromInt(1))
-                        r.iloc[0] = 1
-                    df[f"{f}_ratio"] = r
-                elif s == "from-first":
-                    df[f"{f}_from_first"] = df[f] - df[f].iloc[0]
-                else:
-                    raise ValueError(f"unsupported stepper: {s}")
+        g = df.groupby(gb, sort=False) if gb else [((), df)]
+        rows = []
+        for key, sub in g:
+            if gb and not isinstance(key, tuple):
+                key = (key,)
+            row = {f"__k{i}": k for i, k in enumerate(key)}
+            row["__n"] = len(sub)
+            for f in fields:
+                x = sub[f].to_numpy(dtype=np.float64)
+                row[f"{f}__sum"] = np.nansum(x)
+                row[f"{f}__prod"] = np.nanprod(x)
+                row[f"{f}__first"] = x[0]
+                row[f"{f}__last"] = x[-1]
+                # EWMA chain coefficients: e_end(e_in) = A + B*e_in
+                # where B = (1-a)^n and A = recursive EWMA with a
+                # zero carry prepended; NC = no-carry end (first
+                # element seeds the state, step.go ewma stepper).
+                s = pd.Series(np.concatenate([[0.0], x]))
+                row[f"{f}__ewmA"] = s.ewm(alpha=ewma_alpha,
+                                          adjust=False).mean().iloc[-1]
+                row[f"{f}__ewmNC"] = pd.Series(x).ewm(
+                    alpha=ewma_alpha, adjust=False).mean().iloc[-1]
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    summaries = ray.get([_summary.remote(b) for b in block_refs])
+    nkeys = len(gb)
+    kcols = [f"__k{i}" for i in range(nkeys)]
+
+    # driver chain: fold per-group running state block-by-block and
+    # emit each block's INCOMING carry table (one small row per group)
+    state: dict[tuple, dict] = {}
+    carries: list[pd.DataFrame] = []
+    for sm in summaries:
+        rows = []
+        if len(sm):
+            for d in sm.to_dict("records"):
+                key = tuple(d[c] for c in kcols)
+                st = state.get(key)
+                row = {c: d[c] for c in kcols}
+                row["__in_cnt"] = st["cnt"] if st else 0
+                for f in fields:
+                    if st:
+                        row[f"{f}__in_sum"] = st[f"{f}_sum"]
+                        row[f"{f}__in_prod"] = st[f"{f}_prod"]
+                        row[f"{f}__in_prev"] = st[f"{f}_last"]
+                        row[f"{f}__in_first"] = st[f"{f}_first"]
+                        row[f"{f}__in_ewma"] = st[f"{f}_ewma"]
+                    else:
+                        row[f"{f}__in_sum"] = 0.0
+                        row[f"{f}__in_prod"] = 1.0
+                        row[f"{f}__in_prev"] = np.nan
+                        row[f"{f}__in_first"] = np.nan
+                        row[f"{f}__in_ewma"] = np.nan
+                rows.append(row)
+                new = {"cnt": (st["cnt"] if st else 0) + d["__n"]}
+                for f in fields:
+                    B = (1.0 - ewma_alpha) ** d["__n"]
+                    new[f"{f}_sum"] = (st[f"{f}_sum"] if st else 0.0) \
+                        + d[f"{f}__sum"]
+                    new[f"{f}_prod"] = (st[f"{f}_prod"] if st else 1.0) \
+                        * d[f"{f}__prod"]
+                    new[f"{f}_last"] = d[f"{f}__last"]
+                    new[f"{f}_first"] = st[f"{f}_first"] if st \
+                        else d[f"{f}__first"]
+                    new[f"{f}_ewma"] = (d[f"{f}__ewmA"]
+                                        + B * st[f"{f}_ewma"]) if st \
+                        else d[f"{f}__ewmNC"]
+                state[key] = new
+        carries.append(pd.DataFrame(rows))
+    # shift_lead needs the FOLLOWING block's first value per group:
+    # scan summaries backwards carrying each group's next-first
+    if "shift_lead" in steppers:
+        nxt: dict[tuple, dict] = {}
+        for i in range(len(summaries) - 1, -1, -1):
+            sm, ca = summaries[i], carries[i]
+            ca_keys = [tuple(d[c] for c in kcols)
+                       for d in ca.to_dict("records")] if len(ca) else []
+            for f in fields:
+                ca[f"{f}__next_first"] = [
+                    nxt.get(k, {}).get(f, np.nan) for k in ca_keys
+                ] if len(ca) else []
+            if len(sm):
+                for d in sm.to_dict("records"):
+                    key = tuple(d[c] for c in kcols)
+                    nxt[key] = {f: d[f"{f}__first"] for f in fields}
+
+    sfx = {"shift": "shift", "shift_lag": "shift_lag",
+           "shift_lead": "shift_lead", "from-first": "from_first"}
+    new_cols = [f"{f}_{sfx.get(s, s)}" for f in fields for s in steppers]
+
+    @ray.remote
+    def _apply(block, carry: pd.DataFrame) -> pd.DataFrame:
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        if not len(df):
+            for c in new_cols:
+                if c not in df.columns:
+                    df[c] = pd.Series(dtype=np.float64)
+            return df
+        df = df.sort_values(order_by).reset_index(drop=True)
+        cidx = {tuple(r[c] for c in kcols): r
+                for r in carry.to_dict("records")} if len(carry) else {}
+        groups = df.groupby(gb, sort=False).indices if gb \
+            else {(): np.arange(len(df))}
+        for key, idx in groups.items():
+            if gb and not isinstance(key, tuple):
+                key = (key,)
+            cr = cidx.get(key, {})
+            for f in fields:
+                x = df.loc[idx, f].to_numpy(dtype=np.float64)
+                prev = cr.get(f"{f}__in_prev", np.nan)
+                for s in steppers:
+                    if s == "ewma":
+                        ein = cr.get(f"{f}__in_ewma", np.nan)
+                        if not np.isnan(ein):
+                            e = pd.Series(np.concatenate([[ein], x])).ewm(
+                                alpha=ewma_alpha, adjust=False).mean() \
+                                .to_numpy()[1:]
+                        else:
+                            e = pd.Series(x).ewm(alpha=ewma_alpha,
+                                                 adjust=False).mean() \
+                                .to_numpy()
+                        col, v = f"{f}_ewma", e
+                    elif s == "delta":
+                        v = np.diff(x, prepend=prev)
+                        if np.isnan(prev) and len(v):
+                            v[0] = 0.0
+                        col = f"{f}_delta"
+                    elif s in ("shift", "shift_lag"):
+                        v = np.concatenate([[prev], x[:-1]])
+                        col = f"{f}_{s}"
+                    elif s == "shift_lead":
+                        v = np.concatenate(
+                            [x[1:], [cr.get(f"{f}__next_first", np.nan)]])
+                        col = f"{f}_shift_lead"
+                    elif s == "rsum":
+                        v = np.cumsum(x) + cr.get(f"{f}__in_sum", 0.0)
+                        col = f"{f}_rsum"
+                    elif s == "rprod":
+                        v = np.cumprod(x) * cr.get(f"{f}__in_prod", 1.0)
+                        col = f"{f}_rprod"
+                    elif s == "counter":
+                        v = np.arange(1, len(x) + 1, dtype=np.int64) \
+                            + int(cr.get("__in_cnt", 0))
+                        col = f"{f}_counter"
+                    elif s == "ratio":
+                        pv = np.concatenate([[prev], x[:-1]])
+                        v = x / pv
+                        if np.isnan(prev) and len(v):
+                            # no previous value: ratio is 1, not NaN
+                            # (step.go stepperRatio, FromInt(1))
+                            v[0] = 1.0
+                        col = f"{f}_ratio"
+                    else:  # from-first
+                        first = cr.get(f"{f}__in_first", np.nan)
+                        if np.isnan(first):
+                            first = x[0] if len(x) else np.nan
+                        v = x - first
+                        col = f"{f}_from_first"
+                    if col not in df.columns:
+                        df[col] = np.nan
+                    df.loc[idx, col] = v
         return df
 
-    return ds.groupby(group_by).map_groups(apply, batch_format="pandas")
+    out_refs = [_apply.remote(b, carries[i])
+                for i, b in enumerate(block_refs)]
+    return rd.from_pandas_refs(out_refs)
 
 
 def rank(ds, field: str, group_by: list[str] | None = None,

@@ -221,3 +221,67 @@ def test_surv_kaplan_meier(rd):
     assert out["time"].tolist() == [1.0, 3.0, 5.0]
     want = [0.8, 0.8 * (2 / 3), 0.0]
     assert all(abs(a - b) < 1e-9 for a, b in zip(out["survival"], want))
+
+
+def test_step_boundary_carry_all_steppers(rd):
+    # many blocks force per-group carries across block boundaries; every
+    # stepper must equal a single-partition pandas reference
+    import numpy as np
+    rng = np.random.default_rng(7)
+    n = 300
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], n),
+                       "o": np.arange(n),
+                       "x": rng.uniform(0.5, 2.0, n)})
+    steppers = ["delta", "shift_lag", "shift_lead", "rsum", "rprod",
+                "counter", "ewma", "ratio", "from-first"]
+    ds = rd.from_pandas(df).repartition(13)
+    out = verbs.step(ds, ["x"], steppers, ["g"], "o").to_pandas()
+    out = out.sort_values(["g", "o"]).reset_index(drop=True)
+    ref = df.sort_values(["g", "o"]).reset_index(drop=True)
+    grp = ref.groupby("g", sort=False)["x"]
+    want = {
+        "x_delta": grp.diff().fillna(0),
+        "x_shift_lag": grp.shift(1),
+        "x_shift_lead": grp.shift(-1),
+        "x_rsum": grp.cumsum(),
+        "x_rprod": grp.cumprod(),
+        "x_counter": grp.cumcount() + 1,
+        "x_ewma": grp.transform(
+            lambda s: s.ewm(alpha=0.5, adjust=False).mean()),
+        "x_ratio": (ref["x"] / grp.shift(1)).fillna(1.0),
+        "x_from_first": grp.transform(lambda s: s - s.iloc[0]),
+    }
+    for col, w in want.items():
+        assert np.allclose(out[col].to_numpy(), w.to_numpy(),
+                           equal_nan=True), col
+
+
+def test_step_ungrouped_multi_block(rd):
+    import numpy as np
+    df = pd.DataFrame({"o": np.arange(100), "x": np.arange(100) + 1.0})
+    ds = rd.from_pandas(df).repartition(9)
+    out = verbs.step(ds, ["x"], ["rsum", "ewma", "counter"], [], "o") \
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    assert np.allclose(out["x_rsum"],
+                       df["x"].cumsum().to_numpy())
+    assert np.allclose(out["x_ewma"],
+                       df["x"].ewm(alpha=0.5, adjust=False).mean())
+    assert out["x_counter"].tolist() == list(range(1, 101))
+
+
+def test_fill_down_boundary_carry(rd):
+    # nulls at block heads must inherit the carry from earlier blocks
+    import numpy as np
+    n = 240
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 1, n)
+    x[rng.random(n) < 0.6] = np.nan
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], n),
+                       "o": np.arange(n), "x": x})
+    ds = rd.from_pandas(df).repartition(11)
+    out = verbs.fill_down(ds, ["x"], ["g"], "o").to_pandas()
+    out = out.sort_values(["g", "o"]).reset_index(drop=True)
+    ref = df.sort_values(["g", "o"]).reset_index(drop=True)
+    want = ref.groupby("g", sort=False)["x"].ffill()
+    assert np.allclose(out["x"].to_numpy(), want.to_numpy(),
+                       equal_nan=True)
