@@ -379,6 +379,14 @@ def q_embed_cosine_pairs(sf_dir: str):
     return dedup.embedding_cosine_pairs(ds, threshold=0.4)
 
 
+def q_embed_cosine_lsh(sf_dir: str):
+    from miller_ray.stages import dedup
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_cosine_pairs_lsh(ds, threshold=0.4,
+                                            n_planes=24, band_bits=2)
+
+
 def q_label(sf_dir: str):
     from miller_ray import verbs
 
@@ -1223,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_av": q_multimodal_av,
         # round 4: rows-only engine ops
         "group_like": q_group_like,
+        "embed_cosine_lsh": q_embed_cosine_lsh,
     }
 
 
