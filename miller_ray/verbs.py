@@ -1538,15 +1538,33 @@ def nest_explode(ds, field: str, sep: str = ";"):
 def nest_implode(ds, field: str, group_by: list[str], sep: str = ";"):
     """Verb ``nest --implode --values --across-records`` (nest.go): join
     the field's values across records of the same group with ``sep``.
-    Deterministic order: value-sorted (Miller: stream order)."""
+    Deterministic order: value-sorted (Miller: stream order).
 
-    def implode(df: pd.DataFrame) -> pd.DataFrame:
-        vals = sep.join(sorted(df[field].astype(str)))
+    Scale shape: values are PRE-JOINED per (block, group) inside
+    map_batches, so the groupby shuffle moves one joined row per
+    (block, group) instead of every record; the final per-group merge
+    re-splits and re-sorts only the partials. A hot group's full value
+    string still lands on one reducer — inherent to the verb's output
+    (one record holding every value)."""
+
+    NUL = "\x00"  # internal partial separator: values may contain sep
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_by, sort=False, dropna=False)[field]
+        out = g.apply(lambda s: NUL.join(s.astype(str))) \
+            .reset_index().rename(columns={field: "__part"})
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        vals = sep.join(sorted(
+            v for p in df["__part"] for v in p.split(NUL)))
         out = df.iloc[[0]][group_by].copy()
         out[field] = vals
         return out
 
-    return ds.groupby(group_by).map_groups(implode, batch_format="pandas")
+    return parts.groupby(group_by).map_groups(merge, batch_format="pandas")
 
 
 def reshape_wide_to_long(ds, fields: list[str], key_name: str = "key",
@@ -2187,20 +2205,84 @@ def step_slwin(ds, fields: list[str], m: int, n: int, group_by: list[str],
                order_by: str):
     """Stepper ``slwin_m_n`` (step.go:631-712 STEPPER_LOOKUP_TABLE):
     mean over a centered window of m records back / n forward, shrunk at
-    group edges — cumsum-vectorized per group."""
+    group edges — cumsum-vectorized per group.
 
-    def apply(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_by).reset_index(drop=True)
-        N = len(df)
-        idx = np.arange(N)
-        lo = np.maximum(idx - m, 0)
-        hi = np.minimum(idx + n, N - 1)
-        for f in fields:
-            s = np.concatenate([[0.0], np.cumsum(df[f].to_numpy(dtype=np.float64))])
-            df[f"{f}_slwin_{m}_{n}"] = (s[hi + 1] - s[lo]) / (hi - lo + 1)
-        return df
+    SCALE path (no per-group reducer): one global sort by
+    (group..., order), then one parallel task per sorted BLOCK padded
+    with an m-row tail carry from the preceding blocks and an n-row
+    head carry from the following blocks (tiny objects, same shape as
+    stats1_windowed). A row near a block edge either sees its true
+    group edge inside the padding (correct shrink) or has >= m / >= n
+    same-group context rows (no shrink applies); padded rows are
+    context only and are not emitted."""
+    import ray
+    import ray.data as rd
 
-    return ds.groupby(group_by).map_groups(apply, batch_format="pandas")
+    gb = list(group_by or [])
+    sorted_ds = ds.sort(gb + [order_by]).materialize()
+    block_refs = [br for bundle in sorted_ds.iter_internal_ref_bundles()
+                  for br in bundle.block_refs]
+
+    @ray.remote
+    def _nrows(block) -> int:
+        return len(block)
+
+    @ray.remote
+    def _tail(block, k: int):
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        return df.tail(k)
+
+    @ray.remote
+    def _head(block, k: int):
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        return df.head(k)
+
+    @ray.remote
+    def _roll(block, nprev: int, *pads):
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        if not len(df):
+            for f in fields:
+                df[f"{f}_slwin_{m}_{n}"] = pd.Series(dtype=np.float64)
+            return df
+        work = pd.concat([*pads[:nprev], df, *pads[nprev:]],
+                         ignore_index=True) if pads \
+            else df.reset_index(drop=True)
+        own_lo = sum(len(p) for p in pads[:nprev])
+        groups = work.groupby(gb, sort=False).indices if gb \
+            else {(): np.arange(len(work))}
+        cols = [f"{f}_slwin_{m}_{n}" for f in fields]
+        for c in cols:
+            work[c] = np.nan
+        for _, idx in groups.items():
+            N = len(idx)
+            pos = np.arange(N)
+            lo = np.maximum(pos - m, 0)
+            hi = np.minimum(pos + n, N - 1)
+            for f, c in zip(fields, cols):
+                x = work[f].to_numpy(dtype=np.float64)[idx]
+                s = np.concatenate([[0.0], np.cumsum(x)])
+                work.loc[idx, c] = (s[hi + 1] - s[lo]) / (hi - lo + 1)
+        return work.iloc[own_lo:own_lo + len(df)].reset_index(drop=True)
+
+    nrows = ray.get([_nrows.remote(b) for b in block_refs])
+    out_refs = []
+    for i, b in enumerate(block_refs):
+        prevs, need, j = [], m, i - 1
+        while need > 0 and j >= 0:
+            take = min(need, nrows[j])
+            if take > 0:
+                prevs.insert(0, _tail.remote(block_refs[j], take))
+                need -= take
+            j -= 1
+        nexts, need, j = [], n, i + 1
+        while need > 0 and j < len(block_refs):
+            take = min(need, nrows[j])
+            if take > 0:
+                nexts.append(_head.remote(block_refs[j], take))
+                need -= take
+            j += 1
+        out_refs.append(_roll.remote(b, len(prevs), *prevs, *nexts))
+    return rd.from_pandas_refs(out_refs)
 
 
 def merge_fields_collapse(ds, accs: list[str], substrings: list[str],
@@ -2507,15 +2589,62 @@ def decimate_positional(ds, n: int, group_by: list[str], order_by: str,
                         keep_first: bool = False):
     """Verb ``decimate -n [-b|-e]`` with a declared order: keep the
     last (default, -e) or first (-b) of every n records per group
-    (decimate.go; Miller counts in stream order)."""
+    (decimate.go; Miller counts in stream order).
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    SCALE path (no per-group reducer): one global sort by
+    (group..., order), then one parallel task per sorted BLOCK seeded
+    with the group's incoming record COUNT from preceding blocks —
+    one scalar per (block, group), chained on the driver (same shape
+    as ``step``). Position within the group is carry + local arange;
+    the modulo filter is then block-local."""
+    import ray
+    import ray.data as rd
+
+    gb = list(group_by or [])
+    sorted_ds = ds.sort(gb + [order_by]).materialize()
+    block_refs = [br for bundle in sorted_ds.iter_internal_ref_bundles()
+                  for br in bundle.block_refs]
+
+    @ray.remote
+    def _counts(block) -> list:
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        if not len(df):
+            return []
+        g = df.groupby(gb, sort=False) if gb else [((), df)]
+        out = []
+        for key, sub in g:
+            if gb and not isinstance(key, tuple):
+                key = (key,)
+            out.append((key, len(sub)))
+        return out
+
+    summaries = ray.get([_counts.remote(b) for b in block_refs])
+    state: dict[tuple, int] = {}
+    carries: list[dict] = []
+    for sm in summaries:
+        carries.append(dict(state))
+        for key, cnt in sm:
+            state[key] = state.get(key, 0) + cnt
+
+    @ray.remote
+    def _apply(block, carry: dict) -> pd.DataFrame:
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        if not len(df):
+            return df
         df = df.sort_values(order_by).reset_index(drop=True)
-        i = np.arange(len(df))
-        mask = (i % n == 0) if keep_first else (i % n == n - 1)
-        return df[mask]
+        groups = df.groupby(gb, sort=False).indices if gb \
+            else {(): np.arange(len(df))}
+        keep = np.zeros(len(df), dtype=bool)
+        for key, idx in groups.items():
+            if gb and not isinstance(key, tuple):
+                key = (key,)
+            i = carry.get(key, 0) + np.arange(len(idx))
+            keep[idx] = (i % n == 0) if keep_first else (i % n == n - 1)
+        return df[keep]
 
-    return ds.groupby(group_by).map_groups(f, batch_format="pandas")
+    out_refs = [_apply.remote(b, carries[i])
+                for i, b in enumerate(block_refs)]
+    return rd.from_pandas_refs(out_refs)
 
 
 def altkv(ds):

@@ -285,3 +285,58 @@ def test_fill_down_boundary_carry(rd):
     want = ref.groupby("g", sort=False)["x"].ffill()
     assert np.allclose(out["x"].to_numpy(), want.to_numpy(),
                        equal_nan=True)
+
+
+def test_step_slwin_boundary_carry(rd):
+    # centered window across block boundaries == single-frame reference
+    import numpy as np
+    rng = np.random.default_rng(3)
+    n = 260
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], n),
+                       "o": np.arange(n),
+                       "x": rng.uniform(0, 10, n)})
+    ds = rd.from_pandas(df).repartition(12)
+    out = verbs.step_slwin(ds, ["x"], 3, 2, ["g"], "o").to_pandas()
+    out = out.sort_values(["g", "o"]).reset_index(drop=True)
+    ref = df.sort_values(["g", "o"]).reset_index(drop=True)
+
+    def slwin(s):
+        x = s.to_numpy(dtype=float)
+        N = len(x)
+        i = np.arange(N)
+        lo = np.maximum(i - 3, 0)
+        hi = np.minimum(i + 2, N - 1)
+        c = np.concatenate([[0.0], np.cumsum(x)])
+        return pd.Series((c[hi + 1] - c[lo]) / (hi - lo + 1),
+                         index=s.index)
+
+    want = ref.groupby("g", sort=False)["x"].transform(slwin)
+    assert np.allclose(out["x_slwin_3_2"].to_numpy(), want.to_numpy())
+
+
+def test_decimate_positional_boundary_carry(rd):
+    import numpy as np
+    n = 100
+    df = pd.DataFrame({"g": ["a", "b"] * (n // 2),
+                       "o": np.arange(n), "x": np.arange(n)})
+    ds = rd.from_pandas(df).repartition(7)
+    out = verbs.decimate_positional(ds, 3, ["g"], "o").to_pandas()
+    out = out.sort_values(["g", "o"]).reset_index(drop=True)
+    ref = df.sort_values(["g", "o"]).reset_index(drop=True)
+    want = ref.groupby("g", sort=False).nth(slice(2, None, 3)) \
+        .sort_values(["g", "o"]).reset_index(drop=True)
+    assert out["o"].tolist() == want["o"].tolist()
+    first = verbs.decimate_positional(ds, 3, ["g"], "o",
+                                      keep_first=True).to_pandas()
+    wantf = ref.groupby("g", sort=False).nth(slice(0, None, 3))
+    assert sorted(first["o"]) == sorted(wantf["o"])
+
+
+def test_nest_implode_partial_preagg(rd):
+    df = pd.DataFrame({"g": ["a", "a", "b", "a", "b"],
+                       "v": ["z", "m;q", "k", "c", "d"]})
+    ds = rd.from_pandas(df).repartition(4)
+    out = verbs.nest_implode(ds, "v", ["g"], sep=";").to_pandas()
+    out = out.sort_values("g").reset_index(drop=True)
+    assert out.loc[0, "v"] == ";".join(sorted(["z", "m;q", "c"]))
+    assert out.loc[1, "v"] == "d;k"
