@@ -789,6 +789,14 @@ def q_decimate(sf_dir: str):
     return pd.DataFrame({"kept": [kept.count()]})
 
 
+def q_decimate_pos(sf_dir: str):
+    from miller_ray import verbs
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+    r = verbs.decimate_positional(ds, 3, ["user_id"], "event_id")
+    return r.select_columns(["event_id", "user_id"]).to_pandas()
+
+
 def q_shuffle(sf_dir: str):
     from miller_ray import verbs
 
@@ -1145,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_write": q_split_write,
         "tee": q_tee,
         "embed_cosine_pairs": q_embed_cosine_pairs,
+        "decimate_pos": q_decimate_pos,
         # --- driver-checked continuity set ---
         "count_by_group": q_count_by_group,
         "stats1_moments": q_stats1_moments,
@@ -1401,6 +1410,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q.query_id, CAST(row_number() OVER (PARTITION BY q.query_id "
             "ORDER BY list_cosine_similarity(v.embedding, q.e) DESC, v.vec_id) AS BIGINT) "
             "AS rank, v.vec_id FROM embeddings v CROSS JOIN q QUALIFY rank <= 10",
+        "decimate_pos":
+            "SELECT event_id, user_id FROM (SELECT event_id, user_id, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn "
+            "FROM events) WHERE rn % 3 = 0",
         "embed_cosine_pairs":
             "SELECT a.vec_id AS id1, b.vec_id AS id2 "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
