@@ -1913,8 +1913,43 @@ def execute(case: Case, df: pd.DataFrame):
 
     if v == "uniq":
         g = _flagvals(a, "-g") or _flagvals(a, "-f")
-        if _has(a, "-a") or g is None:
-            raise Unsupported("uniq -a")
+        if _has(a, "-a") or _has(a, "-x") or g is None:
+            # uniq -a (whole-record distinct, uniq.go -a) and -x
+            # (distinct over every field EXCEPT the listed ones, per
+            # RECORD key set — het records project to het keys):
+            # first-seen order; -c prepends the count; -n emits only
+            # the distinct-record count; -o renames the count field.
+            name2 = _flagvals(a, "-o", "count")
+            excl = set((_flagvals(a, "-x") or "").split(","))
+            raw = df.attrs.get("raw_records")
+            if raw is None:
+                cols = [c for c in df.columns
+                        if not str(c).startswith("__")]
+                raw = []
+                for r5 in df.sort_values("__row__").to_dict("records"):
+                    raw.append({k5: v5 for k5, v5 in r5.items()
+                                if k5 in cols and v5 is not None
+                                and not (isinstance(v5, float)
+                                         and math.isnan(v5))})
+            projected = [{k5: v5 for k5, v5 in rec.items()
+                          if k5 not in excl} for rec in raw]
+            order2: list = []
+            counts: dict = {}
+            for rec in projected:
+                key2 = tuple((k5, str(v5)) for k5, v5 in rec.items())
+                if key2 not in counts:
+                    counts[key2] = 0
+                    order2.append((key2, rec))
+                counts[key2] += 1
+            if _has(a, "-n"):
+                return pd.DataFrame([{name2: len(order2)}]), True
+            out_recs2 = []
+            for key2, rec in order2:
+                if _has(a, "-c"):
+                    out_recs2.append({name2: counts[key2], **rec})
+                else:
+                    out_recs2.append(dict(rec))
+            return pd.DataFrame(out_recs2), True
         fields = g.split(",")
         name = _flagvals(a, "-o", "count")
         sub = df.dropna(subset=fields)
@@ -2147,7 +2182,93 @@ def execute(case: Case, df: pd.DataFrame):
         g = _flagvals(a, "-g")
         gb = g.split(",") if g else None
         if _has(a, "-a"):
-            raise Unsupported("top -a")
+            # top -a (top.go showFullRecords): emit the top-n RECORDS
+            # themselves. Single value field only (top.go:125). Records
+            # missing the sought/group fields are skipped; VOID values
+            # ingest and outrank numbers (mlrval collation: string-ish
+            # above numeric). Equal values: the TopKeeper bsearch
+            # inserts AT the first equal slot, so a later-seen equal
+            # record ranks above an earlier one
+            # (mlrval_collections.go:488-512, top_keeper.go:71-90).
+            from miller_ray.functions import FatalError
+
+            if len(fields) > 1:
+                raise FatalError(
+                    "mlr top: -a requires a single value-field name")
+            f2 = fields[0]
+            domax = "--min" not in a
+            raw = df.attrs.get("raw_records")
+            if raw is None:
+                cols = [c for c in df.columns
+                        if not str(c).startswith("__")]
+                raw = []
+                for r5 in df.sort_values("__row__").to_dict("records"):
+                    raw.append({k5: v5 for k5, v5 in r5.items()
+                                if k5 in cols and v5 is not None
+                                and not (isinstance(v5, float)
+                                         and math.isnan(v5))})
+
+            def sortkey(v5):
+                s5 = str(v5)
+                try:
+                    return (0, float(s5), "")
+                except ValueError:
+                    return (1, 0.0, s5)  # strings (incl VOID) above nums
+
+            def bsearch_insert(keys, k5):
+                # verbatim Bsearch{Desc,Asc}endingInsert — the exact
+                # midpoint walk decides where EQUAL values land, which
+                # is observable in the output order (0031: t,v,u,s,r)
+                size = len(keys)
+                if size == 0:
+                    return 0
+
+                def gt(x2, y2):
+                    return x2 > y2 if domax else x2 < y2
+
+                lo2, hi2 = 0, size - 1
+                mid2 = (hi2 + lo2) // 2
+                if gt(k5, keys[0]):
+                    return 0
+                if gt(keys[hi2], k5):
+                    return size
+                while lo2 < hi2:
+                    if k5 == keys[mid2]:
+                        return mid2
+                    elif gt(k5, keys[mid2]):
+                        hi2 = mid2
+                    else:
+                        lo2 = mid2
+                    newmid = (hi2 + lo2) // 2
+                    if mid2 == newmid:
+                        if gt(k5, keys[lo2]) or k5 == keys[lo2]:
+                            return lo2
+                        if gt(k5, keys[hi2]) or k5 == keys[hi2]:
+                            return hi2
+                        return hi2 + 1
+                    mid2 = newmid
+                return lo2
+
+            keepers: dict = {}
+            order2: list = []
+            for rec in raw:
+                if f2 not in rec or any(g5 not in rec for g5 in (gb or [])):
+                    continue
+                key2 = tuple(str(rec[g5]) for g5 in (gb or []))
+                if key2 not in keepers:
+                    keepers[key2] = []
+                    order2.append(key2)
+                arr = keepers[key2]
+                k5 = sortkey(rec[f2])
+                pos = bsearch_insert([e[0] for e in arr], k5)
+                if len(arr) < n:
+                    arr.insert(pos, (k5, rec))
+                elif pos < n:
+                    arr.insert(pos, (k5, rec))
+                    arr.pop()
+            out_recs2 = [rec for key2 in order2
+                         for _k5, rec in keepers[key2]]
+            return pd.DataFrame(out_recs2), True
         smallest = "--min" in a
         # Miller skips records missing ANY sought field (top.go:208-211)
         # but INGESTS void values, which outrank numbers in the mlrval
@@ -2572,9 +2693,14 @@ def execute(case: Case, df: pd.DataFrame):
                                       present=present)
             return out, False
         if _has(a, "-r"):
-            raise Unsupported("merge-fields -r")
-        req = _flagvals(a, "-f").split(",")
-        fields = [c for c in req if c in work.columns]
+            # -r: value fields selected by regex (merge_fields.go:20);
+            # then identical to the -f path with the -o output name
+            regs = _mlr_regexes(_flagvals(a, "-r"))
+            fields = [c for c in work.columns
+                      if any(rx.search(str(c)) for rx in regs)]
+        else:
+            req = _flagvals(a, "-f").split(",")
+            fields = [c for c in req if c in work.columns]
         if not fields:
             # Miller still emits the accumulators: sum/count are 0,
             # order statistics are VOID
@@ -2785,59 +2911,305 @@ def execute(case: Case, df: pd.DataFrame):
         return work[sel].drop(columns=["__row__", "__file__", "__filenum__"], errors="ignore"), True
 
     if v == "step":
-        df = _void_to_nan(df, (_flagvals(a, "-f") or "").split(","))
+        # Faithful record-path simulation of transformers/step.go:
+        # per-(group, field) value-RING prev-caches (delta/shift_lag/
+        # ratio, parameterized counts), record-WINDOW steppers
+        # (shift_lead_N, slwin_m_n), continuing accumulators (rsum/
+        # rprod/counter/ewma/from-first), and the het gating quirks:
+        # ring pushes and clears are driven by the INGESTED record's
+        # field presence while outputs attach to the record delayed by
+        # maxNumRecordsForward (step.go handleRecord:407-495), and the
+        # EOS drain gates on the DRAINED record itself
+        # (handleDrainRecord:502-547).
+        from miller_ray.functions import FatalError
+
         steppers = _flagvals(a, "-a").split(",")
-        supported = {"delta", "shift", "shift_lag", "shift_lead", "rsum",
-                     "rprod", "counter", "ratio", "from-first"}
-        for st_ in steppers:
-            if st_ not in supported:
-                raise Unsupported(f"stepper {st_}")
         fields = _flagvals(a, "-f").split(",")
-        g = _flagvals(a, "-g")
-        gb0 = g.split(",") if g else None
-        work = df.copy()
-        usable = [f for f in fields if f in work.columns]
-        for f in usable:
-            work[f] = pd.to_numeric(work[f], errors="coerce")
-        if gb0:
-            base = work.dropna(subset=gb0)
-            passthrough = work[~work.index.isin(base.index)]
-            gb = gb0
-        else:
-            work["__g0"] = 0
-            base, passthrough, gb = work, work.iloc[0:0], ["__g0"]
-        # Miller het semantics (verb-step/0005): adjacency steppers
-        # (shift/delta/ratio/from-first) RESET after a record lacking the
-        # field, while running accumulators (rsum/rprod/counter) continue
-        # over all present values. Two passes per field.
-        RESETTING = {"shift", "shift_lag", "shift_lead", "delta", "ratio",
-                     "from-first"}
-        out = base.copy()
-        for f in usable:
-            marked = base.sort_values("__row__").copy()
-            # a gap resets only within ITS group's record stream
-            marked["__run"] = marked.groupby(gb, sort=False)[f].transform(
-                lambda s_: s_.isna().cumsum())
-            sub = marked.dropna(subset=[f])
-            if sub.empty:
+        alphas = (_flagvals(a, "-d") or "0.5").split(",")
+        osfx = _flagvals(a, "-o").split(",") if _flagvals(a, "-o") else None
+        if osfx is not None and len(osfx) != len(alphas):
+            raise FatalError(
+                "mlr step: length of -o must match that of -d")
+        esfx = osfx if osfx is not None else alphas
+        parsed = []  # (raw, base, back, fwd)
+        for s in steppers:
+            if s.startswith("slwin"):
+                m2 = re.fullmatch(r"slwin_(-?\d+)_(-?\d+)", s)
+                if not m2:
+                    raise FatalError(f'mlr step: stepper "{s}" not found')
+                mm, nn = int(m2.group(1)), int(m2.group(2))
+                if mm < 0 or nn < 0:
+                    raise FatalError(
+                        f'mlr step: stepper "{s}": backward/forward counts '
+                        "must be non-negative integers")
+                parsed.append((s, "slwin", mm, nn))
                 continue
-            passes = []
-            reset_steppers = [x for x in steppers if x in RESETTING]
-            cont_steppers = [x for x in steppers if x not in RESETTING]
-            if reset_steppers:
-                passes.append(verbs.step(_ds(sub), [f], reset_steppers,
-                                         gb + ["__run"], "__row__").to_pandas())
-            if cont_steppers:
-                passes.append(verbs.step(_ds(sub), [f], cont_steppers,
-                                         gb, "__row__").to_pandas())
-            for one in passes:
-                one = one.set_index("__row__")
-                for c in one.columns:
-                    if c.startswith(f + "_"):
-                        out.loc[out["__row__"].isin(one.index), c] = \
-                            out.loc[out["__row__"].isin(one.index), "__row__"].map(one[c])
-        out = pd.concat([out, passthrough], ignore_index=True).sort_values("__row__")
-        return out.drop(columns=["__g0"], errors="ignore"), True
+            try:
+                base, cnt = verbs._parse_stepper(s)
+            except ValueError as e:
+                msg = str(e)
+                if "count must be" in msg:
+                    raise FatalError(msg)
+                raise FatalError(f'mlr step: stepper "{s}" not found')
+            if base == "shift_lead":
+                parsed.append((s, base, 0, cnt))
+            elif base in ("shift", "shift_lag", "delta", "ratio"):
+                parsed.append((s, base, cnt, 0))
+            else:
+                parsed.append((s, base, 0, 0))
+        FWD = max((p[3] for p in parsed), default=0)
+        gb = (_flagvals(a, "-g") or "")
+        gbf = gb.split(",") if gb else []
+
+        work = df.sort_values("__row__")
+        recs = work.to_dict("records")
+
+        def present(rec, f):
+            v2 = rec.get(f)
+            if v2 is None:
+                return False
+            if isinstance(v2, float) and math.isnan(v2):
+                return False
+            return True
+
+        def numval(rec, f):
+            """Mlrval of rec[f]: None=absent, ''=void, int/float/str."""
+            v2 = rec.get(f)
+            if not present(rec, f):
+                return None
+            if isinstance(v2, str):
+                if v2 == "":
+                    return ""
+                try:
+                    return int(v2)
+                except ValueError:
+                    try:
+                        return float(v2)
+                    except ValueError:
+                        return v2
+            if isinstance(v2, float) and v2.is_integer() \
+                    and not isinstance(v2, bool):
+                # int columns NaN-promoted to float by the union schema
+                return int(v2)
+            return v2
+
+        def fmt_out(x):
+            """Stepper output -> cell: ints stay int; floats render
+            through the regtest MLR_OFMT so integral floats keep their
+            float-typed rendering (e.g. slwin mean 1.0 -> 1.00000000)."""
+            if isinstance(x, float):
+                f2 = REGTEST_OFMT[0]
+                return (f2 % x) if f2 else repr(x)
+            return x
+
+        class Ring:
+            def __init__(self, n):
+                self.n = n
+                self.buf: list = []
+
+            def push(self, v2):
+                self.buf.append(v2)
+                if len(self.buf) > self.n:
+                    old = self.buf.pop(0)
+                    return old, True
+                return None, False
+
+        out_cols: dict[int, dict] = {}  # rec index -> {col: value}
+        emitted: set[int] = set()       # grouped records that centered
+        grouped_idx: set[int] = set()   # records that entered a window
+
+        def run_group(idxs: list[int]):
+            rings: dict = {}   # (f, raw) -> Ring
+            state: dict = {}   # misc per (f, key)
+            ingested: list[int] = []
+
+            def win(p_pos, j):
+                q = p_pos + j
+                return recs[ingested[q]] if 0 <= q < len(ingested) else None
+
+            def clear(f):
+                for s, base, back, fwd in parsed:
+                    if base in ("shift", "shift_lag", "delta", "ratio") \
+                            and (f, s) in rings:
+                        rings[(f, s)].push(None)
+
+            def apply_steppers(f, p_pos):
+                p = recs[ingested[p_pos]]
+                cur = numval(p, f)
+                oc = out_cols.setdefault(ingested[p_pos], {})
+                for s, base, back, fwd in parsed:
+                    if base in ("shift", "shift_lag"):
+                        r2 = rings.setdefault((f, s), Ring(back))
+                        prev, has = r2.push(cur)
+                        oc[f"{f}_{s}"] = fmt_out(prev) \
+                            if has and prev is not None else ""
+                    elif base == "delta":
+                        r2 = rings.setdefault((f, s), Ring(back))
+                        if cur is None:
+                            r2.push(None)
+                        elif cur == "":
+                            r2.push(None)
+                            oc[f"{f}_{s}"] = ""
+                        else:
+                            prev, has = r2.push(cur)
+                            oc[f"{f}_{s}"] = fmt_out(
+                                cur - prev if has and prev is not None
+                                else 0)
+                    elif base == "ratio":
+                        r2 = rings.setdefault((f, s), Ring(back))
+                        if cur is None:
+                            r2.push(None)
+                        elif cur == "":
+                            r2.push(None)
+                            oc[f"{f}_{s}"] = ""
+                        else:
+                            prev, has = r2.push(cur)
+                            if has and prev is not None:
+                                q2 = cur / prev
+                                if isinstance(cur, int) \
+                                        and isinstance(prev, int) \
+                                        and cur % prev == 0:
+                                    q2 = cur // prev
+                                oc[f"{f}_{s}"] = fmt_out(q2)
+                            else:
+                                oc[f"{f}_{s}"] = fmt_out(1)
+                    elif base == "shift_lead":
+                        nrec = win(p_pos, fwd)
+                        if nrec is None:
+                            oc[f"{f}_{s}"] = ""
+                        else:
+                            nv = numval(nrec, f)
+                            if nv is not None:
+                                oc[f"{f}_{s}"] = fmt_out(nv)
+                    elif base == "slwin":
+                        tot, cnt2 = 0.0, 0
+                        for j in range(-back, fwd + 1):
+                            r3 = win(p_pos, j)
+                            if r3 is None:
+                                continue
+                            v3 = numval(r3, f)
+                            if v3 is None or v3 == "" \
+                                    or isinstance(v3, str):
+                                continue
+                            tot += v3
+                            cnt2 += 1
+                        oc[f"{f}_{back}_{fwd}"] = \
+                            fmt_out(tot / cnt2) if cnt2 else ""
+                    elif base == "rsum":
+                        if cur is None:
+                            continue
+                        if cur == "":
+                            oc[f"{f}_rsum"] = ""
+                        else:
+                            k2 = (f, "rsum")
+                            state[k2] = state.get(k2, 0) + cur
+                            oc[f"{f}_rsum"] = fmt_out(state[k2])
+                    elif base == "rprod":
+                        if cur is None:
+                            continue
+                        if cur == "":
+                            oc[f"{f}_rprod"] = ""
+                        else:
+                            k2 = (f, "rprod")
+                            state[k2] = state.get(k2, 1) * cur
+                            oc[f"{f}_rprod"] = fmt_out(state[k2])
+                    elif base == "counter":
+                        if cur is None:
+                            continue
+                        if cur == "":
+                            oc[f"{f}_counter"] = ""
+                        else:
+                            k2 = (f, "counter")
+                            state[k2] = state.get(k2, 0) + 1
+                            oc[f"{f}_counter"] = state[k2]
+                    elif base == "from-first":
+                        if cur is None:
+                            continue
+                        k2 = (f, "first")
+                        if k2 not in state:
+                            state[k2] = cur
+                            oc[f"{f}_from_first"] = 0
+                        else:
+                            first = state[k2]
+                            if cur == "" or first == "":
+                                oc[f"{f}_from_first"] = ""
+                            else:
+                                oc[f"{f}_from_first"] = fmt_out(cur - first)
+                    elif base == "ewma":
+                        if cur is None or cur == "" \
+                                or isinstance(cur, str):
+                            continue
+                        k2 = (f, "ewma")
+                        if k2 not in state:
+                            state[k2] = [cur] * len(alphas)
+                            for i2 in range(len(alphas)):
+                                oc[f"{f}_ewma_{esfx[i2]}"] = fmt_out(cur)
+                        else:
+                            prevs = state[k2]
+                            for i2, a2 in enumerate(alphas):
+                                fa = float(a2)
+                                nxt2 = fa * cur + (1.0 - fa) * prevs[i2]
+                                oc[f"{f}_ewma_{esfx[i2]}"] = fmt_out(nxt2)
+                                prevs[i2] = nxt2
+
+            for idx in idxs:
+                ingested.append(idx)
+                r2 = recs[idx]
+                p_pos = len(ingested) - 1 - FWD
+                for f in fields:
+                    if not present(r2, f):
+                        clear(f)
+                        continue
+                    if p_pos >= 0:
+                        apply_steppers(f, p_pos)
+                if p_pos >= 0:
+                    emitted.add(ingested[p_pos])
+            # EOS drain (step.go Transform EndOfStream): ONE nil-ingest
+            # per delayed log entry — min(FWD, n) entries — so a group
+            # smaller than the forward window never centers its first
+            # records and they are dropped from the output, exactly as
+            # the reference does (verb-step/0022: 9 of 10 records).
+            for k3 in range(min(FWD, len(ingested))):
+                p_pos = len(ingested) - FWD + k3
+                if p_pos < 0:
+                    continue
+                emitted.add(ingested[p_pos])
+                p = recs[ingested[p_pos]]
+                for f in fields:
+                    if not present(p, f):
+                        clear(f)
+                        continue
+                    apply_steppers(f, p_pos)
+
+        if gbf:
+            order: list = []
+            groups: dict = {}
+            for i4, r4 in enumerate(recs):
+                if not all(present(r4, g2) for g2 in gbf):
+                    continue  # gok false: passed along untouched
+                key = tuple(str(r4.get(g2)) for g2 in gbf)
+                if key not in groups:
+                    groups[key] = []
+                    order.append(key)
+                groups[key].append(i4)
+            for key in order:
+                grouped_idx.update(groups[key])
+                run_group(groups[key])
+        else:
+            grouped_idx.update(range(len(recs)))
+            run_group(list(range(len(recs))))
+
+        out_recs = []
+        for i4, r4 in enumerate(recs):
+            if i4 in grouped_idx and i4 not in emitted:
+                continue  # never window-centered: dropped (drain note)
+            merged = {k5: v5 for k5, v5 in r4.items()}
+            for c5, v5 in out_cols.get(i4, {}).items():
+                merged[c5] = v5
+            out_recs.append(merged)
+        out = pd.DataFrame(out_recs)
+        return out, True
+
 
     if v == "reorder":
         names = [c for c in df.columns

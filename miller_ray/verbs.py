@@ -788,139 +788,169 @@ def fill_down(ds, fields: list[str], group_by: list[str], order_by: str):
     return rd.from_pandas_refs(out_refs)
 
 
-_STEPPERS = {"delta", "shift", "shift_lag", "shift_lead", "rsum", "rprod",
-             "counter", "ewma", "ratio", "from-first"}
+_STEP_BASES = {"delta", "shift", "shift_lag", "shift_lead", "rsum",
+               "rprod", "counter", "ewma", "ratio", "from-first"}
+
+
+def _parse_stepper(s: str) -> tuple[str, int]:
+    """Split ``shift_lag_2`` -> (shift_lag, 2); plain names get count 1.
+    Raises ValueError for unknown names and non-positive counts
+    (step.go stepperInputFromName: 'count must be a positive integer')."""
+    if s in _STEP_BASES:
+        return s, 1
+    for base in ("shift_lag", "shift_lead", "shift", "delta", "ratio"):
+        if s.startswith(base + "_"):
+            tail = s[len(base) + 1:]
+            try:
+                n = int(tail)
+            except ValueError:
+                break
+            if n <= 0:
+                raise ValueError(
+                    f'mlr step: stepper "{s}": count must be a positive integer')
+            return base, n
+    raise ValueError(f"unsupported stepper: {s}")
 
 
 def step(ds, fields: list[str], steppers: list[str], group_by: list[str],
-         order_by: str, ewma_alpha: float = 0.5):
+         order_by: str, ewma_alpha: float = 0.5,
+         ewma_alphas: list[str] | None = None,
+         ewma_suffixes: list[str] | None = None):
     """Verb ``step -a delta,shift,rsum,counter,ewma`` (step.go:631-712):
     per-group successive-record functions over an explicit order column.
-    ``ewma`` uses Miller's recursive form with smoothing ``ewma_alpha``
-    (step.go ewma stepper; ``-d`` flag).
+    Parameterized lag steppers (``shift_lag_2``, ``delta_3``,
+    ``ratio_2``, ``shift_lead_2``; step.go stepperInputFromName) and
+    multi-weight EWMA (``-d 0.1,0.9`` -> columns ``f_ewma_0.1`` …;
+    ``-o smooth,rough`` renames the suffixes, step.go:1436-1464) are
+    supported. With ``ewma_alphas=None`` the single ``ewma_alpha``
+    emits the legacy ``f_ewma`` column.
 
     SCALE path (no per-group reducer): one global sort by
     (group..., order), then one parallel task per sorted BLOCK. Every
     stepper is a prefix computation, so a block only needs a TINY
-    incoming carry per group it contains: previous value (delta/shift/
-    ratio), running sum/prod/count (rsum/rprod/counter), the group's
-    first value (from-first), the chained EWMA state (linear in the
-    carry: e_end = A + (1-alpha)^n * e_in, so per-block A and decay
-    fold on the driver), and the NEXT block's first value (shift_lead).
-    The driver chains per-(block, group) summary rows in block order —
-    O(blocks x groups-per-block) scalar work, the same accepted shape
-    as stats1_windowed — and each block then finishes independently. A
-    hot group spanning many blocks still parallelizes."""
+    incoming carry per group it contains: the last K values
+    (delta/shift/ratio at lag K), running sum/prod/count
+    (rsum/rprod/counter), the group's first value (from-first), the
+    chained EWMA state per weight (linear in the carry:
+    e_end = A + (1-alpha)^n * e_in, so per-block A and decay fold on
+    the driver), and the next K values from FOLLOWING blocks
+    (shift_lead at lag K). The driver chains per-(block, group)
+    summary rows in block order — O(blocks x groups-per-block) scalar
+    work, the same accepted shape as stats1_windowed — and each block
+    then finishes independently. A hot group spanning many blocks
+    still parallelizes."""
     import ray
     import ray.data as rd
 
-    bad = [s for s in steppers if s not in _STEPPERS]
-    if bad:
-        raise ValueError(f"unsupported stepper: {bad[0]}")
+    parsed = [(s,) + _parse_stepper(s) for s in steppers]
+    need_lag = max([n for _, b, n in parsed
+                    if b in ("delta", "shift", "shift_lag", "ratio")],
+                   default=0)
+    need_lead = max([n for _, b, n in parsed if b == "shift_lead"],
+                    default=0)
+    want_ewma = any(b == "ewma" for _, b, _n in parsed)
+    if ewma_alphas is not None:
+        alphas = [float(a) for a in ewma_alphas]
+        esfx = list(ewma_suffixes) if ewma_suffixes else list(ewma_alphas)
+        ecols = [f"_ewma_{s}" for s in esfx]
+    else:
+        alphas = [ewma_alpha]
+        ecols = ["_ewma"]
     gb = list(group_by or [])
     sorted_ds = ds.sort(gb + [order_by]).materialize()
     block_refs = [br for bundle in sorted_ds.iter_internal_ref_bundles()
                   for br in bundle.block_refs]
 
     @ray.remote
-    def _summary(block) -> pd.DataFrame:
+    def _summary(block) -> list:
         df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
         if not len(df):
-            return pd.DataFrame()
+            return []
         df = df.sort_values(order_by)
         g = df.groupby(gb, sort=False) if gb else [((), df)]
         rows = []
         for key, sub in g:
             if gb and not isinstance(key, tuple):
                 key = (key,)
-            row = {f"__k{i}": k for i, k in enumerate(key)}
-            row["__n"] = len(sub)
+            d = {"n": len(sub)}
             for f in fields:
                 x = sub[f].to_numpy(dtype=np.float64)
-                row[f"{f}__sum"] = np.nansum(x)
-                row[f"{f}__prod"] = np.nanprod(x)
-                row[f"{f}__first"] = x[0]
-                row[f"{f}__last"] = x[-1]
-                # EWMA chain coefficients: e_end(e_in) = A + B*e_in
-                # where B = (1-a)^n and A = recursive EWMA with a
-                # zero carry prepended; NC = no-carry end (first
-                # element seeds the state, step.go ewma stepper).
-                s = pd.Series(np.concatenate([[0.0], x]))
-                row[f"{f}__ewmA"] = s.ewm(alpha=ewma_alpha,
-                                          adjust=False).mean().iloc[-1]
-                row[f"{f}__ewmNC"] = pd.Series(x).ewm(
-                    alpha=ewma_alpha, adjust=False).mean().iloc[-1]
-            rows.append(row)
-        return pd.DataFrame(rows)
+                d[f"{f}:sum"] = float(np.nansum(x))
+                d[f"{f}:prod"] = float(np.nanprod(x))
+                d[f"{f}:first"] = float(x[0])
+                if need_lag:
+                    d[f"{f}:lastK"] = x[-need_lag:].tolist()
+                if need_lead:
+                    d[f"{f}:firstK"] = x[:need_lead].tolist()
+                if want_ewma:
+                    for k, a in enumerate(alphas):
+                        # e_end(e_in) = A + B*e_in with B = (1-a)^n;
+                        # A = recursive EWMA seeded by a zero carry,
+                        # NC = no-carry end (first element seeds).
+                        s0 = pd.Series(np.concatenate([[0.0], x]))
+                        d[f"{f}:ewmA:{k}"] = float(
+                            s0.ewm(alpha=a, adjust=False).mean().iloc[-1])
+                        d[f"{f}:ewmNC:{k}"] = float(pd.Series(x).ewm(
+                            alpha=a, adjust=False).mean().iloc[-1])
+            rows.append((key, d))
+        return rows
 
     summaries = ray.get([_summary.remote(b) for b in block_refs])
-    nkeys = len(gb)
-    kcols = [f"__k{i}" for i in range(nkeys)]
 
     # driver chain: fold per-group running state block-by-block and
-    # emit each block's INCOMING carry table (one small row per group)
+    # emit each block's INCOMING carry (one small dict per group)
     state: dict[tuple, dict] = {}
-    carries: list[pd.DataFrame] = []
+    carries: list[dict] = []
     for sm in summaries:
-        rows = []
-        if len(sm):
-            for d in sm.to_dict("records"):
-                key = tuple(d[c] for c in kcols)
-                st = state.get(key)
-                row = {c: d[c] for c in kcols}
-                row["__in_cnt"] = st["cnt"] if st else 0
-                for f in fields:
-                    if st:
-                        row[f"{f}__in_sum"] = st[f"{f}_sum"]
-                        row[f"{f}__in_prod"] = st[f"{f}_prod"]
-                        row[f"{f}__in_prev"] = st[f"{f}_last"]
-                        row[f"{f}__in_first"] = st[f"{f}_first"]
-                        row[f"{f}__in_ewma"] = st[f"{f}_ewma"]
-                    else:
-                        row[f"{f}__in_sum"] = 0.0
-                        row[f"{f}__in_prod"] = 1.0
-                        row[f"{f}__in_prev"] = np.nan
-                        row[f"{f}__in_first"] = np.nan
-                        row[f"{f}__in_ewma"] = np.nan
-                rows.append(row)
-                new = {"cnt": (st["cnt"] if st else 0) + d["__n"]}
-                for f in fields:
-                    B = (1.0 - ewma_alpha) ** d["__n"]
-                    new[f"{f}_sum"] = (st[f"{f}_sum"] if st else 0.0) \
-                        + d[f"{f}__sum"]
-                    new[f"{f}_prod"] = (st[f"{f}_prod"] if st else 1.0) \
-                        * d[f"{f}__prod"]
-                    new[f"{f}_last"] = d[f"{f}__last"]
-                    new[f"{f}_first"] = st[f"{f}_first"] if st \
-                        else d[f"{f}__first"]
-                    new[f"{f}_ewma"] = (d[f"{f}__ewmA"]
-                                        + B * st[f"{f}_ewma"]) if st \
-                        else d[f"{f}__ewmNC"]
-                state[key] = new
-        carries.append(pd.DataFrame(rows))
-    # shift_lead needs the FOLLOWING block's first value per group:
-    # scan summaries backwards carrying each group's next-first
-    if "shift_lead" in steppers:
+        cin = {}
+        for key, d in sm:
+            st = state.get(key)
+            cin[key] = dict(st) if st else {}
+            new = dict(st) if st else {"cnt": 0}
+            new["cnt"] = new.get("cnt", 0) + d["n"]
+            for f in fields:
+                new[f"{f}:sum"] = new.get(f"{f}:sum", 0.0) + d[f"{f}:sum"]
+                new[f"{f}:prod"] = new.get(f"{f}:prod", 1.0) * d[f"{f}:prod"]
+                if f"{f}:first" not in new:
+                    new[f"{f}:first"] = d[f"{f}:first"]
+                if need_lag:
+                    new[f"{f}:lastK"] = (new.get(f"{f}:lastK", [])
+                                         + d[f"{f}:lastK"])[-need_lag:]
+                if want_ewma:
+                    for k, a in enumerate(alphas):
+                        B = (1.0 - a) ** d["n"]
+                        prev = new.get(f"{f}:ewma:{k}")
+                        new[f"{f}:ewma:{k}"] = \
+                            d[f"{f}:ewmA:{k}"] + B * prev \
+                            if prev is not None else d[f"{f}:ewmNC:{k}"]
+            state[key] = new
+        carries.append(cin)
+    if need_lead:
+        # shift_lead needs the next K same-group values, accumulated
+        # backwards across following blocks
         nxt: dict[tuple, dict] = {}
         for i in range(len(summaries) - 1, -1, -1):
-            sm, ca = summaries[i], carries[i]
-            ca_keys = [tuple(d[c] for c in kcols)
-                       for d in ca.to_dict("records")] if len(ca) else []
-            for f in fields:
-                ca[f"{f}__next_first"] = [
-                    nxt.get(k, {}).get(f, np.nan) for k in ca_keys
-                ] if len(ca) else []
-            if len(sm):
-                for d in sm.to_dict("records"):
-                    key = tuple(d[c] for c in kcols)
-                    nxt[key] = {f: d[f"{f}__first"] for f in fields}
+            for key, d in summaries[i]:
+                cr = carries[i].setdefault(key, {})
+                cr_next = nxt.get(key, {})
+                for f in fields:
+                    cr[f"{f}:nextK"] = cr_next.get(f, [])
+            for key, d in summaries[i]:
+                prev_nxt = nxt.get(key, {})
+                nxt[key] = {
+                    f: (d[f"{f}:firstK"] + prev_nxt.get(f, []))[:need_lead]
+                    for f in fields}
 
-    sfx = {"shift": "shift", "shift_lag": "shift_lag",
-           "shift_lead": "shift_lead", "from-first": "from_first"}
-    new_cols = [f"{f}_{sfx.get(s, s)}" for f in fields for s in steppers]
+    sfx = {"from-first": "from_first"}
+    new_cols = []
+    for s, b, _n in parsed:
+        if b == "ewma":
+            new_cols += [f"{f}{c}" for f in fields for c in ecols]
+        else:
+            new_cols += [f"{f}_{sfx.get(s, s)}" for f in fields]
 
     @ray.remote
-    def _apply(block, carry: pd.DataFrame) -> pd.DataFrame:
+    def _apply(block, carry: dict) -> pd.DataFrame:
         df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
         if not len(df):
             for c in new_cols:
@@ -928,65 +958,72 @@ def step(ds, fields: list[str], steppers: list[str], group_by: list[str],
                     df[c] = pd.Series(dtype=np.float64)
             return df
         df = df.sort_values(order_by).reset_index(drop=True)
-        cidx = {tuple(r[c] for c in kcols): r
-                for r in carry.to_dict("records")} if len(carry) else {}
         groups = df.groupby(gb, sort=False).indices if gb \
             else {(): np.arange(len(df))}
         for key, idx in groups.items():
             if gb and not isinstance(key, tuple):
                 key = (key,)
-            cr = cidx.get(key, {})
+            cr = carry.get(key, {})
             for f in fields:
                 x = df.loc[idx, f].to_numpy(dtype=np.float64)
-                prev = cr.get(f"{f}__in_prev", np.nan)
-                for s in steppers:
-                    if s == "ewma":
-                        ein = cr.get(f"{f}__in_ewma", np.nan)
-                        if not np.isnan(ein):
-                            e = pd.Series(np.concatenate([[ein], x])).ewm(
-                                alpha=ewma_alpha, adjust=False).mean() \
-                                .to_numpy()[1:]
-                        else:
-                            e = pd.Series(x).ewm(alpha=ewma_alpha,
-                                                 adjust=False).mean() \
-                                .to_numpy()
-                        col, v = f"{f}_ewma", e
-                    elif s == "delta":
-                        v = np.diff(x, prepend=prev)
-                        if np.isnan(prev) and len(v):
-                            v[0] = 0.0
-                        col = f"{f}_delta"
-                    elif s in ("shift", "shift_lag"):
-                        v = np.concatenate([[prev], x[:-1]])
-                        col = f"{f}_{s}"
-                    elif s == "shift_lead":
-                        v = np.concatenate(
-                            [x[1:], [cr.get(f"{f}__next_first", np.nan)]])
-                        col = f"{f}_shift_lead"
-                    elif s == "rsum":
-                        v = np.cumsum(x) + cr.get(f"{f}__in_sum", 0.0)
-                        col = f"{f}_rsum"
-                    elif s == "rprod":
-                        v = np.cumprod(x) * cr.get(f"{f}__in_prod", 1.0)
-                        col = f"{f}_rprod"
-                    elif s == "counter":
+                L = np.asarray(cr.get(f"{f}:lastK", []), dtype=np.float64)
+                R = np.asarray(cr.get(f"{f}:nextK", []), dtype=np.float64)
+
+                def lag(n: int) -> np.ndarray:
+                    full = np.concatenate([L, x])
+                    pos = len(L) + np.arange(len(x)) - n
+                    v = np.where(pos >= 0, full[np.maximum(pos, 0)], np.nan)
+                    return v
+
+                for s, b, n in parsed:
+                    if b == "ewma":
+                        for k, a in enumerate(alphas):
+                            ein = cr.get(f"{f}:ewma:{k}")
+                            if ein is not None:
+                                e = pd.Series(
+                                    np.concatenate([[ein], x])).ewm(
+                                    alpha=a, adjust=False).mean() \
+                                    .to_numpy()[1:]
+                            else:
+                                e = pd.Series(x).ewm(
+                                    alpha=a, adjust=False).mean() \
+                                    .to_numpy()
+                            col, v = f"{f}{ecols[k]}", e
+                            if col not in df.columns:
+                                df[col] = np.nan
+                            df.loc[idx, col] = v
+                        continue
+                    if b == "delta":
+                        pv = lag(n)
+                        v = x - pv
+                        v[np.isnan(pv)] = 0.0
+                    elif b in ("shift", "shift_lag"):
+                        v = lag(n)
+                    elif b == "shift_lead":
+                        full = np.concatenate([x, R])
+                        pos = np.arange(len(x)) + n
+                        v = np.where(pos < len(full),
+                                     full[np.minimum(pos, len(full) - 1)],
+                                     np.nan)
+                    elif b == "rsum":
+                        v = np.cumsum(x) + cr.get(f"{f}:sum", 0.0)
+                    elif b == "rprod":
+                        v = np.cumprod(x) * cr.get(f"{f}:prod", 1.0)
+                    elif b == "counter":
                         v = np.arange(1, len(x) + 1, dtype=np.int64) \
-                            + int(cr.get("__in_cnt", 0))
-                        col = f"{f}_counter"
-                    elif s == "ratio":
-                        pv = np.concatenate([[prev], x[:-1]])
+                            + int(cr.get("cnt", 0))
+                    elif b == "ratio":
+                        pv = lag(n)
                         v = x / pv
-                        if np.isnan(prev) and len(v):
-                            # no previous value: ratio is 1, not NaN
-                            # (step.go stepperRatio, FromInt(1))
-                            v[0] = 1.0
-                        col = f"{f}_ratio"
+                        # no previous value: ratio is 1, not NaN
+                        # (step.go stepperRatio, FromInt(1))
+                        v[np.isnan(pv)] = 1.0
                     else:  # from-first
-                        first = cr.get(f"{f}__in_first", np.nan)
-                        if np.isnan(first):
+                        first = cr.get(f"{f}:first")
+                        if first is None:
                             first = x[0] if len(x) else np.nan
                         v = x - first
-                        col = f"{f}_from_first"
+                    col = f"{f}_{sfx.get(s, s)}"
                     if col not in df.columns:
                         df[col] = np.nan
                     df.loc[idx, col] = v
