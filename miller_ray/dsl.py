@@ -1378,6 +1378,29 @@ class _Parser:
                                "miller_ray.functions.supported())")
             return fudf
         fn = REGISTRY[name]
+        _BADINPUT_DISPO = {
+            "sec2gmt": "pass", "sec2gmtdate": "pass",
+            "strftime": "error", "strfntime": "error",
+            "strftime_local": "error", "strfntime_local": "error",
+        }
+
+        def _bad_input(vals, name=name):
+            # per-function non-numeric disposition (bifs/datetime.go):
+            # 1-arg sec2gmt/sec2gmtdate PASS the input through
+            # unchanged (void stays void); the ndecimals variants and
+            # the strftime family return the mlr ERROR value — even
+            # for void (dsl-gmt-date-time-functions/0003); default is
+            # a hard DslError
+            if name == "sec2gmt" and len(vals) >= 2:
+                return "(error)"
+            if vals and vals[0] == "":
+                return ""  # void in, void out (most bifs)
+            dispo = _BADINPUT_DISPO.get(name)
+            if dispo == "pass":
+                return vals[0]
+            if dispo == "error":
+                return "(error)"
+            raise DslError(f"{name}: bad input")
 
         def f(t, env, fn=fn, args=args):
             vals = [_unscalar(a(t, env)) for a in args]
@@ -1395,14 +1418,10 @@ class _Parser:
                         lifted = [pa.array([vals[0]]), *vals[1:]]
                         return _unscalar(fn(*lifted))
                     except pa.ArrowInvalid:
-                        if vals[0] == "":
-                            return ""  # void in, void out (most bifs)
-                        raise DslError(f"{fn.__name__}: bad input")
+                        return _bad_input(vals)
                 raise
             except pa.ArrowInvalid:
-                if vals and vals[0] == "":
-                    return ""  # void in, void out
-                raise DslError(f"{fn.__name__}: bad input")
+                return _bad_input(vals)
         return f
 
 

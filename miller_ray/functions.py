@@ -674,7 +674,12 @@ def _sec2gmt_impl(x, decimals=0, date_only=False):
     fractional-second digits."""
     if hasattr(decimals, "type") or isinstance(decimals, (pa.Array,
                                                           pa.ChunkedArray)):
-        raise NotImplementedError("per-row decimals for sec2gmt")
+        # per-row decimals (sec2gmt($s, $d)): scalar loop
+        xs = np.asarray(_f(x), dtype=np.float64)
+        ds_ = pc.cast(decimals, pa.int64()).to_pylist()
+        return pa.array([_sec2gmt_one(v2, 0 if d2 is None else int(d2),
+                                      date_only)
+                         for v2, d2 in zip(xs, ds_)], type=pa.string())
     xf = np.asarray(_f(x), dtype=np.float64)
     secs = np.floor(xf)
     ts = pc.cast(pa.array(secs.astype(np.int64)), pa.timestamp("s"))
@@ -727,8 +732,77 @@ def _gmt2sec(x):
     # gmt2sec is FLOAT-typed always (bif_strptime_unary_aux:501
     # returns FromFloat even for whole seconds)
     return pa.array(secs.astype(np.float64) + frac)
-bif("strftime")(lambda x, fmt: pc.strftime(
-    pc.cast(pc.cast(x, pa.int64()), pa.timestamp("s")), format=fmt))
+# Miller strftime fractional-second extension table
+# (bifs/datetime.go:404-440 appender1..appender9 — note the %8S quirk:
+# NINE digits with quotient 10, exactly as the reference ships it)
+_STRFTIME_FRACS = {1: (1, 100000000), 2: (2, 10000000), 3: (3, 1000000),
+                   4: (4, 100000), 5: (5, 10000), 6: (6, 1000),
+                   7: (7, 100), 8: (9, 10), 9: (9, 1)}
+_STRFTIME_EXT_RE = None
+
+
+def _mlr_strftime_one(dt, fmt: str, secs: int, nanos: int) -> str:
+    """One strftime render with Miller's extensions: %nS (truncated
+    fractional seconds), %N (9-digit nanos), %O (bare nanos), %s
+    (epoch seconds); everything else via the platform strftime
+    (bifs/datetime.go strftimeHelper + init() specification set)."""
+    out = []
+    i, L = 0, len(fmt)
+    while i < L:
+        c = fmt[i]
+        if c == "%" and i + 1 < L:
+            d = fmt[i + 1]
+            if d in "123456789" and i + 2 < L and fmt[i + 2] == "S":
+                nd, quot = _STRFTIME_FRACS[int(d)]
+                out.append("%02d.%0*d" % (dt.second, nd, nanos // quot))
+                i += 3
+                continue
+            if d == "N":
+                out.append("%09d" % nanos)
+                i += 2
+                continue
+            if d == "O":
+                out.append("%d" % nanos)
+                i += 2
+                continue
+            if d == "s":
+                out.append(str(secs))
+                i += 2
+                continue
+            out.append(dt.strftime("%" + d))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _strftime_gmt_one(x: float, fmt: str) -> str:
+    import math as _math
+    from datetime import datetime, timezone
+
+    secs = _math.floor(float(x))
+    nanos = int((float(x) - secs) * 1e9)
+    dt = datetime.fromtimestamp(secs, tz=timezone.utc)
+    return _mlr_strftime_one(dt, fmt, secs, nanos)
+
+
+@bif("strftime")
+def _strftime_bif(x, fmt):
+    """strftime: epoch FLOAT seconds -> formatted GMT string
+    (bifs/datetime.go BIF_strftime; always UTC regardless of --tz).
+    Fractional seconds floor to the second; %nS/%N/%O/%s extensions."""
+    if not isinstance(x, (pa.Array, pa.ChunkedArray)):
+        x = pa.array([x])
+        return _strftime_bif(_f(x), fmt)[0].as_py()
+    xf = _f(x)  # ArrowInvalid on non-numeric -> caller disposition
+    if not re.search(r"%([1-9]S|[NOsZz])", fmt):
+        # fast vectorized path for plain directives
+        secs = np.floor(np.asarray(xf, dtype=np.float64)).astype(np.int64)
+        return pc.strftime(pc.cast(pa.array(secs), pa.timestamp("s")),
+                           format=fmt)
+    return pa.array([None if v is None else _strftime_gmt_one(v, fmt)
+                     for v in xf.to_pylist()], type=pa.string())
 @bif("strptime")
 def _strptime(x, fmt):
     """strptime -> epoch seconds; unparseable values yield the Miller
@@ -1057,11 +1131,57 @@ def _as_f64(x) -> np.ndarray:
     return np.asarray(x, dtype=np.float64)
 
 
+def _sec2gmt_one(xf: float, d: int, date_only: bool = False) -> str:
+    import math as _math
+    from datetime import datetime, timezone
+
+    secs = _math.floor(float(xf))
+    dt = datetime.fromtimestamp(secs, tz=timezone.utc)
+    if date_only:
+        return dt.strftime("%Y-%m-%d")
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    if d > 0:
+        fr = int(_math.floor((float(xf) - secs) * 10 ** d))
+        return f"{base}.{str(fr).zfill(d)}Z"
+    return base + "Z"
+
+
+def _nsec2gmt_one(n: int, d: int) -> str:
+    # exact int nanosecond math — no float round-trip
+    from datetime import datetime, timezone
+
+    n = int(n)
+    secs = n // 10 ** 9
+    rem = n - secs * 10 ** 9
+    base = datetime.fromtimestamp(secs, tz=timezone.utc) \
+        .strftime("%Y-%m-%dT%H:%M:%S")
+    if d > 0:
+        fr = rem // 10 ** (9 - d) if d <= 9 else rem * 10 ** (d - 9)
+        return f"{base}.{str(fr).zfill(d)}Z"
+    return base + "Z"
+
+
+def _ns_list(x):
+    # int64-exact nanosecond extraction: avoid the float64 round-trip
+    # for already-integer columns (1.23e18 ns loses precision as float)
+    if pa.types.is_integer(x.type):
+        return x.to_pylist()
+    return pc.cast(_f(x), pa.int64()).to_pylist()
+
+
 @bif("nsec2gmt")
 def _nsec2gmt(x, decimals=0):
-    if hasattr(decimals, "type"):
-        raise NotImplementedError("per-row decimals for nsec2gmt")
-    return _sec2gmt_impl(pa.array(_as_f64(x) / 1e9), decimals)
+    if hasattr(decimals, "type") or isinstance(decimals, (pa.Array,
+                                                          pa.ChunkedArray)):
+        ns = _ns_list(x) if isinstance(x, (pa.Array, pa.ChunkedArray)) \
+            else [int(x)]
+        ds_ = pc.cast(decimals, pa.int64()).to_pylist()
+        return pa.array([_nsec2gmt_one(n2, 0 if d2 is None else int(d2))
+                         for n2, d2 in zip(ns, ds_)], type=pa.string())
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pa.array([_nsec2gmt_one(n2, int(decimals))
+                         for n2 in _ns_list(x)], type=pa.string())
+    return _nsec2gmt_one(int(x), int(decimals))
 
 
 @bif("nsec2gmtdate")
@@ -2038,16 +2158,10 @@ def _fmt_local(epoch_s: float, fmt: str, tzname=None) -> str:
     import math as _math
     from datetime import datetime
 
-    dt = datetime.fromtimestamp(float(epoch_s), tz=_tzinfo(tzname))
-    m = re.search(r"%([1-9])S", fmt)
-    if m:
-        # Miller's %NS renders seconds with N truncated fractional
-        # digits (lib/time.go); fraction relative to the FLOORED second
-        nd = int(m.group(1))
-        frac = float(epoch_s) - _math.floor(float(epoch_s))
-        rep = "%S." + str(int(_math.floor(frac * 10 ** nd))).zfill(nd)
-        fmt = fmt.replace(m.group(0), rep)
-    return dt.strftime(fmt)
+    secs = _math.floor(float(epoch_s))
+    nanos = int((float(epoch_s) - secs) * 1e9)
+    dt = datetime.fromtimestamp(secs, tz=_tzinfo(tzname))
+    return _mlr_strftime_one(dt, fmt, secs, nanos)
 
 
 @bif("strftime_local")
@@ -2162,18 +2276,41 @@ bif("nsec2localdate")(lambda x, *tz: _sec2localdate(
     else pc.divide(_f(x), 1e9), *tz))
 
 
+def _strfntime_one(n, fmt, tzname=None):
+    # int nanoseconds kept exact (no float round-trip): floor-divide
+    # into (secs, nanos) as Go time.Unix(0, nsec) does
+    from datetime import datetime, timezone
+
+    n = int(n)
+    secs = n // 10 ** 9
+    nanos = n - secs * 10 ** 9
+    tz = _tzinfo(tzname) if tzname is not None else timezone.utc
+    dt = datetime.fromtimestamp(secs, tz=tz)
+    return _mlr_strftime_one(dt, fmt, secs, nanos)
+
+
 @bif("strfntime")
 def _strfntime(x, fmt):
-    return REGISTRY["strftime"](
-        pc.divide(_f(x), 1e9) if isinstance(x, (pa.Array, pa.ChunkedArray))
-        else float(x) / 1e9, fmt)
+    """strfntime: epoch INT nanoseconds -> formatted GMT string
+    (bifs/datetime.go BIF_strfntime / strfntimeHelper)."""
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pa.array([None if v is None else _strfntime_one(v, fmt)
+                         for v in pc.cast(x, pa.int64()).to_pylist()],
+                        type=pa.string())
+    return _strfntime_one(int(x), fmt)
 
 
 @bif("strfntime_local")
 def _strfntime_local(x, fmt, *tz):
-    return _strftime_local(
-        pc.divide(_f(x), 1e9) if isinstance(x, (pa.Array, pa.ChunkedArray))
-        else float(x) / 1e9, fmt, tz[0] if tz else None)
+    import os as _os
+
+    tzname = tz[0] if tz else (_os.environ.get("TZ") or "UTC")
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pa.array([None if v is None
+                         else _strfntime_one(v, fmt, tzname)
+                         for v in pc.cast(x, pa.int64()).to_pylist()],
+                        type=pa.string())
+    return _strfntime_one(int(x), fmt, tzname)
 
 
 @bif("strpntime")
