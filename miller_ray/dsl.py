@@ -1647,11 +1647,23 @@ def _check_hof_arity(fv, n: int, hof: str) -> None:
 
 
 def _hof_apply(vals, t, env):
+    from miller_ray.functions import FatalError
+
     coll, fv = vals[0], _as_funcval(vals[1], "apply")
     prog = env.get("\x00prog")
+
+    def _must_return(r):
+        # hofs.go: "second-argument function must return a value"
+        if r is None:
+            raise FatalError(
+                "mlr: apply: second-argument function must return a "
+                "value; got absent.")
+        return r
+
     if isinstance(coll, list):
         _check_hof_arity(fv, 1, "apply")
-        return [_call_func(prog, fv, [e], t, env) for e in coll]
+        return [_must_return(_call_func(prog, fv, [e], t, env))
+                for e in coll]
     if isinstance(coll, dict):
         _check_hof_arity(fv, 2, "apply")
         out = {}
@@ -1659,7 +1671,19 @@ def _hof_apply(vals, t, env):
             rk, rv = _one_pair(_call_func(prog, fv, [k, v], t, env), "apply")
             out[rk] = rv
         return out
-    raise DslError("apply: first argument is not a collection")
+    return "(error)"  # hofs.go: non-collection -> error value
+
+
+def _select_bool(r):
+    # hofs.go SelectHOF: the callback must return an actual boolean
+    # (dsl-first-class-functions select-errors-12/13/15)
+    from miller_ray.functions import FatalError
+
+    if isinstance(r, bool):
+        return r
+    shown = "(absent)" if r is None else r
+    raise FatalError(
+        f'mlr: select: function returned non-boolean "{shown}".')
 
 
 def _hof_select(vals, t, env):
@@ -1668,12 +1692,12 @@ def _hof_select(vals, t, env):
     if isinstance(coll, list):
         _check_hof_arity(fv, 1, "select")
         return [e for e in coll
-                if _truthy(_call_func(prog, fv, [e], t, env))]
+                if _select_bool(_call_func(prog, fv, [e], t, env))]
     if isinstance(coll, dict):
         _check_hof_arity(fv, 2, "select")
         return {k: v for k, v in coll.items()
-                if _truthy(_call_func(prog, fv, [k, v], t, env))}
-    raise DslError("select: first argument is not a collection")
+                if _select_bool(_call_func(prog, fv, [k, v], t, env))}
+    return "(error)"  # hofs.go: non-collection -> error value
 
 
 def _hof_fold(vals, t, env):
@@ -1681,9 +1705,16 @@ def _hof_fold(vals, t, env):
     prog = env.get("\x00prog")
     if isinstance(coll, list):
         _check_hof_arity(fv, 2, "fold")
+        from miller_ray.functions import FatalError
+
         acc = init
         for e in coll:
             acc = _call_func(prog, fv, [acc, e], t, env)
+            if acc is None:
+                # hofs.go: fold callback must return a value
+                raise FatalError(
+                    "mlr: apply: second-argument function must return "
+                    "a value; got absent.")
         return acc
     if isinstance(coll, dict):
         _check_hof_arity(fv, 4, "fold")
@@ -1694,7 +1725,7 @@ def _hof_fold(vals, t, env):
             ak, av = _one_pair(
                 _call_func(prog, fv, [ak, av, k, v], t, env), "fold")
         return {ak: av}
-    raise DslError("fold: first argument is not a collection")
+    return "(error)"  # hofs.go: non-collection -> error value
 
 
 def _hof_reduce(vals, t, env):
@@ -1704,9 +1735,16 @@ def _hof_reduce(vals, t, env):
         _check_hof_arity(fv, 2, "reduce")
         if not coll:
             return None
+        from miller_ray.functions import FatalError
+
         acc = coll[0]
         for e in coll[1:]:
             acc = _call_func(prog, fv, [acc, e], t, env)
+            if acc is None:
+                # hofs.go: reduce callback must return a value
+                raise FatalError(
+                    "mlr: reduce: second-argument function must "
+                    "return a value; got absent.")
         return acc
     if isinstance(coll, dict):
         _check_hof_arity(fv, 4, "reduce")
@@ -1718,7 +1756,7 @@ def _hof_reduce(vals, t, env):
             ak, av = _one_pair(
                 _call_func(prog, fv, [ak, av, k, v], t, env), "reduce")
         return {ak: av}
-    raise DslError("reduce: first argument is not a collection")
+    return "(error)"  # hofs.go: non-collection -> error value
 
 
 def _hof_any(vals, t, env):
@@ -1732,7 +1770,7 @@ def _hof_any(vals, t, env):
         _check_hof_arity(fv, 2, "any")
         return any(_truthy(_call_func(prog, fv, [k, v], t, env))
                    for k, v in coll.items())
-    raise DslError("any: first argument is not a collection")
+    return "(error)"  # hofs.go: non-collection -> error value
 
 
 def _hof_every(vals, t, env):
@@ -1746,7 +1784,7 @@ def _hof_every(vals, t, env):
         _check_hof_arity(fv, 2, "every")
         return all(_truthy(_call_func(prog, fv, [k, v], t, env))
                    for k, v in coll.items())
-    raise DslError("every: first argument is not a collection")
+    return "(error)"  # hofs.go: non-collection -> error value
 
 
 def _natural_key(s: str):
@@ -1789,22 +1827,48 @@ def _sort_key(flags: str):
 
 
 def _hof_sort(vals, t, env):
+    from miller_ray.functions import FatalError
+
     coll = vals[0]
     prog = env.get("\x00prog")
+    if len(vals) > 2:
+        # hofs.go SortHOF arity (dsl-first-class-functions
+        # sort-errors-04/05)
+        raise FatalError("mlr: function sort takes maximum argument "
+                         f"count 2; got {len(vals)}")
     arg2 = vals[1] if len(vals) > 1 else ""
+    if not isinstance(arg2, str) and not _is_funcval(arg2) and \
+            len(vals) > 1:
+        raise FatalError("mlr: sort: second argument must be a string "
+                         "or a function")
+
+    def _cmp_num(r):
+        # comparator must return a NUMBER (sort-errors-10/11/12)
+        if isinstance(r, (int, float)) and not isinstance(r, bool):
+            return int(r)
+        shown = "(absent)" if r is None else r
+        raise FatalError("mlr: sort: comparator function returned "
+                         f'non-number "{shown}".')
+
     if _is_funcval(arg2):
         fv = arg2
         if isinstance(coll, list):
+            # arity enforced even on empty collections (hofs.go;
+            # sort-errors-06)
+            _check_hof_arity(fv, 2, "sort")
+
             def cmp_a(a, b):
-                return int(_call_func(prog, fv, [a, b], t, env) or 0)
+                return _cmp_num(_call_func(prog, fv, [a, b], t, env))
             return sorted(coll, key=functools.cmp_to_key(cmp_a))
         if isinstance(coll, dict):
+            _check_hof_arity(fv, 4, "sort")
+
             def cmp_m(pa_, pb):
-                return int(_call_func(
-                    prog, fv, [pa_[0], pa_[1], pb[0], pb[1]], t, env) or 0)
+                return _cmp_num(_call_func(
+                    prog, fv, [pa_[0], pa_[1], pb[0], pb[1]], t, env))
             return dict(sorted(coll.items(),
                                key=functools.cmp_to_key(cmp_m)))
-        raise DslError("sort: first argument is not a collection")
+        return "(error)"  # hofs.go: non-collection -> error value
     flags = str(arg2 or "")
     key = _sort_key(flags)
     rev = "r" in flags
@@ -1816,7 +1880,7 @@ def _hof_sort(vals, t, env):
             coll.items(),
             key=(lambda kv: key(kv[1])) if byval else (lambda kv: key(kv[0])),
             reverse=rev))
-    raise DslError("sort: first argument is not a collection")
+    return "(error)"  # hofs.go: non-collection -> error value
 
 
 _HOFS = {

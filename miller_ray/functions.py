@@ -1546,7 +1546,9 @@ def _mapsum(*maps):
 
 @bif("mapdiff")
 def _mapdiff(*maps):
-    if not maps or not isinstance(maps[0], dict):
+    if not maps:
+        return {}  # mapdiff() with no args is the empty map (bifs/collections.go)
+    if not isinstance(maps[0], dict):
         raise TypeError("mapdiff expects maps")
     out = dict(maps[0])
     for m in maps[1:]:
