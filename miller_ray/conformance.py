@@ -738,39 +738,30 @@ def parse_markdown_out(text: str, implicit_header: bool = False) -> list[dict]:
 
 
 def parse_yaml_out(text: str) -> list[dict]:
+    """Parse a Miller yaml OUTPUT file back to records: either the
+    default top-level-array form (one `- k: v` item per record) or the
+    --no-yarray `---`-separated document stream; nested maps/arrays
+    come through as Python collections (record_writer_yaml.go)."""
+    import yaml as _yaml
+
     recs: list[dict] = []
-    cur: dict | None = None
-    for line in text.splitlines():
-        s = line.strip()
-        if not s:
+    for doc in _yaml.safe_load_all(text):
+        if doc is None:
             continue
-        if s == "---":
-            if cur:
-                recs.append(cur)
-            cur = None
-            continue
-        if s.startswith("- ") and ":" in s:
-            if cur:
-                recs.append(cur)
-            cur = {}
-            s = s[2:]
-        if ":" not in s:
-            raise Unsupported("nested yaml output")
-        if s.endswith(":"):
-            raise Unsupported("nested yaml output")
-        k, _, v = s.partition(":")
-        k = k.strip()
-        v = v.strip()
-        if v.startswith('"') and v.endswith('"') and len(v) >= 2:
-            v = v[1:-1]
-        if k.startswith('"') and k.endswith('"') and len(k) >= 2:
-            k = k[1:-1]  # the yaml writer quotes ambiguous keys ("y")
-        if cur is None:
-            cur = {}
-        cur[k] = v
-    if cur:
-        recs.append(cur)
-    return recs
+        if isinstance(doc, list):
+            recs.extend(d for d in doc if isinstance(d, dict))
+        elif isinstance(doc, dict):
+            recs.append(doc)
+    # values compare as strings like every other reader
+    def _str(v):
+        if isinstance(v, dict):
+            return {k: _str(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_str(x) for x in v]
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return v if isinstance(v, (int, float)) or v is None else str(v)
+    return [{str(k): _str(v) for k, v in r.items()} for r in recs]
 
 
 def _unbar_pprint(text: str) -> str:
@@ -1061,7 +1052,11 @@ _FMT_FLAGS: dict = {"--jvstack": (None, None), "--no-jvstack": (None, None),
                     # _decompress_input keys off the file extension; the
                     # flag itself needs no state
                     "--gzin": (None, None), "--bz2in": (None, None),
-                    "--zin": (None, None), "--zstdin": (None, None)}
+                    "--zin": (None, None), "--zstdin": (None, None),
+                    # yaml writer layout (list-of-records vs ---docs):
+                    # invisible to the record-level compare
+                    "--no-yarray": (None, None),
+                    "--yarray": (None, None)}
 for _f in _FORMATS:
     _FMT_FLAGS[f"--{_f}"] = ("iofmt", _f)
     _FMT_FLAGS[f"--i{_f}"] = ("ifmt", _f)
@@ -1798,41 +1793,32 @@ def _preprocess_input(p: str, case: Case, comments_out: list[str]) -> str:
 
 
 def read_yaml_in(path: str) -> list[dict]:
-    """Minimal YAML record reader: a stream of flat mappings separated
-    by ``---`` or given as a ``- k: v`` list (record_reader_yaml)."""
+    """YAML record reader (record_reader_yaml.go): a stream of mappings
+    separated by ``---`` or a top-level ``- k: v`` list; nested
+    maps/arrays come through as Python collections; yaml nulls are
+    ABSENT-valued fields."""
+    import yaml as _yaml
+
     recs: list[dict] = []
-    cur: dict | None = None
-    for raw in open(path):
-        line = raw.rstrip("\n")
-        s = line.strip()
-        if not s or s.startswith("#"):
-            continue
-        if s == "---":
-            if cur:
-                recs.append(cur)
-            cur = None
-            continue
-        if s.startswith("- "):
-            if cur:
-                recs.append(cur)
-            cur = {}
-            s = s[2:]
-        if ":" not in s:
-            raise Unsupported("yaml input shape")
-        k, _, v = s.partition(":")
-        k = k.strip()
-        if k.startswith('"') and k.endswith('"') and len(k) >= 2:
-            k = k[1:-1]
-        v = v.strip()
-        if cur is None:
-            cur = {}
-        if v.startswith('"') and v.endswith('"') and len(v) >= 2:
-            cur[k] = v[1:-1]
-        else:
-            cur[k] = _infer(v)
-    if cur:
-        recs.append(cur)
-    return recs
+    with open(path) as fh:
+        for doc in _yaml.safe_load_all(fh.read()):
+            if doc is None:
+                continue
+            if isinstance(doc, list):
+                recs.extend(d for d in doc if isinstance(d, dict))
+            elif isinstance(doc, dict):
+                recs.append(doc)
+            else:
+                raise Unsupported("yaml input shape")
+    def _norm_v(v):
+        if isinstance(v, dict):
+            return {str(k): _norm_v(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_norm_v(x) for x in v]
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return v
+    return [{str(k): _norm_v(v) for k, v in r.items()} for r in recs]
 
 
 def _ds(df: pd.DataFrame):
@@ -4543,6 +4529,119 @@ def _write_dsl_sinks(sinks: dict, ofmt: str, flatsep: str = ".") -> None:
             _render_sink_items(sinks["stderr"], ofmt, flatsep))
 
 
+def _dsl_unassigned_warnings(src: str) -> list[str]:
+    """Token-level read-before-assignment scan for `put -W`
+    (cst/warnings.go): locals read before any assignment warn;
+    func/subr bodies are fresh scopes seeing only their parameters
+    (dsl-warnings 0015/0018/0020/0022-0025)."""
+    from miller_ray import dsl as DSL
+    from miller_ray.functions import REGISTRY as _REG
+
+    try:
+        toks = DSL._lex(src)
+    except Exception:
+        return []
+    KW = {"begin", "end", "if", "elif", "else", "for", "while", "do",
+          "in", "func", "subr", "call", "return", "unset", "filter",
+          "print", "printn", "eprint", "eprintn", "dump", "edump",
+          "tee", "emit", "emitp", "emitf", "true", "false", "all",
+          "var", "str", "num", "int", "float", "bool", "map", "arr",
+          "funct", "M_PI", "M_E", "NR", "FNR", "NF", "FILENAME",
+          "FILENUM", "ENV", "IPS", "IFS", "IRS", "OPS", "OFS", "ORS",
+          "FLATSEP"}
+    warns: list[str] = []
+    scopes: list[set] = [set()]
+    # stack of brace depths at which a func/subr scope closes
+    fn_depths: list[int] = []
+    depth = 0
+    i = 0
+    n = len(toks)
+    while i < n:
+        k, v2 = toks[i]
+        if k == "op" and v2 == "{":
+            depth += 1
+        elif k == "op" and v2 == "}":
+            depth -= 1
+            if fn_depths and depth < fn_depths[-1]:
+                fn_depths.pop()
+                scopes.pop()
+        elif k == "ident" and v2 in ("func", "subr"):
+            # params form the new scope
+            params: set = set()
+            j = i + 1
+            if j < n and toks[j][0] == "ident":
+                j += 1
+            if j < n and toks[j] == ("op", "("):
+                j += 1
+                while j < n and toks[j] != ("op", ")"):
+                    if toks[j][0] == "ident" and \
+                            toks[j][1] not in ("var", "str", "num",
+                                               "int", "float", "bool",
+                                               "map", "arr", "funct"):
+                        params.add(toks[j][1])
+                    j += 1
+            scopes.append(params)
+            fn_depths.append(depth + 1)
+            # skip to the opening brace of the body
+            while i < n and toks[i] != ("op", "{"):
+                i += 1
+            continue
+        elif k == "ident" and v2 == "for":
+            # bind-form loop variables are assigned
+            j = i + 1
+            if j < n and toks[j] == ("op", "("):
+                d2 = 1
+                j += 1
+                while j < n and d2 > 0:
+                    if toks[j][1] in ("(", "[", "{"):
+                        d2 += 1
+                    elif toks[j][1] in (")", "]", "}"):
+                        d2 -= 1
+                    elif d2 >= 1 and toks[j] == ("ident", "in"):
+                        break
+                    elif toks[j][0] == "ident" and d2 >= 1 and \
+                            toks[j][1] not in ("var", "str", "num",
+                                               "int", "float", "bool",
+                                               "map", "arr"):
+                        scopes[-1].add(toks[j][1])
+                    j += 1
+        elif k == "ident" and v2 == "call":
+            i += 2  # skip the subroutine name
+            continue
+        elif k == "ident" and v2 not in KW:
+            nxt = toks[i + 1] if i + 1 < n else ("", "")
+            if nxt == ("op", "("):
+                i += 1  # function call name
+                continue
+            # assignment target? scan past [..] and .ident chains
+            j = i + 1
+            d2 = 0
+            while j < n:
+                kj, vj = toks[j]
+                if vj == "[":
+                    d2 += 1
+                elif vj == "]":
+                    d2 -= 1
+                elif d2 == 0:
+                    if kj == "op" and vj == "." and j + 1 < n and \
+                            toks[j + 1][0] == "ident":
+                        j += 1
+                    else:
+                        break
+                j += 1
+            is_assign = j < n and toks[j][0] == "op" and \
+                toks[j][1] in DSL._ASSIGN_OPS
+            if is_assign:
+                scopes[-1].add(v2)
+            elif v2 not in scopes[-1] and v2 not in _REG and \
+                    v2 not in DSL._HOFS:
+                warns.append(f"Variable name {v2} might not have "
+                             "been assigned yet.")
+        i += 1
+    return warns
+
+
+
 def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                      ofmt: str = "dkvp", flatsep: str = ".",
                      force_seq: bool = False,
@@ -4645,6 +4744,20 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         if len(exprs) != 1:
             raise Unsupported(f"{v} arg shape")
         src = exprs[0]
+    if "-W" in flags:
+        # -W: static-analysis warnings become fatal (put_or_filter.go
+        # -W; dsl-warnings should-fail cases). Token-level
+        # read-before-assign scan; func/subr bodies see only their
+        # own params (cst/warnings.go VariableNamesAreDefined).
+        warns = _dsl_unassigned_warnings(src)
+        if warns:
+            from miller_ray.functions import FatalError
+
+            err5 = FatalError("mlr: " + "; ".join(warns))
+            # the reference prints this line to STDOUT before exit 1
+            msg5 = "mlr: Exiting due to warnings treated as fatal."
+            err5.partial = ([], [msg5], [("text", msg5)])
+            raise err5
     try:
         prog = DSL.compile_program(src)
     except DSL.DslError as e:
@@ -4830,9 +4943,9 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
             return RawText("\n".join(texts)), True
         recs = [{k: v2 for k, v2 in r.items()
                  if not str(k).startswith("__")} for r in recs]
-        if ofmt != "json":
-            # non-JSON output auto-flattens collection-valued fields
-            # with "." (mlr auto-flatten; record_writer non-JSON path)
+        if ofmt not in ("json", "jsonl", "yaml"):
+            # non-structural output auto-flattens collection-valued
+            # fields with "." (mlr auto-flatten; yaml holds nesting)
             flat = []
             for r in recs:
                 fr: dict = {}
@@ -4886,16 +4999,17 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
             out_t = apply_mask(out_t, pred)
         else:
             out_t = apply_mask(out_t, mask)
-    except DSL.DslError as e:
-        raise Unsupported(f"dsl run: {e}")
     except Unsupported:
         raise
     except Exception:
         # the vectorized Arrow path cannot express per-VALUE type
         # outcomes (e.g. int($1, 8) yielding int for some rows and
-        # "(error)" for others, then arithmetic on the mix); the
+        # "(error)" for others, then arithmetic on the mix) or
+        # collection-of-columns constructs ([$a,$b][1]); the
         # record-dict interpreter can — retry there
-        # (dsl-int-function/0004)
+        # (dsl-int-function/0004, dsl-array-map-indexing/0014).
+        # A genuine DSL error re-raises in the sequential pass and is
+        # itemized there.
         return _exec_put_filter(v, orig_args, df, ofmt=ofmt,
                                 flatsep=flatsep, force_seq=True,
                                 loads=loads)
@@ -5436,6 +5550,13 @@ def _norm_coll(v):
     if isinstance(v, (list, np.ndarray)):
         # ndarray: an Arrow list column round-tripped through pandas
         return [_norm_coll(x) for x in v]
+    if isinstance(v, float) and not math.isnan(v) and REGTEST_OFMT[0]:
+        # render through the regtest MLR_OFMT first, as Miller does for
+        # floats inside collections, so a value sitting on a 5-sig-fig
+        # normalization boundary lands in the same cell as the expout's
+        # %.8f-rounded text (dsl-indexing/0002: 0.1149449987 vs
+        # 0.11494500)
+        v = float(REGTEST_OFMT[0] % v)
     return _norm(v)
 
 
@@ -6473,13 +6594,14 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
                 r = {k: r[k] for k in hdr0}
             fixed.append(r)
         our_recs = fixed
-    if case.ofmt == "json" and case.ifmt != "json" and any(
+    if case.ofmt in ("json", "jsonl", "yaml") and \
+            case.ifmt not in ("json", "jsonl", "yaml") and any(
             (case.flatsep or ".") in str(k) for r in our_recs for k in r):
         # JSON output auto-unflattens dotted field names into nested
         # collections (mlr auto-unflatten, record_writer_json)
         our_recs = [_auto_unflatten(r, sep=case.flatsep or ".")
                     for r in our_recs]
-    if case.ofmt not in ("json", "dcf") and any(
+    if case.ofmt not in ("json", "jsonl", "yaml", "dcf") and any(
             isinstance(x, (dict, list)) for r in our_recs
             for x in r.values()):
         # non-JSON writers auto-flatten collection values with FLATSEP

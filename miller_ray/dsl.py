@@ -62,6 +62,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<int>0[xX][0-9a-fA-F]+|0[bB][01]+|\d+)
   | (?P<bytesstr>b"(\\.|[^"\\])*")
   | (?P<string>"(\\.|[^"\\])*"i?)
+  | (?P<panic>%%%panic%%%)
   | (?P<posfield>\$\[\[\[|\$\[\[|\$\[)
   | (?P<field>\$(\{[^}]*\}|[A-Za-z0-9_]+|\*))
   | (?P<oosvar>@(\{[^}]*\}|[A-Za-z0-9_]+|\*)?)
@@ -620,6 +621,33 @@ def _index_value(container, key):
     return None
 
 
+def _positional_name(c, n: int):
+    """[[n]]: the name at slot n — maps: nth key; arrays: the
+    normalized 1-based index itself (dsl-array-map-indexing/0018-0021);
+    out of range -> absent."""
+    if isinstance(c, dict):
+        names = list(c.keys())
+        i = n - 1 if n > 0 else len(names) + n
+        return names[i] if 0 <= i < len(names) else None
+    if isinstance(c, list):
+        i = n if n > 0 else len(c) + n + 1
+        return i if 1 <= i <= len(c) else None
+    return None
+
+
+def _positional_value(c, n: int):
+    """[[[n]]]: the value at slot n (maps: nth value; arrays: aliased
+    1-based element); out of range -> absent."""
+    if isinstance(c, dict):
+        vals = list(c.values())
+        i = n - 1 if n > 0 else len(vals) + n
+        return vals[i] if 0 <= i < len(vals) else None
+    if isinstance(c, list):
+        i = n - 1 if n > 0 else len(c) + n
+        return c[i] if 0 <= i < len(c) else None
+    return None
+
+
 def _scalarize(v):
     """Fold a length-1 array / pa scalar to a Python value (sequential
     interpreter mode operates on 1-row slices)."""
@@ -689,10 +717,13 @@ class _Parser:
             b = self.ternary()
 
             def f(t, env, cond=cond, a=a, b=b):
-                c, x, y = cond(t, env), a(t, env), b(t, env)
-                x, y = _unify_types(x, y)
+                c = cond(t, env)
                 if not _is_arr(c):
-                    return x if c else y
+                    # scalar condition short-circuits: only the taken
+                    # branch is EVALUATED (cst ternary;
+                    # dsl-short-circuit/0019-0020)
+                    return a(t, env) if c else b(t, env)
+                x, y = _unify_types(a(t, env), b(t, env))
                 return pc.if_else(c, x, y)
             return f
         return cond
@@ -1010,8 +1041,24 @@ class _Parser:
                 c = base(t, env)
                 k2 = _unscalar(idx(t, env))
                 if isinstance(c, (dict, list)) or c is None:
-                    if isinstance(k2, list):  # array index = key path
-                        for kk in k2:
+                    if isinstance(k2, list):
+                        # single-int array index = POSITIONAL NAME
+                        # (m[[2]] -> 2nd key; arr[[2]] -> normalized
+                        # index); nested [[n]] = POSITIONAL VALUE
+                        # (mlrval_collections.go positional access;
+                        # dsl-array-map-indexing/0008)
+                        if len(k2) == 1 and isinstance(k2[0], list):
+                            inner = k2[0]
+                            if len(inner) == 1 and \
+                                    isinstance(inner[0], (int, np.integer)) \
+                                    and not isinstance(inner[0], bool):
+                                return _positional_value(c, int(inner[0]))
+                            return None
+                        if len(k2) == 1 and \
+                                isinstance(k2[0], (int, np.integer)) and \
+                                not isinstance(k2[0], bool):
+                            return _positional_name(c, int(k2[0]))
+                        for kk in k2:  # array index = key path
                             c = _index_value(c, kk)
                             if c is None:
                                 return None
@@ -1022,6 +1069,22 @@ class _Parser:
                         raise DslError("list index must be an int")
                     i2 = int(k2) - 1 if k2 > 0 else int(k2)
                     return pc.list_element(c, i2)
+                if isinstance(c, str) and c == "(error)":
+                    return "(error)"  # error values propagate
+                if isinstance(c, str) and \
+                        isinstance(k2, (int, np.integer)) and \
+                        not isinstance(k2, bool):
+                    # strings index by 1-based character with negative
+                    # aliasing (dsl-string-array-indexing-slicing/0003)
+                    i2 = int(k2) - 1 if k2 > 0 else len(c) + int(k2)
+                    return c[i2] if 0 <= i2 < len(c) else "(error)"
+                if isinstance(c, (str, int, float, bool, bytes)):
+                    # any other non-collection index yields the mlr
+                    # ERROR value (dsl-array-map-indexing/0010:
+                    # $o[[1]]["x"] where $o[[1]] is a string key)
+                    return "(error)"
+                # Arrow value in the vectorized pass: raise so the
+                # caller retries in the sequential interpreter
                 raise DslError("[] index on a non-collection value")
             base = f
         return base
@@ -1229,6 +1292,7 @@ class _Parser:
             # $[[n]] = name of n-th field, $[[[n]]] = its value,
             # $[expr] = field named by expr (pkg/dsl/cst positional and
             # indirect field access); sequential interpreter only.
+            self.force_seq = True
             nclose = {"$[": 1, "$[[": 2, "$[[[": 3}[v]
             e = self.expr()
             for _ in range(nclose):
@@ -1252,6 +1316,15 @@ class _Parser:
                     return None
                 return names[i] if want == "name" else srec[names[i]]
             return fpos
+        if k == "panic":
+            # %%%panic%%% (mlr.bnf:96 PanicLiteral): a test-only token
+            # that aborts if EVALUATED — proves short-circuiting
+            self.force_seq = True
+
+            def fpanic(t, env):
+                raise DslError("%%%panic%%% was evaluated (short-"
+                               "circuit failure)")
+            return fpanic
         if v == "(":
             e = self.expr()
             self.expect(")")
@@ -1328,6 +1401,8 @@ class _Parser:
                 out.append((typ, v))
                 if self.peek() == ("op", ","):
                     self.next()
+                    if self.peek() == ("op", ")"):
+                        break  # trailing comma (dsl-trailing-commas)
                     continue
                 break
         self.expect(")")
@@ -1340,6 +1415,8 @@ class _Parser:
             args.append(self.expr())
             while self.peek() == ("op", ","):
                 self.next()
+                if self.peek() == ("op", ")"):
+                    break  # trailing comma (dsl-trailing-commas)
                 args.append(self.expr())
         self.expect(")")
         if name == "next" and not args:
@@ -2270,6 +2347,20 @@ def _exec_impl(self, stmts, t, env, mask, state):
             srec.clear()
             for kk, vv in val.items():
                 srec[_fmt_key(kk)] = _copyval(vv)
+        elif kind == "srecidx_assign":
+            idx_exprs, expr = rest
+            if srec is None:
+                raise DslError("indexed $* assignment requires the "
+                               "sequential interpreter")
+            val = expr(t, env)
+            if not isinstance(val, (dict, list, tuple)):
+                val = _scalarize(val)
+            keys = _splice_keys([_unseq_val(e(t, env))
+                                 for e in idx_exprs])
+            # record keys are strings; _assign_path on srec directly
+            keys = [_fmt_key(k3) if not isinstance(k3, list) else k3
+                    for k3 in keys]
+            _assign_path(srec, keys, "=", val)
         elif kind == "oall_assign":
             (expr,) = rest
             seq = env.get("\x00seq")
@@ -2537,11 +2628,20 @@ def _unseq_val(v):
 
 def _splice_keys(keys: list) -> list:
     """An array-valued index splices its elements into the key path
-    (mlrval PutIndexed with array-of-indices; golden dsl-multi-index)."""
+    (mlrval PutIndexed with array-of-indices; golden dsl-multi-index).
+    A NESTED array inside an index is a hard error
+    (mlrval_collections.go PutIndexed; dsl-array-map-indexing/0007)."""
+    from miller_ray.functions import FatalError
+
     out = []
     for k in keys:
         if isinstance(k, list):
-            out.extend(k)
+            for e in k:
+                if isinstance(e, list):
+                    raise FatalError(
+                        "mlr: record/map indices must be string, int, "
+                        "or array thereof; got array")
+                out.append(e)
         else:
             out.append(k)
     return out
@@ -2592,6 +2692,10 @@ def _del_elem(node, key):
 
 
 def _unset_path(root, keys: list):
+    # array-valued indices splice into the key path — so
+    # `unset @m[[1]]` is @m[1], a NO-OP on string-keyed maps
+    # (dsl-array-map-indexing/0035-0036 goldens: nothing removed)
+    keys = _splice_keys(keys)
     node = root
     for kk in keys[:-1]:
         node = _index_value(node, kk)
@@ -2627,6 +2731,24 @@ def _exec_unset(tg, t, env, srec):
             _unset_path(seq["oos"], keys)
         else:
             seq["oos"].clear()
+        return
+    if kind == "posfield":
+        if srec is None:
+            raise DslError("positional unset requires the sequential "
+                           "interpreter")
+        v2, e2 = tg[1], tg[2]
+        key = _scalarize(e2(t, env))
+        if v2 == "$[":
+            if key is not None:
+                srec.pop(_fmt_key(key), None)
+            return
+        if not isinstance(key, (int, np.integer)) or \
+                isinstance(key, bool):
+            raise DslError("positional field index must be an int")
+        names2 = list(srec.keys())
+        i2 = int(key) - 1 if int(key) > 0 else len(names2) + int(key)
+        if 0 <= i2 < len(names2):
+            srec.pop(names2[i2], None)
         return
     _k, name, idx_exprs = tg
     keys = [_scalarize(e(t, env)) for e in idx_exprs]
@@ -3505,7 +3627,10 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
             # func name(params) [: rettype] { body } (pkg/dsl/cst/udf.go)
             p.next()
             _, fname = p.next()
-            if fname in REGISTRY or fname in _HOFS:
+            if v == "func" and (fname in REGISTRY or fname in _HOFS):
+                # SUBROUTINES live in their own namespace and may
+                # shadow builtin function names (udf.go: subr log
+                # is legal; dsl-user-defined-functions/0009)
                 raise DslError(f"cannot redefine builtin {fname!r}")
             params = p.params()
             if p.peek() == ("op", ":"):
@@ -3517,6 +3642,17 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
             if top is None:
                 raise DslError(f"{v} definitions must be top-level")
             ns = "subrs" if v == "subr" else "funcs"
+            if fname in top.get(ns, {}):
+                # duplicate definition is fatal (udf.go
+                # "function/subroutine named X has already been
+                # defined"; dsl-user-defined-functions 0027-0029)
+                from miller_ray.functions import FatalError
+
+                kind2 = "subroutine" if v == "subr" else "function"
+                raise FatalError(
+                    f"mlr: {kind2} named \"{fname}\" has already "
+                    "been defined.")
+            _check_return_shape(body, v)
             top.setdefault(ns, {})[fname] = \
                 ("\x00funcval", params, body)
         elif k == "ident" and v == "call":
@@ -3620,6 +3756,16 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
                     # `unset all` clears every @oosvar
                     # (pkg/dsl/cst unset-all)
                     targets.append(("oos_all",))
+                elif fk == "posfield":
+                    # unset $[[n]] / $[[[n]]] (drop the n-th field) and
+                    # unset $[expr] (drop the field NAMED by expr)
+                    # (pkg/dsl/cst/statements/unset.go positional)
+                    nclose2 = {"$[": 1, "$[[": 2, "$[[[": 3}[fv]
+                    e2 = p.expr()
+                    for _ in range(nclose2):
+                        p.expect("]")
+                    p.force_seq = True
+                    targets.append(("posfield", fv, e2))
                 elif fk == "ident":
                     while p.peek() == ("op", "["):
                         p.next()
@@ -3666,16 +3812,36 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
             _, ftok = p.next()
             fname = _field_name(ftok)
             fidx: list[Expr] = []
-            while p.peek() == ("op", "["):
-                p.next()
-                fidx.append(p.expr())
-                p.expect("]")
+            while True:
+                if p.peek() == ("op", "["):
+                    p.next()
+                    fidx.append(p.expr())
+                    p.expect("]")
+                elif p.peek() == ("op", ".") and \
+                        p.toks[p.i + 1: p.i + 2] and \
+                        p.toks[p.i + 1][0] == "ident":
+                    # dot-path lvalue: $*.foo.bar = ... == $*["foo"]["bar"]
+                    # (dsl-indexing/0018-0021; cst DotOperator lvalue)
+                    p.next()
+                    _, nm = p.next()
+                    fidx.append(lambda t, env, nm=nm: nm)
+                else:
+                    break
             _, op = p.next()
             rhs = p.expr()
             if fname == "*":
-                if fidx or op != "=":
+                if fidx:
+                    # $*[idx]... = value: indexed path into the whole
+                    # record; an array index splices into the key path
+                    # (dsl-array-map-indexing/0004/0005/0062-0068)
+                    if op != "=":
+                        raise DslError(
+                            "indexed $* assignment must be plain '='")
+                    stmts.append(("srecidx_assign", fidx, rhs))
+                elif op != "=":
                     raise DslError("$* assignment must be plain '='")
-                stmts.append(("srec_assign", rhs))
+                else:
+                    stmts.append(("srec_assign", rhs))
             elif fidx:
                 stmts.append(("fidxassign", fname, fidx, op, rhs))
             else:
@@ -3732,6 +3898,35 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
             need_sep = False
 
 
+def _check_return_shape(stmts, kind: str):
+    """Parse-time return validation (pkg/dsl/cst/udf.go): func bodies
+    must `return <value>`, subr bodies must use bare `return`
+    (dsl-user-defined-functions-and-subroutines 0004/0005)."""
+    from miller_ray.functions import FatalError
+
+    for st in stmts:
+        if not isinstance(st, tuple):
+            continue
+        if st[0] == "return":
+            if kind == "subr" and st[1] is not None:
+                raise FatalError("mlr: return statements in subr "
+                                 "blocks must not return a value")
+            if kind == "func" and st[1] is None:
+                raise FatalError("mlr: return statements in func "
+                                 "blocks must return a value")
+        else:
+            # recurse into nested statement lists (if/while/for bodies)
+            for part in st[1:]:
+                if isinstance(part, list) and part and \
+                        all(isinstance(x, tuple) for x in part):
+                    _check_return_shape(part, kind)
+                elif isinstance(part, list):
+                    for sub in part:
+                        if isinstance(sub, tuple) and len(sub) == 2 \
+                                and isinstance(sub[1], list):
+                            _check_return_shape(sub[1], kind)
+
+
 def _assign_ahead(p: "_Parser", i: int) -> bool:
     """True if the tokens from index i (just past a $field/@oosvar/local
     name) continue an assignment statement, possibly through [index]
@@ -3746,6 +3941,11 @@ def _assign_ahead(p: "_Parser", i: int) -> bool:
             if depth < 0:
                 return False
         elif depth == 0:
+            if k == "op" and v == "." and i + 1 < len(p.toks) and \
+                    p.toks[i + 1][0] == "ident":
+                # dot-path lvalue segment ($*.foo.bar = ...)
+                i += 2
+                continue
             return k == "op" and v in _ASSIGN_OPS
         i += 1
     return False
@@ -3862,6 +4062,17 @@ def _parse_for(p: "_Parser") -> tuple:
     p.next()
     coll = p.expr()
     p.expect(")")
+    allvars = keyvars + ([valvar] if valvar is not None else [])
+    seen_v: set = set()
+    for v3 in allvars:
+        if v3 in seen_v:
+            # for ((a,b), a in @*): duplicate loop variables are a
+            # parse-time fatal (cst/for.go; dsl-for-oosvar-loops)
+            from miller_ray.functions import FatalError
+
+            raise FatalError("mlr: redefinition of variable "
+                             f"{v3} in the same scope")
+        seen_v.add(v3)
     return ("for_bind", keyvars, valvar, coll, _parse_block(p))
 
 

@@ -247,7 +247,7 @@ def _sub(x, a, b):
     if not isinstance(x, (pa.Array, pa.ChunkedArray)):
         if x is None:
             return None
-        return re.sub(str(_raw_pat(a)), _go_repl(b), str(x), count=1)
+        return re.sub(str(_raw_pat(a)), _go_repl(b, _raw_pat(a)), str(x), count=1)
     return pc.replace_substring_regex(_s(x), pattern=_raw_pat(a),
                                       replacement=b, max_replacements=1)
 
@@ -257,15 +257,26 @@ def _gsub(x, a, b):
     if not isinstance(x, (pa.Array, pa.ChunkedArray)):
         if x is None:
             return None
-        return re.sub(str(_raw_pat(a)), _go_repl(b), str(x))
+        return re.sub(str(_raw_pat(a)), _go_repl(b, _raw_pat(a)), str(x))
     return pc.replace_substring_regex(_s(x), pattern=_raw_pat(a),
                                       replacement=b)
 
 
-def _go_repl(b) -> str:
+def _go_repl(b, pattern=None) -> str:
     # Miller replacement strings use \1..\9 backrefs; python re.sub
-    # uses the same syntax, just escape stray backslashes otherwise
-    return str(b)
+    # uses the same syntax. Backrefs beyond the pattern's group count
+    # substitute EMPTY in Go/RE2 (dsl-filter-pattern-action/0016)
+    # where python re raises — blank them out up front.
+    s = str(b)
+    if pattern is not None and "\\" in s:
+        try:
+            ngroups = re.compile(str(pattern)).groups
+        except re.error:
+            return s
+        s = re.sub(r"\\([1-9])",
+                   lambda m: m.group(0) if int(m.group(1)) <= ngroups
+                   else "", s)
+    return s
 
 
 bif("matches")(lambda x, p: pc.match_substring_regex(_s(x), _raw_pat(p)))
