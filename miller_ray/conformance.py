@@ -1201,11 +1201,59 @@ def _load_mlrrc_tokens(toks: list[str]) -> tuple[list[str], str | None]:
     return out, None
 
 
+def _py_repl(rep: str) -> str:
+    """python-re replacement form: \\N backrefs become \\g<N>, every
+    OTHER backslash is a literal character (Miller replacement strings
+    never use python-re escapes)."""
+    out9: list = []
+    i9 = 0
+    while i9 < len(rep):
+        if rep[i9] == "\\" and i9 + 1 < len(rep) and \
+                rep[i9 + 1].isdigit():
+            out9.append("\\g<" + rep[i9 + 1] + ">")
+            i9 += 2
+        elif rep[i9] == "\\":
+            out9.append("\\\\")
+            i9 += 1
+        else:
+            out9.append(rep[i9])
+            i9 += 1
+    return "".join(out9)
+
+
 def parse_cmd(cmd: str) -> Case:
+    stdin_file = None
+    m9 = re.match(r"^printf\s+'((?:[^'\\]|\\.)*)'\s*\|\s*(.*)$",
+                  cmd.strip())
+    if m9:
+        # `printf 'a=lorem\n' | mlr ...` (verb-sub-gsub-ssub
+        # non-windows): synthesize the stdin text with C-style
+        # escape expansion and feed it as an input file
+        import tempfile
+
+        def _unesc(mm):
+            c = mm.group(1)
+            if c == "n":
+                return "\n"
+            if c == "t":
+                return "\t"
+            if c == "\\":
+                return "\\"
+            if c.startswith("x"):
+                return chr(int(c[1:], 16))
+            return c
+        text9 = re.sub(r"\\(x[0-9a-fA-F]{2}|.)", _unesc, m9.group(1))
+        fd9, stdin_file = tempfile.mkstemp(prefix="mlr_stdin_",
+                                           suffix=".txt")
+        with os.fdopen(fd9, "w") as fh9:
+            fh9.write(text9)
+        cmd = m9.group(2)
     toks = shlex.split(cmd.strip())
     if toks[0] not in ("mlr", "${MLR}"):
         return Case("", [], [], unsupported=f"non-mlr cmd {toks[0]}")
     toks = toks[1:]
+    if stdin_file is not None:
+        toks.append(stdin_file)
     if os.environ.get("MLRRC") or "--profile" in toks or "-P" in toks:
         rc_toks, fatal = _load_mlrrc_tokens(toks)
         if fatal:
@@ -2670,7 +2718,7 @@ def execute(case: Case, df: pd.DataFrame):
                 elif pat_s.endswith("/"):
                     pat_s = pat_s[1:-1]
             rx = re.compile(pat_s, flags)
-            rep_py = re.sub(r"\\(\d)", r"\\g<\1>", rep)
+            rep_py = _py_repl(rep)
             count = 0 if _has(a, "-g") else 1
             # row-wise map semantics: colliding renamed keys overwrite
             # in the RECORD's OWN field order (Miller record = ordered
@@ -3639,10 +3687,24 @@ def execute(case: Case, df: pd.DataFrame):
 
     if v in ("sub", "gsub", "ssub"):
         fields = (_flagvals(a, "-f") or "").split(",") if _has(a, "-f") else None
-        pos = [x for x in a if not x.startswith("-")]
+        pos = [x for x in a if x == "-" or not x.startswith("-")]
         if len(pos) < 2:
             raise Unsupported("sub args")
         pat, rep = pos[-2], pos[-1]
+        # C-style escapes expand in replacements (and in ssub's
+        # LITERAL pattern): \t \n \xHH; \\ stays a single backslash
+        # (verb-sub-gsub-ssub non-windows escape cases)
+
+        def _cesc(s9: str) -> str:
+            return re.sub(
+                r"\\(x[0-9a-fA-F]{2}|[tnr\\])",
+                lambda mm: {"t": "\t", "n": "\n", "r": "\r",
+                            "\\": "\\"}.get(mm.group(1)) or
+                chr(int(mm.group(1)[1:], 16)), s9)
+
+        rep = _cesc(rep)
+        if v == "ssub":
+            pat = _cesc(pat)
         work = _drop_meta(df).copy()
         if _has(a, "-a"):
             targets = [c for c in work.columns]
@@ -3655,7 +3717,7 @@ def execute(case: Case, df: pd.DataFrame):
                        if any(p.search(str(c)) for p in pats)]
         else:
             targets = [c for c in (fields or []) if c in work.columns]
-        rep_py = re.sub(r"\\(\d)", r"\\g<\1>", rep)
+        rep_py = _py_repl(rep)
         for c in targets:
             def one(x):
                 if pd.isna(x) or not isinstance(x, str):
@@ -4995,8 +5057,16 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         if v == "filter":
             pred = bare if bare is not None else mask
             if pred is None:
-                raise Unsupported("filter without predicate")
-            out_t = apply_mask(out_t, pred)
+                if any(isinstance(st, tuple) and st and st[0] == "expr"
+                       for st in prog.statements):
+                    # the bare predicate evaluated ABSENT (e.g.
+                    # $nosuchfield > .3): absent is not true, so no
+                    # record passes (dsl-functional-tests/0012)
+                    out_t = out_t.slice(0, 0)
+                else:
+                    raise Unsupported("filter without predicate")
+            else:
+                out_t = apply_mask(out_t, pred)
         else:
             out_t = apply_mask(out_t, mask)
     except Unsupported:

@@ -752,7 +752,27 @@ class _Parser:
 
     def or_(self) -> Expr:
         left = self.and_()
-        while self.peek() == ("op", "||"):
+        while self.peek()[1] in ("||", "^^") and self.peek()[0] == "op":
+            if self.peek() == ("op", "^^"):
+                # logical XOR — same precedence level as ||
+                # (mlr.bnf Or-level; dsl-functional-tests 0046-0049)
+                self.next()
+                right2 = self.and_()
+
+                def fx(t, env, left=left, right=right2):
+                    a = _unscalar(left(t, env))
+                    b = _unscalar(right(t, env))
+                    if _is_arr(a) or _is_arr(b):
+                        return pc.xor(a, b)
+                    if isinstance(a, np.bool_):
+                        a = bool(a)
+                    if isinstance(b, np.bool_):
+                        b = bool(b)
+                    if isinstance(a, bool) and isinstance(b, bool):
+                        return a != b
+                    return "(error)"
+                left = fx
+                continue
             self.next()
             right = self.and_()
 
@@ -2430,7 +2450,11 @@ def _exec_impl(self, stmts, t, env, mask, state):
                 finally:
                     scs.pop()
         elif kind == "for_c":
-            init_stmts, cond, update_stmts, body = rest
+            init_stmts, condpack, update_stmts, body = rest
+            if isinstance(condpack, tuple):
+                cond_stmts, cond = condpack
+            else:  # legacy shape
+                cond_stmts, cond = [], condpack
             if "\x00seq" not in env:
                 raise DslError("for loops require the sequential "
                                "interpreter")
@@ -2439,7 +2463,12 @@ def _exec_impl(self, stmts, t, env, mask, state):
             try:
                 _exec_impl(self, init_stmts, t, env, None, state)
                 iters = 0
-                while cond is None or _truthy(cond(t, env)):
+                while True:
+                    if cond_stmts:
+                        _exec_impl(self, cond_stmts, t, env, None,
+                                   state)
+                    if cond is not None and not _truthy(cond(t, env)):
+                        break
                     iters += 1
                     if iters > 10_000_000:
                         raise DslError("for loop exceeded 1e7 iterations")
@@ -3707,11 +3736,26 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
                 _assign_ahead(p, p.i + 1):
             p.next()
             idx = []
-            while p.peek() == ("op", "["):
-                p.next()
-                idx.append(p.expr())
-                p.expect("]")
+            while True:
+                if p.peek() == ("op", "["):
+                    p.next()
+                    idx.append(p.expr())
+                    p.expect("]")
+                elif p.peek() == ("op", ".") and \
+                        p.toks[p.i + 1: p.i + 2] and \
+                        p.toks[p.i + 1][0] == "ident":
+                    # dot-path lvalue: m.foo = ... == m["foo"] = ...
+                    # (dsl-env/0009 ENV.FOO = "bar")
+                    p.next()
+                    _, nm = p.next()
+                    idx.append(lambda t, env, nm=nm: nm)
+                else:
+                    break
             _, op = p.next()
+            if v == "ENV" and len(idx) > 1:
+                from miller_ray.functions import FatalError
+
+                raise FatalError("mlr: ENV[...] cannot be indexed")
             if idx:
                 stmts.append(("lidxassign", v, idx, op, p.expr()))
             else:
@@ -4026,19 +4070,53 @@ def _parse_for(p: "_Parser") -> tuple:
             break
         i += 1
     if triple:
-        init = [_parse_one_simple(p)]
-        while p.peek() == ("op", ","):
-            p.next()
-            init.append(_parse_one_simple(p))
+        def _section():
+            # a (possibly EMPTY) comma-list of simple statements
+            # (for.go triple-for: `for (;;)` legal everywhere)
+            items: list = []
+            if p.peek() not in (("op", ";"), ("op", ")")):
+                items.append(_parse_one_simple(p))
+                while p.peek() == ("op", ","):
+                    p.next()
+                    items.append(_parse_one_simple(p))
+            return items
+
+        init = _section()
         p.expect(";")
-        cond = None if p.peek() == ("op", ";") else p.expr()
+        # middle section: leading statements then a final condition
+        # EXPR (`$o3 = 3, $o4 < 4`; dsl-triple-for-loops/0017); empty
+        # means loop-forever (needs break)
+        cond_stmts: list = []
+        cond = None
+        while p.peek() != ("op", ";"):
+            k5, _v5 = p.peek()
+            is_stmt = False
+            if k5 in ("ident", "field", "oosvar"):
+                j = p.i + 1
+                d5 = 0
+                while j < len(p.toks):
+                    kj, vj = p.toks[j]
+                    if vj == "[":
+                        d5 += 1
+                    elif vj == "]":
+                        d5 -= 1
+                    elif d5 == 0:
+                        is_stmt = kj == "op" and vj in _ASSIGN_OPS
+                        break
+                    j += 1
+            if is_stmt:
+                cond_stmts.append(_parse_one_simple(p))
+                if p.peek() == ("op", ","):
+                    p.next()
+                    continue
+                break
+            cond = p.expr()
+            break
         p.expect(";")
-        update = [_parse_one_simple(p)]
-        while p.peek() == ("op", ","):
-            p.next()
-            update.append(_parse_one_simple(p))
+        update = _section()
         p.expect(")")
-        return ("for_c", init, cond, update, _parse_block(p))
+        return ("for_c", init, (cond_stmts, cond), update,
+                _parse_block(p))
     keyvars: list[str] = []
     valvar = None
     if p.peek() == ("op", "("):
