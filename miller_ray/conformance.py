@@ -1073,6 +1073,19 @@ for _a, _af in _KEYSTROKE_LETTER.items():
     for _b, _bf in _KEYSTROKE_LETTER.items():
         _FMT_FLAGS[f"--{_a}2{_b}"] = ("pair", (_af, _bf))
     _FMT_FLAGS[f"--{_a}2b"] = ("pairb", (_af, "pprint"))
+# jsonl in the keystroke table spells "l" only in 2-letter savers
+_KEYSTROKE_LETTER2 = dict(_KEYSTROKE_LETTER, l="jsonl")
+for _a, _af in _KEYSTROKE_LETTER2.items():
+    for _b, _bf in _KEYSTROKE_LETTER2.items():
+        _FMT_FLAGS.setdefault(f"--{_a}2{_b}", ("pair", (_af, _bf)))
+# single-letter io savers: -c/--c2c, -t/--t2t, -j/--j2j
+# (option_parse.go:1333,1356,1448)
+_FMT_FLAGS["-c"] = ("iofmt", "csv")
+_FMT_FLAGS["-t"] = ("iofmt", "tsv")
+_FMT_FLAGS["-j"] = ("iofmt", "json")
+# --jvquoteall: JSON writer quotes every value — invisible to the
+# string-normalized record compare (option_parse.go:557)
+_FMT_FLAGS["--jvquoteall"] = (None, None)
 
 # separator aliases (cli/separators.go SEPARATOR_NAMES_TO_VALUES)
 _IFS_NAMES = {"comma": ",", "semicolon": ";", "pipe": "|", "space": " ",
@@ -1133,6 +1146,8 @@ class Case:
     fatal: str | None = None  # CLI-level fatal error (mlrrc parse etc.)
     fixed_width: str | None = None  # --fw/--fixed spec (pprint reader)
     headerless_out: bool = False  # -N / --headerless-csv-output
+    no_auto_unflatten: bool = False  # --no-auto-unflatten
+    no_auto_flatten: bool = False  # --no-auto-flatten
 
 
 def _load_mlrrc_tokens(toks: list[str]) -> tuple[list[str], str | None]:
@@ -1271,6 +1286,7 @@ def parse_cmd(cmd: str) -> Case:
     fixed_width = None
     headerless_out = False
     barred = ragged = implicit_header = no_dedupe = False
+    no_auto_unflatten = no_auto_flatten = False
     repifs = in_place = False
     gen: dict | None = None
     seps: dict[str, str | None] = {k: None for k in
@@ -1383,13 +1399,6 @@ def parse_cmd(cmd: str) -> Case:
             i += 1
             continue
         if t in ("--headerless-csv-output", "--ho"):
-            # supported only alongside implicit INPUT (-N): with named
-            # input keys the positional re-keying needs per-record key
-            # order, which the union frame cannot represent faithfully
-            if not implicit_header:
-                return Case("", [], [],
-                            unsupported="--headerless-csv-output "
-                                        "without implicit input")
             headerless_out = True
             i += 1
             continue
@@ -1468,6 +1477,13 @@ def parse_cmd(cmd: str) -> Case:
             continue
         if t == "--no-dedupe-field-names":
             no_dedupe = True
+            i += 1
+            continue
+        if t in ("--no-auto-unflatten", "--no-auto-flatten"):
+            if t == "--no-auto-unflatten":
+                no_auto_unflatten = True
+            else:
+                no_auto_flatten = True
             i += 1
             continue
         if t == "--nr-progress-mod":
@@ -1626,7 +1642,9 @@ def parse_cmd(cmd: str) -> Case:
                 infer_mode=infer_mode, loads=loads, no_dedupe=no_dedupe,
                 repifs=repifs, gen=gen, in_place=in_place,
                 stdin_redirect=stdin_redirect, fixed_width=fixed_width,
-                headerless_out=headerless_out)
+                headerless_out=headerless_out,
+                no_auto_unflatten=no_auto_unflatten,
+                no_auto_flatten=no_auto_flatten)
 
 
 # ---------------------------------------------------------------------------
@@ -2599,27 +2617,44 @@ def execute(case: Case, df: pd.DataFrame):
         return merged, False
 
     if v == "sort":
-        keys, desc, lexical = [], [], []
+        keys, desc, modes = [], [], []
         j = 0
         while j < len(a):
             fl = a[j]
-            if fl in ("-f", "-r", "-nf", "-nr"):
+            if fl in ("-f", "-r", "-nf", "-nr", "-t", "-tr", "-rt",
+                      "-tf", "-c", "-cr"):
+                mode = ("num" if fl in ("-nf", "-nr") else
+                        "nat" if "t" in fl else
+                        "fold" if "c" in fl else "lex")
                 for k in a[j + 1].split(","):
                     keys.append(k)
-                    desc.append(fl in ("-r", "-nr"))
-                    lexical.append(fl in ("-f", "-r"))
+                    desc.append("r" in fl)
+                    modes.append(mode)
                 j += 2
             else:
                 raise Unsupported(f"sort flag {fl}")
         work = df.copy()
+
+        def _natkey9(s9):
+            return tuple((0, int(p9)) if p9.isdigit() else (1, p9)
+                         for p9 in re.findall(r"\d+|\D+", s9))
+
         sort_cols = []
-        for k, lex in zip(keys, lexical):
+        for k, mode in zip(keys, modes):
             if k not in work.columns:
                 work[k] = np.nan
             col = f"__s_{k}"
-            if lex:
+            if mode == "lex":
                 work[col] = work[k].map(
                     lambda v: np.nan if pd.isna(v) else str(v))
+            elif mode == "fold":
+                work[col] = work[k].map(
+                    lambda v: np.nan if pd.isna(v) else str(v).casefold())
+            elif mode == "nat":
+                # -t natural sort (sort.go natural mode; verb-sort
+                # 0024-0026): digit runs compare numerically
+                work[col] = work[k].map(
+                    lambda v: np.nan if pd.isna(v) else _natkey9(str(v)))
             else:
                 work[col] = pd.to_numeric(work[k], errors="coerce")
             sort_cols.append(col)
@@ -2655,11 +2690,44 @@ def execute(case: Case, df: pd.DataFrame):
 
     if v == "head" or v == "tail":
         nraw = _flagvals(a, "-n", "10")
-        if nraw.startswith("+") or nraw.startswith("-"):
-            raise Unsupported(f"{v} -n {nraw}")
-        n = int(nraw)
         g = _flagvals(a, "-g")
-        picker = (lambda d: d.head(n)) if v == "head" else (lambda d: d.tail(n))
+        # GNU-style signed counts (head.go/tail.go): `tail -n +K` =
+        # from the K-th record on; `head -n -K` = all but the last K;
+        # `tail -n -K` = last K; `head -n +K` = first K
+        if nraw.startswith("+"):
+            k9 = int(nraw[1:])
+            if v == "tail":
+                picker = (lambda d: d.iloc[max(0, k9 - 1):])
+            else:
+                picker = (lambda d: d.head(k9))
+        elif nraw.startswith("-"):
+            k9 = int(nraw[1:])
+            if v == "head" and g:
+                # grouped all-but-last-K: record i of a group emits
+                # when its (i+K)-th group-mate ARRIVES, so output
+                # order follows the trigger positions (verb-head/0005)
+                gb9 = g.split(",")
+                work9 = df.sort_values("__row__")
+                outp: list = []
+                for _key9, grp9 in work9.dropna(subset=gb9).groupby(
+                        gb9, sort=False):
+                    rows9 = grp9.to_dict("records")
+                    for i9 in range(len(rows9) - k9):
+                        outp.append((rows9[i9 + k9]["__row__"],
+                                     rows9[i9]))
+                outp.sort(key=lambda x9: x9[0])
+                out9 = pd.DataFrame([r9 for _p9, r9 in outp])
+                return out9.drop(columns=["__row__", "__file__",
+                                          "__filenum__"],
+                                 errors="ignore"), True
+            if v == "head":
+                picker = (lambda d: d.iloc[:max(0, len(d) - k9)])
+            else:
+                picker = (lambda d: d.tail(k9))
+        else:
+            n = int(nraw)
+            picker = (lambda d: d.head(n)) if v == "head" \
+                else (lambda d: d.tail(n))
         work = df.sort_values("__row__")
         if g:
             gb = g.split(",")
@@ -4002,6 +4070,39 @@ def execute(case: Case, df: pd.DataFrame):
                          for k, x in r.items()}
             out_rows.append(r)
         return pd.DataFrame({"__rows__": out_rows}).pipe(_rows_frame), True
+
+    if v == "clean-whitespace":
+        # clean_whitespace.go: collapse internal whitespace runs to one
+        # space and trim ends, in KEYS and VALUES (default both; -k
+        # keys-only, -v values-only)
+        keys_only = _has(a, "-k")
+        vals_only = _has(a, "-v")
+
+        def _cw(s9):
+            return re.sub(r"\s+", " ", str(s9)).strip()
+
+        rows9 = _df_records(df.sort_values("__row__").drop(
+            columns=["__row__", "__file__", "__filenum__"],
+            errors="ignore"))
+        out_rows9 = []
+        for r9 in rows9:
+            nr9 = {}
+            for k9, val9 in r9.items():
+                nk9 = k9 if vals_only else _cw(k9)
+                if not keys_only and isinstance(val9, str) and val9:
+                    val9 = _cw(val9)
+                    # cleaned text re-infers numerically ("  2" was a
+                    # string; "2" is an int — dsl-clean-whitespace/0010)
+                    try:
+                        val9 = int(val9)
+                    except ValueError:
+                        try:
+                            val9 = float(val9)
+                        except ValueError:
+                            pass
+                nr9[nk9] = val9
+            out_rows9.append(nr9)
+        return pd.DataFrame(out_rows9), True
 
     if v == "gap":
         # gap.go: emit an EMPTY record every n records (-n) or when the
@@ -6641,9 +6742,23 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
         # the nidx writer — and headerless csv/tsv/pprint output —
         # drops keys and emits values positionally
         # (record_writer_nidx; --headerless-csv-output)
-        our_recs = [{str(i): v for i, (k, v) in enumerate(r.items(), 1)
-                     if not (v is None or (isinstance(v, float)
-                                           and math.isnan(v)))}
+        # drop absent cells BEFORE enumerating so het records keep
+        # dense positional indices (io-het-csv-input headerless cases)
+        keysets = {tuple(k for k, x in r.items()
+                         if not (x is None or (isinstance(x, float)
+                                               and math.isnan(x))))
+                   for r in our_recs}
+        if case.headerless_out and case.ofmt != "nidx" and \
+            len(keysets) > 1 and not case.implicit_header:
+            # het keysets + headerless output: the union frame cannot
+            # represent per-record key ORDER, which decides the
+            # positional value order — itemized gap
+            raise Unsupported("headerless output with heterogeneous "
+                              "key order")
+        our_recs = [{str(i): v for i, v in enumerate(
+                        (x for x in r.values()
+                         if not (x is None or (isinstance(x, float)
+                                               and math.isnan(x)))), 1)}
                     for r in our_recs]
     if case.ofmt in ("csv", "tsv") and our_recs:
         # strict csv/tsv writer auto-unsparsify (record_writer_csv.go):
@@ -6665,13 +6780,15 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
             fixed.append(r)
         our_recs = fixed
     if case.ofmt in ("json", "jsonl", "yaml") and \
+            not case.no_auto_unflatten and \
             case.ifmt not in ("json", "jsonl", "yaml") and any(
             (case.flatsep or ".") in str(k) for r in our_recs for k in r):
         # JSON output auto-unflattens dotted field names into nested
         # collections (mlr auto-unflatten, record_writer_json)
         our_recs = [_auto_unflatten(r, sep=case.flatsep or ".")
                     for r in our_recs]
-    if case.ofmt not in ("json", "jsonl", "yaml", "dcf") and any(
+    if case.ofmt not in ("json", "jsonl", "yaml", "dcf") and \
+            not case.no_auto_flatten and any(
             isinstance(x, (dict, list)) for r in our_recs
             for x in r.values()):
         # non-JSON writers auto-flatten collection values with FLATSEP

@@ -1632,6 +1632,11 @@ def _scope_assign(env, name, val):
     scs = _scopes(env)
     for sc in reversed(scs):
         if name in sc:
+            pt = sc.get("\x00ptypes")
+            if pt and name in pt:
+                # typed parameters keep their declared type for the
+                # whole call (udf.go; dsl-argpass-typedecl 0005/0008)
+                _typecheck(pt[name], name, val)
             sc[name] = val
             return
     scs[-1][name] = val
@@ -1648,7 +1653,7 @@ _TYPE_CHECKS = {
     "bool": lambda v: isinstance(v, (bool, np.bool_)),
     "map": lambda v: isinstance(v, dict),
     "arr": lambda v: isinstance(v, list),
-    "funct": lambda v: isinstance(v, tuple) and len(v) in (3, 4)
+    "funct": lambda v: isinstance(v, tuple) and len(v) in (3, 4, 5)
     and v[0] == "\x00funcval",
 }
 
@@ -1685,18 +1690,28 @@ def _call_func(self, fv, argvals, t, env):
         raise DslError(f"function expects {len(params)} args, "
                        f"got {len(argvals)}")
     frame = {}
+    ptypes = {}
     for (ptyp, pname), av in zip(params, argvals):
         _typecheck(ptyp, pname, av)
         frame[pname] = _copyval(av)
+        if ptyp not in (None, "var"):
+            ptypes[pname] = ptyp
+    if ptypes:
+        frame["\x00ptypes"] = ptypes
     saved = env.get("\x00scopes")
     saved_caps = env.get("\x00caps")
     env["\x00scopes"] = (list(captured) + [frame]) if captured \
         else [frame]
     state = {"mask": None, "bare": None}
+    rettype = fv[4] if len(fv) > 4 else None
     try:
         _exec_impl(self, body, t, env, None, state)
         return None
     except _Return as r:
+        if rettype is not None:
+            # declared return type is enforced at return time
+            # (udf.go typed returns; dsl-argpass-typedecl 0003-0005)
+            _typecheck(rettype, "function return value", r.value)
         return r.value
     finally:
         if saved is None:
@@ -1715,7 +1730,7 @@ def _call_func(self, fv, argvals, t, env):
 def _is_funcval(v) -> bool:
     # 3-tuple = plain (params, body); 4-tuple adds the captured scope
     # chain (closure literals, round-3 first-class-functions)
-    return isinstance(v, tuple) and len(v) in (3, 4) \
+    return isinstance(v, tuple) and len(v) in (3, 4, 5) \
         and v[0] == "\x00funcval"
 
 
@@ -2004,7 +2019,7 @@ def _iter_bindings(keyvars, valvar, coll):
             for e in list(coll):
                 yield {kv: e}
         elif coll is not None:
-            raise DslError("for-loop target is not a collection")
+            return  # non-collection: silent zero-pass (for.go:377 TODO)
         return
     if len(keyvars) == 1:
         if isinstance(coll, dict):
@@ -2014,7 +2029,7 @@ def _iter_bindings(keyvars, valvar, coll):
             for i, v in enumerate(coll, 1):
                 yield {keyvars[0]: i, valvar: v}
         elif coll is not None:
-            raise DslError("for-loop target is not a collection")
+            return  # non-collection: silent zero-pass (for.go:377 TODO)
         return
     # multi-key: descend len(keyvars) levels through nested maps
     def rec(node, depth, bound):
@@ -2498,7 +2513,7 @@ def _exec_impl(self, stmts, t, env, mask, state):
             if fv is None:
                 lv = _scope_lookup(env, name)
                 fv = None if lv is _ABSENT else lv
-            if not (isinstance(fv, tuple) and len(fv) in (3, 4)
+            if not (isinstance(fv, tuple) and len(fv) in (3, 4, 5)
                     and fv[0] == "\x00funcval"):
                 raise DslError(f"unknown subroutine {name!r}")
             argvals = [_unseq_val(a(t, env)) for a in argexprs]
@@ -2649,7 +2664,7 @@ def _unseq_val(v):
     stay Python scalars, collections and funcvals pass through."""
     if isinstance(v, (dict, list)):
         return v
-    if isinstance(v, tuple) and len(v) in (3, 4) \
+    if isinstance(v, tuple) and len(v) in (3, 4, 5) \
             and v[0] == "\x00funcval":
         return v
     return _scalarize(v)
@@ -3662,11 +3677,13 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
                 # is legal; dsl-user-defined-functions/0009)
                 raise DslError(f"cannot redefine builtin {fname!r}")
             params = p.params()
+            rettype = None
             if p.peek() == ("op", ":"):
                 p.next()
                 tk, tv = p.next()
                 if tk != "ident" or tv not in _TYPE_CHECKS:
                     raise DslError(f"bad return type {tv!r}")
+                rettype = tv
             body = _parse_block(p)
             if top is None:
                 raise DslError(f"{v} definitions must be top-level")
@@ -3683,7 +3700,7 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
                     "been defined.")
             _check_return_shape(body, v)
             top.setdefault(ns, {})[fname] = \
-                ("\x00funcval", params, body)
+                ("\x00funcval", params, body, None, rettype)
         elif k == "ident" and v == "call":
             p.next()
             ck, cname = p.next()

@@ -1433,7 +1433,7 @@ def _typeof(x):
             return "absent"
         if isinstance(x, _MlrNull):
             return "null"
-        if isinstance(x, tuple) and len(x) in (3, 4) \
+        if isinstance(x, tuple) and len(x) in (3, 4, 5) \
                 and x[0] == "\x00funcval":
             return "funct"
         if isinstance(x, bool):
@@ -2434,14 +2434,24 @@ def _flatten_fn(*args):
 
 @bif("unflatten")
 def _unflatten_fn(m, sep):
-    """Inverse of flatten (collections.go BIF_unflatten)."""
+    """Inverse of flatten (collections.go BIF_unflatten). The "{}"/
+    "[]" marker strings flatten wrote for EMPTY collections restore to
+    real empty maps/arrays (flatten_unflatten.go unflattenTerminal)."""
     if not isinstance(m, dict):
         return m
+
+    def _leaf(v):
+        if v == "{}":
+            return {}
+        if v == "[]":
+            return []
+        return v
+
     out: dict = {}
     for k, v in m.items():
         parts = str(k).split(str(sep))
         if len(parts) == 1 or any(p == "" for p in parts):
-            out[k] = v
+            out[k] = _leaf(v)
             continue
         node = out
         for p in parts[:-1]:
@@ -2450,7 +2460,7 @@ def _unflatten_fn(m, sep):
                 nxt = {}
                 node[p] = nxt
             node = nxt
-        node[parts[-1]] = v
+        node[parts[-1]] = _leaf(v)
     return out
 
 

@@ -179,5 +179,6 @@ def test_overall_coverage(ray_session):
         for k in tot:
             tot[k] += r[k]
     assert tot["fail"] == 0
-    # supported coverage must not silently shrink
-    assert tot["pass"] >= 900, tot
+    # supported coverage must not silently shrink (round-4 floor:
+    # 4,878 passing golden cases measured across 286 suites)
+    assert tot["pass"] >= 4800, tot
