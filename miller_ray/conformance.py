@@ -299,7 +299,12 @@ def read_nidx(path: str, sep: str | None = None) -> list[dict]:
             line = line.rstrip("\n")
             if not line:
                 continue
-            toks = line.split(sep) if sep else line.split()
+            if sep and sep.startswith("\x00re:"):
+                toks = [t for t in re.split(sep[4:], line) if t != ""]
+            elif sep:
+                toks = line.split(sep)
+            else:
+                toks = line.split()
             recs.append({str(i): _infer(v) for i, v in enumerate(toks, 1)})
     return recs
 
@@ -647,9 +652,14 @@ def read_json_in(path: str) -> list[dict]:
 
 
 def read_pprint(path: str, ifs: str | None = None,
-                implicit_header: bool = False) -> list[dict]:
+                implicit_header: bool = False,
+                barred_in: bool = False) -> list[dict]:
     with open(path) as f:
         text = f.read()
+    if barred_in:
+        # --barred-input: strip the box-drawing frame, then parse as
+        # plain pprint (record_reader_pprint.go barred mode)
+        text = _unbar_pprint(text)
     if implicit_header:
         # -N / --implicit-pprint-header: every line is data, keys 1..n
         recs0: list[dict] = []
@@ -1146,6 +1156,7 @@ class Case:
     fatal: str | None = None  # CLI-level fatal error (mlrrc parse etc.)
     fixed_width: str | None = None  # --fw/--fixed spec (pprint reader)
     headerless_out: bool = False  # -N / --headerless-csv-output
+    barred_in: bool = False  # --barred-input (pprint reader)
     no_auto_unflatten: bool = False  # --no-auto-unflatten
     no_auto_flatten: bool = False  # --no-auto-flatten
 
@@ -1287,6 +1298,7 @@ def parse_cmd(cmd: str) -> Case:
     headerless_out = False
     barred = ragged = implicit_header = no_dedupe = False
     no_auto_unflatten = no_auto_flatten = False
+    barred_in = False
     repifs = in_place = False
     gen: dict | None = None
     seps: dict[str, str | None] = {k: None for k in
@@ -1444,6 +1456,27 @@ def parse_cmd(cmd: str) -> Case:
             continue
         if t == "--barred":
             barred = True
+            i += 1
+            continue
+        if t == "--ifs-regex" and i + 1 < len(toks):
+            _alias = {"spaces": " +", "tabs": "\\t+",
+                      "whitespace": "[ \\t]+"}
+            seps["ifs"] = "\x00re:" + _alias.get(toks[i + 1],
+                                                  toks[i + 1])
+            i += 2
+            continue
+        if t == "--jquoteall":
+            # JSON writer quotes keys AND values: invisible to the
+            # string-normalized record compare
+            i += 1
+            continue
+        if t == "--barred-input":
+            barred_in = True
+            i += 1
+            continue
+        if t == "--right":
+            # right-aligned pprint output: alignment only, invisible
+            # to the whitespace-split record compare
             i += 1
             continue
         if t in ("-i", "-o") and i + 1 < len(toks) and \
@@ -1643,6 +1676,7 @@ def parse_cmd(cmd: str) -> Case:
                 repifs=repifs, gen=gen, in_place=in_place,
                 stdin_redirect=stdin_redirect, fixed_width=fixed_width,
                 headerless_out=headerless_out,
+                barred_in=barred_in,
                 no_auto_unflatten=no_auto_unflatten,
                 no_auto_flatten=no_auto_flatten)
 
@@ -1777,7 +1811,8 @@ def _load_df_body(case: Case) -> pd.DataFrame:
             recs = read_json_in(p)
         elif fmt == "pprint":
             recs = read_pprint(p, ifs=case.ifs,
-                               implicit_header=case.implicit_header)
+                               implicit_header=case.implicit_header,
+                               barred_in=case.barred_in)
         elif fmt == "xtab":
             recs = [{k: _infer(v) for k, v in r.items()}
                     for r in parse_xtab(open(p, encoding="utf-8", errors="surrogateescape").read(), ips=case.ips)]
