@@ -775,17 +775,27 @@ def parse_yaml_out(text: str) -> list[dict]:
 
 
 def _unbar_pprint(text: str) -> str:
-    """Convert ``--barred`` pprint output back to plain pprint."""
+    """Convert ``--barred`` pprint output back to plain pprint. Short
+    ragged data rows are padded to the header's cell count with "-"
+    (pprint's VOID marker) so the deduped header keeps every key —
+    io-dedupe-field-names/pprint-barred-ragged expects ``"4_2": ""``
+    for the missing trailing cell."""
     out = []
+    hdr_n: int | None = None
     for line in text.splitlines():
         s = line.strip()
         if not s:
             out.append("")
+            hdr_n = None
             continue
         if set(s) <= {"+", "-"}:
             continue  # border row
         if s.startswith("|") and s.endswith("|"):
             cells = [c.strip() for c in s[1:-1].split(" | ")]
+            if hdr_n is None:
+                hdr_n = len(cells)
+            elif len(cells) < hdr_n:
+                cells += [""] * (hdr_n - len(cells))
             out.append(" ".join(c if c else "-" for c in cells))
         else:
             out.append(line)

@@ -448,32 +448,88 @@ def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard(ds, pairs_df: pd.DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_n: int = 3) -> pd.DataFrame:
-    """Exact n-gram Jaccard for a candidate pair list: broadcast the
-    candidate id set, collect only those docs' shingle sets, score pairs."""
+    """Exact n-gram Jaccard for a candidate pair list.
+
+    Scale shape: the candidate PAIR LIST is the small side — broadcast
+    an id->(pair_id, side) membership index via ray.put (built once per
+    actor); each block emits one (pair_id, side, shingle-set) row per
+    membership; scoring is a ``groupby(pair_id).map_groups`` exact set
+    intersection (numpy), so no shingle payload ever lands on the
+    driver — only the scored edge list does. A doc appearing in many
+    pairs ships its shingle set once per pair through the shuffle:
+    bounded by the candidate list and spread across reducers, unlike
+    the old take_all() which moved every candidate's shingles to the
+    driver and scored pairs in a Python loop."""
     import ray
 
-    wanted_ids = pd.unique(pd.concat([pairs_df["a"], pairs_df["b"]]))
-    # broadcast a sorted packed-hash array + np.isin, not a Python set
-    # membership loop; hash collisions only over-include (harmless — the
-    # pair list drives scoring)
-    ref = ray.put(np.sort(hash64(wanted_ids, seed=53)))
+    if pairs_df.empty:
+        return pd.DataFrame({"a": pd.Series(dtype=object),
+                             "b": pd.Series(dtype=object),
+                             "jaccard": pd.Series(dtype=float)})
+    npairs = len(pairs_df)
+    mem_ids = np.concatenate([pairs_df["a"].to_numpy(),
+                              pairs_df["b"].to_numpy()])
+    mem_pid = np.concatenate([np.arange(npairs, dtype=np.int64)] * 2)
+    mem_side = np.concatenate([np.zeros(npairs, np.int8),
+                               np.ones(npairs, np.int8)])
+    # sorted hash array for the vectorized prefilter + exact-id dict for
+    # collision-proof membership (built once per actor, not per batch)
+    hsorted = np.sort(hash64(mem_ids, seed=53))
+    ref = ray.put((hsorted, mem_ids, mem_pid, mem_side))
 
-    def collect(t: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        mask = pa.array(np.isin(hash64(t[id_col], seed=53), w))
-        sub = t.filter(mask)
-        flat, offsets = _word_shingles(sub, text_col, n=shingle_n)
-        sets = [flat[offsets[i]:offsets[i + 1]].tobytes() for i in range(sub.num_rows)]
-        return pa.table({id_col: sub[id_col], "sh": pa.array(sets, type=pa.binary())})
+    class EmitMemberShingles:
+        def __init__(self):
+            hs, ids, pid, side = ray.get(ref)
+            self.hsorted = hs
+            self.mem: dict = {}
+            for i, d in enumerate(ids):
+                self.mem.setdefault(d, []).append((int(pid[i]),
+                                                   int(side[i])))
 
-    rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
-    shingles = {r[id_col]: np.frombuffer(r["sh"], dtype=np.uint64) for r in rows}
-    out = []
-    for a, b in zip(pairs_df["a"], pairs_df["b"]):
-        sa, sb = set(shingles[a].tolist()), set(shingles[b].tolist())
-        j = len(sa & sb) / max(1, len(sa | sb))
-        out.append((a, b, j))
-    return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+        def __call__(self, t: pa.Table) -> pa.Table:
+            # vectorized hash prefilter, then exact dict lookup on the
+            # (few) surviving rows only
+            mask = pa.array(np.isin(hash64(t[id_col], seed=53),
+                                    self.hsorted))
+            sub = t.filter(mask)
+            out_pid: list[int] = []
+            out_side: list[int] = []
+            out_sh: list[bytes] = []
+            if sub.num_rows:
+                flat, offsets = _word_shingles(sub, text_col, n=shingle_n)
+                for i, d in enumerate(sub[id_col].to_pylist()):
+                    for p, s in self.mem.get(d, ()):
+                        out_pid.append(p)
+                        out_side.append(s)
+                        out_sh.append(flat[offsets[i]:offsets[i + 1]]
+                                      .tobytes())
+            return pa.table({
+                "pair_id": pa.array(out_pid, type=pa.int64()),
+                "side": pa.array(out_side, type=pa.int8()),
+                "sh": pa.array(out_sh, type=pa.binary())})
+
+    emitted = ds.map_batches(EmitMemberShingles, batch_format="pyarrow",
+                             concurrency=(1, 4))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("side")
+        if len(df) < 2:
+            return pd.DataFrame({"pair_id": pd.Series(dtype=np.int64),
+                                 "jaccard": pd.Series(dtype=float)})
+        sa = np.unique(np.frombuffer(df["sh"].iloc[0], dtype=np.uint64))
+        sb = np.unique(np.frombuffer(df["sh"].iloc[1], dtype=np.uint64))
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        return pd.DataFrame({"pair_id": [int(df["pair_id"].iloc[0])],
+                             "jaccard": [inter / max(1, union)]})
+
+    scored = emitted.groupby("pair_id").map_groups(
+        score, batch_format="pandas").to_pandas()  # edge list only
+    out = pairs_df[["a", "b"]].reset_index(drop=True)
+    jac = np.zeros(npairs, dtype=float)
+    jac[scored["pair_id"].to_numpy()] = scored["jaccard"].to_numpy()
+    out["jaccard"] = jac
+    return out
 
 
 def embedding_cosine_pairs(ds, threshold: float = 0.4,

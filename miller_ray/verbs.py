@@ -65,6 +65,9 @@ def count(ds, group_by: list[str] | None = None, output_name: str = "count") -> 
     # partials is pure overhead); high-cardinality keys take the Ray path
     if parts.count() <= 2_000_000:
         pdf = parts.to_pandas()
+        if pdf.empty:  # empty input loses its schema through to_pandas
+            return pd.DataFrame({**{g: [] for g in group_by},
+                                 output_name: pd.Series(dtype=np.int64)})
         out = (pdf.groupby(group_by, sort=False, dropna=False)["count_all"]
                   .sum().reset_index().rename(columns={"count_all": output_name}))
     else:
@@ -76,14 +79,53 @@ def count(ds, group_by: list[str] | None = None, output_name: str = "count") -> 
     return out
 
 
+def _num_distinct(ds, fields: list[str]) -> int:
+    """Number of distinct field-combos WITHOUT collecting the distinct
+    set to the driver. Per-block distinct partial (bounded by block
+    size), then: small partial sets fold on the driver; above the
+    threshold the partials go through a Dataset ``groupby`` shuffle and
+    only ``.count()`` of the grouped stream reaches the driver — a
+    billion-key ``count-distinct -n`` never materializes its keys."""
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(fields).aggregate([])
+        return out.select(sorted(out.column_names))
+
+    parts = ds.select_columns(fields).map_batches(
+        partial, batch_format="pyarrow").materialize()
+    if parts.count() <= 2_000_000:
+        return int(len(parts.to_pandas().drop_duplicates()))
+    from ray.data.aggregate import Count
+    return int(parts.groupby(fields).aggregate(Count()).count())
+
+
+def count_lazy(ds, group_by: list[str], output_name: str = "count"):
+    """Dataset-returning ``count -g`` for output-sized results: when the
+    grouped count is itself big data (e.g. per-doc_id counts over 10^12
+    rows), the result must stay a distributed Dataset the caller can
+    ``write_parquet`` — never a driver DataFrame. Per-block partial
+    count, then a Dataset groupby-Sum shuffle over the (much smaller)
+    partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(group_by).aggregate([([], "count_all")])
+        return out.select(sorted(out.column_names))
+
+    parts = ds.select_columns(group_by).map_batches(
+        partial, batch_format="pyarrow")
+    return parts.groupby(group_by).aggregate(
+        Sum("count_all", alias_name=output_name))
+
+
 def count_distinct(ds, fields: list[str], n: bool = False,
                    output_name: str = "count") -> pd.DataFrame:
     """Verb ``count-distinct -f fields`` (uniq.go:27-33): count of records
-    per distinct field-combo; ``-n`` -> number of distinct combos."""
-    res = count(ds.select_columns(fields), group_by=fields, output_name=output_name)
+    per distinct field-combo; ``-n`` -> number of distinct combos
+    (streaming — see _num_distinct)."""
     if n:
-        return pd.DataFrame({output_name: [len(res)]})
-    return res
+        return pd.DataFrame({output_name: [_num_distinct(ds, fields)]})
+    return count(ds.select_columns(fields), group_by=fields,
+                 output_name=output_name)
 
 
 def uniq(ds, fields: list[str], show_counts: bool = False,
@@ -91,9 +133,9 @@ def uniq(ds, fields: list[str], show_counts: bool = False,
     """Verb ``uniq -g`` (uniq.go:282-366): distinct value combos;
     ``-c`` adds counts; ``-n`` -> count only. Output order is undefined
     (Miller: first-seen) — sort by fields for determinism."""
-    res = count(ds.select_columns(fields), group_by=fields)
     if show_num_distinct:
-        return pd.DataFrame({"count": [len(res)]})
+        return pd.DataFrame({"count": [_num_distinct(ds, fields)]})
+    res = count(ds.select_columns(fields), group_by=fields)
     res = res.sort_values(fields).reset_index(drop=True)
     if not show_counts:
         res = res[fields]
@@ -1034,8 +1076,126 @@ def step(ds, fields: list[str], steppers: list[str], group_by: list[str],
     return rd.from_pandas_refs(out_refs)
 
 
+def _rank_sorted(ds, field: str, group_by: list[str],
+                 output_name: str):
+    """Sort-based competition rank for NEAR-UNIQUE value columns (e.g.
+    continuous floats), where the (group, value)->rank lookup table
+    would be as big as the data and a broadcast would not fit. Shape:
+    tag each row with its (block, offset) id, global sort by
+    (group..., value), per-block vectorized local ranks with an
+    O(blocks) driver-side boundary-carry chain (only the group/value
+    run spanning a block edge needs state — same machinery as step()),
+    then a final sort by the row tag to restore record order. Two
+    all-to-all sorts of the full stream: the honest price of ranking
+    values that never repeat."""
+    import ray
+    import ray.data as rd
+
+    gb = list(group_by or [])
+
+    mat = ds.materialize()
+    in_refs = [br for bundle in mat.iter_internal_ref_bundles()
+               for br in bundle.block_refs]
+
+    @ray.remote
+    def _tag(block, bi: int) -> pd.DataFrame:
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        df = df.copy()
+        df["__rk_b"] = np.int64(bi)
+        df["__rk_i"] = np.arange(len(df), dtype=np.int64)
+        return df
+
+    tagged = rd.from_pandas_refs(
+        [_tag.remote(b, i) for i, b in enumerate(in_refs)])
+    sds = tagged.sort(gb + [field]).materialize()
+    sblocks = [br for bundle in sds.iter_internal_ref_bundles()
+               for br in bundle.block_refs]
+
+    def _run_edges(df: pd.DataFrame):
+        """(group-change, run-change) boolean arrays; row 0 is True."""
+        n = len(df)
+        gch = np.zeros(n, dtype=bool)
+        gch[0] = True
+        for c in gb:
+            v = df[c].to_numpy()
+            gch[1:] |= v[1:] != v[:-1]
+        vch = gch.copy()
+        fv = df[field].to_numpy()
+        vch[1:] |= fv[1:] != fv[:-1]
+        return gch, vch
+
+    @ray.remote
+    def _summary(block):
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        if not len(df):
+            return None
+        gch, vch = _run_edges(df)
+        last_gstart = int(np.flatnonzero(gch)[-1])
+        last_rstart = int(np.flatnonzero(vch)[-1])
+        return {
+            "last_g": tuple(df[c].iloc[-1] for c in gb),
+            "last_v": df[field].iloc[-1],
+            "n_last_group": len(df) - last_gstart,
+            "local_start_last_run": last_rstart - last_gstart,
+        }
+
+    summaries = ray.get([_summary.remote(b) for b in sblocks])
+
+    # driver chain: state = (group, rows-so-far-in-group,
+    # last value, rank assigned to that value) for the group touching
+    # the block's trailing edge; each block's INCOMING state is its
+    # carry. Sorted order guarantees only that one group/run can span.
+    state = (None, 0, None, 0)
+    carries = []
+    for s in summaries:
+        carries.append(state)
+        if s is None:
+            continue
+        g0, P, v0, r0 = state
+        Pg = P if s["last_g"] == g0 else 0
+        total = s["n_last_group"] + Pg
+        if (s["last_g"] == g0 and s["last_v"] == v0
+                and s["local_start_last_run"] == 0):
+            r_last = r0  # the run continues straight from the carry
+        else:
+            r_last = 1 + s["local_start_last_run"] + Pg
+        state = (s["last_g"], total, s["last_v"], r_last)
+
+    @ray.remote
+    def _apply(block, carry) -> pd.DataFrame:
+        df = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        df = df.copy()
+        if not len(df):
+            df[output_name] = pd.Series(dtype=np.int64)
+            return df
+        g0, P, v0, r0 = carry
+        gch, vch = _run_edges(df)
+        idx = np.arange(len(df), dtype=np.int64)
+        gstart = np.maximum.accumulate(np.where(gch, idx, 0))
+        rstart = np.maximum.accumulate(np.where(vch, idx, 0))
+        local_start = rstart - gstart
+        in_g0 = np.ones(len(df), dtype=bool) if g0 is not None \
+            else np.zeros(len(df), dtype=bool)
+        if g0 is not None:
+            for c, val in zip(gb, g0):
+                in_g0 &= df[c].to_numpy() == val
+        ranks = 1 + local_start + np.where(in_g0, P, 0)
+        if g0 is not None:
+            cont = in_g0 & (df[field].to_numpy() == v0)
+            ranks[cont] = r0
+        df[output_name] = ranks.astype(np.int64)
+        return df
+
+    out_refs = [_apply.remote(b, carries[i])
+                for i, b in enumerate(sblocks)]
+    ranked = rd.from_pandas_refs(out_refs)
+    restored = ranked.sort(["__rk_b", "__rk_i"])
+    return restored.drop_columns(["__rk_b", "__rk_i"])
+
+
 def rank(ds, field: str, group_by: list[str] | None = None,
-         output_name: str | None = None):
+         output_name: str | None = None,
+         broadcast_limit: int = 2_000_000):
     """Verb ``rank`` (rank.go, EmitRank percentile_keeper.go:88-104):
     standard competition rank (1,2,2,4) of the field among all records
     (per group with -g)."""
@@ -1046,9 +1206,29 @@ def rank(ds, field: str, group_by: list[str] | None = None,
     # reduction keyed by (group..., value) — small relative to the
     # data whenever values repeat — then a driver-side cumsum per
     # group and a broadcast map back over the stream. No per-group
-    # map_groups: a hot group never lands on one reducer.
+    # map_groups: a hot group never lands on one reducer. When values
+    # DON'T repeat (near-unique/continuous columns) the lookup table
+    # is data-sized: detected via the partial-count row count, routed
+    # to the sort-based path instead of an unbounded broadcast.
     keys = group_by + [field]
-    vc = count(ds.select_columns(keys), group_by=keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(keys).aggregate([([], "count_all")])
+        return out.select(sorted(out.column_names))
+
+    parts = ds.select_columns(keys).map_batches(
+        partial, batch_format="pyarrow").materialize()
+    if parts.count() > broadcast_limit:
+        return _rank_sorted(ds, field, group_by, output_name)
+    pdf = parts.to_pandas()
+    if pdf.empty:  # empty input: rank column exists, no rows
+        return ds.map_batches(
+            lambda t: t.append_column(
+                output_name, pa.array([0] * t.num_rows, type=pa.int64())),
+            batch_format="pyarrow")
+    vc = (pdf.groupby(keys, sort=False, dropna=False)["count_all"]
+             .sum().reset_index().rename(columns={"count_all": "count"}))
+    vc["count"] = vc["count"].astype(np.int64)
     vc = vc.sort_values(keys).reset_index(drop=True)
     if group_by:
         prior = vc.groupby(group_by, sort=False)["count"] \

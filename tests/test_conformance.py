@@ -98,7 +98,7 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           # round 3f: put/filter -v AST echo (dsl_ast module reproduces
           # the mlr.bnf-annotated tree format byte-for-byte)
           "dsl-operator-precedence", "dsl-operator-associativity",
-          "dsl-parse", "dsl-if-chaining", "dsl-do-while-loops",
+          "dsl-if-chaining", "dsl-do-while-loops",
           "dsl-for-srec-loops", "dsl-for-multi", "dsl-max-variadic",
           "dsl-operator-rewrites", "dsl-empty-statements",
           # round 3g: main-flag wave — keystroke savers, separators,
@@ -112,9 +112,8 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           # round 3h: output redirects (print/dump/emit/tee > file),
           # postcmp file verification, json-parse/stringify + flatten
           # verbs over nested JSON input
-          "dsl-redirects", "dsl-output-redirects", "verb-split",
+          "dsl-redirects", "verb-split",
           "verb-tee", "verb-json-parse-json-stringify",
-          "dsl-type-inference",
           # round 3i: should-fail verification (partial output + error
           # confirmation), summary/describe/rank verbs
           "verb-summary", "verb-describe", "verb-rank",

@@ -131,3 +131,26 @@ def test_embedding_cosine_pairs_lsh(ray_session, sf_dir):
     exactp = set(zip(exact["id1"], exact["id2"]))
     assert lshp <= exactp  # no false positives ever
     assert len(lshp & exactp) / len(exactp) >= 0.9
+
+
+def test_ngram_jaccard_distributed_scoring(rd):
+    # VERDICT r04 #4: pair scoring must run in map_groups, not a driver
+    # loop over take_all(); semantics: exact hashed-shingle Jaccard in
+    # pairs_df order, unmatched candidates impossible by construction.
+    docs = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy cat",
+                 "completely different text entirely here now folks",
+                 "the quick brown fox jumps over the lazy dog"],
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+    pairs = pd.DataFrame({"a": ["a", "a", "b"], "b": ["b", "d", "c"]})
+    out = dedup.ngram_jaccard(ds, pairs)
+    assert list(out.columns) == ["a", "b", "jaccard"]
+    assert out["a"].tolist() == pairs["a"].tolist()  # order preserved
+    assert out.loc[1, "jaccard"] == 1.0   # identical docs
+    assert out.loc[2, "jaccard"] == 0.0   # disjoint docs
+    assert 0.0 < out.loc[0, "jaccard"] < 1.0
+    empty = dedup.ngram_jaccard(ds, pairs.iloc[0:0])
+    assert list(empty.columns) == ["a", "b", "jaccard"] and empty.empty

@@ -340,3 +340,40 @@ def test_nest_implode_partial_preagg(rd):
     out = out.sort_values("g").reset_index(drop=True)
     assert out.loc[0, "v"] == ";".join(sorted(["z", "m;q", "c"]))
     assert out.loc[1, "v"] == "d;k"
+
+
+def test_rank_sort_path_near_unique(rd):
+    # VERDICT r04 #3: near-unique value columns must not broadcast a
+    # data-sized lookup — force the sort-based path and check it
+    # matches pandas method='min' AND preserves record order.
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "v": np.round(rng.random(n), 6),
+        "row": np.arange(n),
+    })
+    df.loc[rng.choice(n, 300, replace=False), "v"] = 0.25  # ties
+    ds = rd.from_pandas(df).repartition(11)
+    out = verbs.rank(ds, "v", ["g"], broadcast_limit=0).to_pandas()
+    assert (out["row"].to_numpy() == df["row"].to_numpy()).all()
+    exp = df.groupby("g")["v"].rank(method="min").astype(np.int64)
+    assert (out["v_rank"].to_numpy() == exp.to_numpy()).all()
+    # ungrouped agrees with the broadcast path
+    a = verbs.rank(ds, "v", [], broadcast_limit=0).to_pandas()
+    b = verbs.rank(ds, "v", []).to_pandas()
+    assert (a["v_rank"].to_numpy() == b["v_rank"].to_numpy()).all()
+
+
+def test_count_distinct_n_streaming(rd):
+    # VERDICT r04 #2: -n must not collect the distinct set; the
+    # streaming branch (partials > threshold) returns the same number
+    from miller_ray.verbs import _num_distinct
+    df = pd.DataFrame({"a": np.arange(500) % 97, "b": np.arange(500) % 13})
+    ds = rd.from_pandas(df).repartition(5)
+    exact = len(df.drop_duplicates())
+    assert verbs.count_distinct(ds, ["a", "b"], n=True)["count"][0] == exact
+    assert _num_distinct(ds, ["a", "b"]) == exact
+    lz = verbs.count_lazy(ds, ["a"]).to_pandas()
+    exp = df.groupby("a").size()
+    assert lz.set_index("a")["count"].sort_index().tolist() == exp.tolist()
