@@ -1169,6 +1169,7 @@ class Case:
     barred_in: bool = False  # --barred-input (pprint reader)
     no_auto_unflatten: bool = False  # --no-auto-unflatten
     no_auto_flatten: bool = False  # --no-auto-flatten
+    seed: int | None = None  # --seed: Go-faithful PRNG stream
 
 
 def _load_mlrrc_tokens(toks: list[str]) -> tuple[list[str], str | None]:
@@ -1307,6 +1308,7 @@ def parse_cmd(cmd: str) -> Case:
     fixed_width = None
     headerless_out = False
     barred = ragged = implicit_header = no_dedupe = False
+    seed = None
     no_auto_unflatten = no_auto_flatten = False
     barred_in = False
     repifs = in_place = False
@@ -1369,6 +1371,12 @@ def parse_cmd(cmd: str) -> Case:
             continue
         if t == "--ofmt":
             num_fmt = toks[i + 1]
+            i += 2
+            continue
+        if t == "--seed":
+            # lib.SeedRandom (pkg/lib/rand.go:17-21): int literal, also
+            # hex (option_parse.go scans with strconv semantics)
+            seed = int(toks[i + 1], 0)
             i += 2
             continue
         if t in ("--ofmte", "--ofmtf", "--ofmtg"):
@@ -1688,7 +1696,7 @@ def parse_cmd(cmd: str) -> Case:
                 headerless_out=headerless_out,
                 barred_in=barred_in,
                 no_auto_unflatten=no_auto_unflatten,
-                no_auto_flatten=no_auto_flatten)
+                no_auto_flatten=no_auto_flatten, seed=seed)
 
 
 # ---------------------------------------------------------------------------
@@ -2246,13 +2254,179 @@ def execute(case: Case, df: pd.DataFrame):
     if v == "count-distinct":
         fields = _flagvals(a, "-f").split(",")
         if _has(a, "-u"):
-            raise Unsupported("count-distinct -u")
+            # -u unlashed: per-field value counts in first-seen order
+            # (uniq.go:65-160); ENGINE path: verbs.count_distinct_unlashed
+            name_u = _flagvals(a, "-o", "count")
+            work = df.sort_values("__row__")
+            rows_u = []
+            for f in fields:
+                vals = work[f].dropna()
+                for val, cnt in vals.groupby(vals, sort=False).size().items():
+                    rows_u.append({"field": f, "value": val,
+                                   name_u: int(cnt)})
+            return pd.DataFrame(rows_u), True
         # -o is ignored under -n (output stays "count")
         name = "count" if _has(a, "-n") else _flagvals(a, "-o", "count")
         sub = df.dropna(subset=fields)
         out = verbs.count_distinct(_ds(sub), fields, n=_has(a, "-n"),
                                    output_name=name)
         return out, False
+
+    if v in ("sample", "shuffle", "bootstrap", "bootstrap-ci"):
+        # Seeded-PRNG verbs, record-faithful to the reference: Miller
+        # seeds Go's math/rand (pkg/lib/rand.go SeedRandom) and the
+        # algorithms below consume the stream in exactly the reference
+        # order, so with gorand.GoRand the golden outputs reproduce
+        # bit-for-bit (sample.go reservoir, shuffle.go Knuth image map,
+        # bootstrap.go with-replacement, bootstrap_ci.go resampled CIs).
+        from miller_ray.functions import FatalError
+        from miller_ray.gorand import GoRand
+
+        if v == "bootstrap-ci":
+            # CLI-parse-time validations (bootstrap_ci.go:132-140)
+            conf = float(_flagvals(a, "-c", "0.95"))
+            nres = int(_flagvals(a, "-n", "1000"))
+            fields_s = _flagvals(a, "-f")
+            if not fields_s:
+                raise FatalError("mlr bootstrap-ci: -f option is required")
+            if nres <= 0:
+                raise FatalError("mlr bootstrap-ci: -n argument must be "
+                                 f"positive; got {nres}")
+            if conf <= 0.0 or conf >= 1.0:
+                raise FatalError("mlr bootstrap-ci: -c argument must be "
+                                 f"strictly between 0 and 1; got {conf:g}")
+        if case.seed is None:
+            raise Unsupported(f"{v} without --seed is nondeterministic")
+        gor = GoRand(case.seed)
+        raw = df.attrs.get("raw_records")
+        if raw is None:
+            cols0 = [c for c in df.columns if not str(c).startswith("__")]
+            raw = []
+            for r0 in df.sort_values("__row__").to_dict("records"):
+                raw.append({k0: v0 for k0, v0 in r0.items()
+                            if k0 in cols0 and v0 is not None
+                            and not (isinstance(v0, float)
+                                     and math.isnan(v0))})
+
+        if v == "sample":
+            k = int(_flagvals(a, "-k", "-1"))
+            if k <= 0:
+                raise Unsupported("sample without positive -k")
+            g = _flagvals(a, "-g")
+            gb = g.split(",") if g else []
+            buckets: dict[tuple, list] = {}
+            order0: list[tuple] = []
+            for nr, rec in enumerate(raw, 1):  # NR is GLOBAL (sample.go:158)
+                if any(f not in rec for f in gb):
+                    continue
+                key0 = tuple(str(rec[f]) for f in gb)
+                b = buckets.get(key0)
+                if b is None:
+                    b = buckets[key0] = []
+                    order0.append(key0)
+                if len(b) < k:
+                    b.append(rec)
+                else:
+                    r_ = gor.int63() % nr
+                    if r_ < k:
+                        b[r_] = rec
+            return pd.DataFrame([rec for key0 in order0
+                                 for rec in buckets[key0]]), True
+
+        if v == "shuffle":
+            n0 = len(raw)
+            images = list(range(n0))
+            for i0 in range(n0):
+                u0 = gor.randrange(i0, n0)
+                images[u0], images[i0] = images[i0], images[u0]
+            return pd.DataFrame([raw[images[i0]]
+                                 for i0 in range(n0)]), True
+
+        if v == "bootstrap":
+            nin = len(raw)
+            nout = int(_flagvals(a, "-n", "-1"))
+            if nout == -1:
+                nout = nin
+            if nout == 0 or nin == 0:
+                return pd.DataFrame(), True
+            return pd.DataFrame([raw[gor.randrange(0, nin)]
+                                 for _ in range(nout)]), True
+
+        # bootstrap-ci
+        from miller_ray.engine import exact as EX
+
+        accs = (_flagvals(a, "-a") or "mean").split(",")
+        fields = fields_s.split(",")
+        g = _flagvals(a, "-g")
+        gb = g.split(",") if g else []
+        interp = _has(a, "-i")
+
+        def _stat(acc: str, vals: list) -> float:
+            if acc == "mean":
+                return float(sum(vals)) / len(vals)
+            if acc == "sum":
+                return float(sum(vals))
+            if acc == "count":
+                return len(vals)
+            if acc == "median":
+                acc = "p50"
+            if re.fullmatch(r"p\d+(\.\d+)?", acc):
+                srt0 = EX.miller_sorted(vals)
+                pf0 = (EX.percentile_interpolated if interp
+                       else EX.percentile_type1)
+                return pf0(srt0, float(acc[1:]))
+            if acc == "min":
+                return min(vals)
+            if acc == "max":
+                return max(vals)
+            if acc in ("var", "stddev", "meaneb"):
+                n1 = len(vals)
+                sx = float(sum(vals))
+                sx2 = float(sum(x1 * x1 for x1 in vals))
+                fin = {"var": EX.finalize_var, "stddev": EX.finalize_stddev,
+                       "meaneb": EX.finalize_meaneb}[acc]
+                return fin(n1, sx, sx2)
+            raise Unsupported(f"bootstrap-ci accumulator {acc}")
+
+        groups: dict[tuple, dict] = {}
+        gvals: dict[tuple, dict] = {}
+        order0 = []
+        for rec in raw:
+            if any(f not in rec for f in gb):
+                continue
+            key0 = tuple(str(rec[f]) for f in gb)
+            if key0 not in groups:
+                groups[key0] = {}
+                gvals[key0] = {f: rec[f] for f in gb}
+                order0.append(key0)
+            vbf = groups[key0]
+            for f in fields:
+                val = rec.get(f)
+                if val is None or val == "" or (
+                        isinstance(val, float) and math.isnan(val)):
+                    continue
+                vbf.setdefault(f, []).append(val)
+        alpha = (1.0 - conf) / 2.0
+        pf = EX.percentile_interpolated if interp else EX.percentile_type1
+        out_recs = []
+        for key0 in order0:
+            rec_out = dict(gvals[key0])
+            for f, values in groups[key0].items():
+                if not values:
+                    continue
+                n1 = len(values)
+                for acc in accs:
+                    point = _stat(acc, values)
+                    reps = [_stat(acc, [values[gor.randrange(0, n1)]
+                                        for _ in range(n1)])
+                            for _rep in range(nres)]
+                    srt = EX.miller_sorted(reps)
+                    base = f"{f}_{acc}"
+                    rec_out[base] = point
+                    rec_out[base + "_lo"] = pf(srt, 100.0 * alpha)
+                    rec_out[base + "_hi"] = pf(srt, 100.0 * (1.0 - alpha))
+            out_recs.append(rec_out)
+        return pd.DataFrame(out_recs), True
 
     if v == "uniq":
         g = _flagvals(a, "-g") or _flagvals(a, "-f")

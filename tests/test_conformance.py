@@ -162,7 +162,13 @@ SUITES = ["verb-count", "verb-count-distinct", "verb-uniq", "verb-cut",
           # reference tree at runtime (miller_ray/help_catalog.py),
           # forced-color output, mcp usage
           "repl-help", "help", "cli-help", "mcp",
-          "output-colorization"]
+          "output-colorization",
+          # round 5: seeded-PRNG verbs — Go math/rand reproduced
+          # bit-faithfully (miller_ray/gorand.py regenerates rngCooked
+          # via polynomial jump-ahead), so the reservoir/Knuth-shuffle/
+          # resample golden streams replay exactly
+          "verb-sample", "verb-shuffle", "verb-bootstrap",
+          "verb-bootstrap-ci"]
 
 
 @pytest.mark.parametrize("suite", SUITES)
