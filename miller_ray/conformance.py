@@ -1651,6 +1651,13 @@ def parse_cmd(cmd: str) -> Case:
             args.extend(["-f", rest[j + 1]])
             j += 2
             continue
+        if t == "-e" and cur_verb in ("put", "filter") and j + 1 < len(rest):
+            # -e consumes the NEXT token verbatim, even one that looks
+            # like a flag (VerbGetStringArg; dsl-multipart-scripts/0004
+            # `put -e -f file` = program "-f" + file as INPUT)
+            args.extend(["-e", rest[j + 1]])
+            j += 2
+            continue
         m_att = re.fullmatch(r"-n(\d+)", t)
         if m_att:
             args.extend(["-n", m_att.group(1)])
@@ -7189,7 +7196,10 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
         return "skip", f"embedded newline not representable in {case.ofmt}"
     if case.ofmt == "pprint":
         # pprint cannot represent leading/trailing whitespace in values
-        our_recs = [{k: (v.strip() if isinstance(v, str) else v)
+        # (or KEYS: column padding swallows it on reparse —
+        # dsl-multipart-scripts/0004's `$xy ` key)
+        our_recs = [{(k.strip() if isinstance(k, str) else k):
+                     (v.strip() if isinstance(v, str) else v)
                      for k, v in r.items()} for r in our_recs]
     if case.ofmt == "tsv":
         # the TSV writer escapes embedded tabs/newlines as \t, \n

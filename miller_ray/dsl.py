@@ -997,6 +997,17 @@ class _Parser:
 
             def f(t, env, operand=operand):
                 x = operand(t, env)
+                if x is None:
+                    return None  # -absent = absent (unary disposition
+                    # matrix; dsl-multipart-scripts/0004 program "-f")
+                x = _scalarize(x) if not _is_arr(x) else x
+                if isinstance(x, str):
+                    try:
+                        xn = float(x)
+                        x = int(x) if xn.is_integer() and \
+                            "." not in x and "e" not in x.lower() else xn
+                    except ValueError:
+                        return "(error)"
                 return pc.negate(x) if _is_arr(x) else -x
             return f
         if v == "+":

@@ -358,11 +358,16 @@ def _joinv(x, sep):
 
 @bif("joinkv")
 def _joinkv(x, ps, fs):
-    """join map k=v pairs (collections.go BIF_joinkv)."""
+    """join map k=v pairs; arrays join with 1-based index keys
+    (collections.go BIF_joinkv; dsl-split-join/0006,0011)."""
     if isinstance(x, dict):
         return str(fs).join(
             f"{_render_scalar(k)}{ps}{_render_scalar(v)}"
             for k, v in x.items())
+    if isinstance(x, list):
+        return str(fs).join(
+            f"{i}{ps}{_render_scalar(v)}"
+            for i, v in enumerate(x, 1))
     raise TypeError("joinkv expects a map")
 bif("format_values")(lambda x, fmt: pa.array(np.char.mod(fmt, np.asarray(x))))
 
@@ -386,6 +391,30 @@ def _fmtnum(x, fmt):
     non-numeric input yields the error VALUE "(error)"."""
     if isinstance(x, bytes):
         return type_error2("fmtnum", x, fmt)
+    if isinstance(x, (dict, list)):
+        # fmtnum over a collection formats each value; non-numeric
+        # members become the error VALUE (collections recurse;
+        # dsl-number-formatting/0005 `$* = fmtnum($*, ...)`)
+        def _fmt1(v):
+            if isinstance(v, pa.Scalar):
+                v = v.as_py()
+            if v is None:
+                return None
+            if isinstance(v, str):
+                try:
+                    float(v)
+                except ValueError:
+                    return "(error)"
+            if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                # lift to a 1-row array: the vectorized body needs
+                # .to_pandas() (the DSL's scalar-lift wrapper is
+                # bypassed when we recurse directly)
+                out = _fmtnum(pa.array([v]), fmt)
+                return out[0].as_py()
+            return _fmtnum(v, fmt)
+        if isinstance(x, dict):
+            return {k: _fmt1(v) for k, v in x.items()}
+        return [_fmt1(v) for v in x]
     import re as _re
 
     import pandas as _pd
@@ -536,19 +565,17 @@ def _int_bif(x, base=None):
             # stays 345; only STRINGS radix-parse)
             return int(v)
         sv = str(v).strip()
+        if "_" in sv:
+            return "(error)"  # lib/util.go:71 rejects Go's 1_2 form
         try:
             if b == 0 and re.fullmatch(r"[+-]?0\d+", sv):
                 return int(sv, 8)
             return int(sv, b)
         except (ValueError, TypeError):
-            if b != 0:
-                # explicit radix: a non-parse is an error, never a
-                # decimal/float fallback (int("345",2) -> (error))
-                return "(error)"
-            try:
-                return int(float(sv))
-            except (ValueError, TypeError):
-                return "(error)"
+            # no float fallback: string_to_int (bifs/types.go:17) is
+            # strconv.ParseInt only, so int("2.3") is the error VALUE
+            # (dsl-type-reflect/0001)
+            return "(error)"
     if isinstance(x, (pa.Array, pa.ChunkedArray)):
         if base is None and (pa.types.is_integer(x.type)
                              or pa.types.is_floating(x.type)):
@@ -561,7 +588,31 @@ def _int_bif(x, base=None):
     return one(x)
 
 
-bif("float")(lambda x: _f(x))
+@bif("float")
+def _float_bif(x):
+    """BIF_float (bifs/types.go:167 to_float_dispositions): numbers
+    pass as float64; booleans -> 0.0/1.0; strings parse int/float/
+    radix-prefixed forms, else the error VALUE; absent passes;
+    collections/bytes error (dsl-type-reflect/0001)."""
+    if x is None:
+        return None
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return _f(x)
+    if isinstance(x, (dict, list, bytes)):
+        return "(error)"
+    if isinstance(x, (bool, np.bool_)):
+        return 1.0 if x else 0.0
+    if isinstance(x, (int, np.integer, float, np.floating)):
+        return float(x)
+    s = str(x)
+    try:
+        return float(int(s, 0))
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        return "(error)"
 @bif("string")
 def _string(x):
     """Cast to string (bifs/types.go BIF_string); scalar floats render
@@ -588,7 +639,26 @@ def _string(x):
 
         return _dsl._mlr_json(x, ofmt=OFMT)
     return _s(x)
-bif("boolean")(lambda x: pc.cast(x, pa.bool_()))
+@bif("boolean")
+def _boolean_bif(x):
+    """BIF_boolean (bifs/types.go:213): ints/floats -> nonzero test;
+    only the literal strings "true"/"false" parse; anything else is
+    the error VALUE (dsl-type-reflect/0001)."""
+    if x is None:
+        return None
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return pc.cast(x, pa.bool_())
+    if isinstance(x, (bool, np.bool_)):
+        return bool(x)
+    if isinstance(x, (int, np.integer)):
+        return x != 0
+    if isinstance(x, (float, np.floating)):
+        return x != 0.0
+    if x == "true":
+        return True
+    if x == "false":
+        return False
+    return "(error)"
 @bif("hexfmt")
 def _hexfmt(x):
     """hexfmt: INTS render as hex (negatives as 64-bit two's
@@ -1437,7 +1507,7 @@ def _typeof(x):
                 and x[0] == "\x00funcval":
             return "funct"
         if isinstance(x, bool):
-            return "boolean"
+            return "bool"
         if isinstance(x, bytes):
             return "bytes"
         if isinstance(x, (int, np.integer)):
@@ -1459,7 +1529,7 @@ def _typeof(x):
     elif pa.types.is_floating(t):
         name = "float"
     elif pa.types.is_boolean(t):
-        name = "boolean"
+        name = "bool"
     elif pa.types.is_string(t):
         name = "string"
     elif pa.types.is_list(t) or pa.types.is_fixed_size_list(t):
@@ -2098,10 +2168,13 @@ def _logifit(x, m, b):
 
 
 @bif("format")
-def _format(fmt, *args):
+def _format(fmt=None, *args):
     """format("{}:{}", a, b) — brace-pair substitution
     (bifs/strings.go BIF_format). A non-string format is the error
-    VALUE; {} beyond the argument list substitute empty."""
+    VALUE; {} beyond the argument list substitute empty; zero args
+    print empty (dsl-format/0001)."""
+    if fmt is None:
+        return ""
     if not isinstance(fmt, str):
         return "(error)"
     counter = [0]
