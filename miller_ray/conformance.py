@@ -1700,6 +1700,14 @@ def parse_cmd(cmd: str) -> Case:
                 stdin_redirect = True
                 j += 1
                 continue  # stdin redirect: next token is the file
+            if cur_verb == "tee" and "__TEE_TGT__" not in args and \
+                    (not args or args[-1] != "-o"):
+                # verb tee's positional is its OUTPUT file, never an
+                # input — even when a same-named golden file exists in
+                # the case dir (dsl-redirects/0001-0002)
+                args.extend(["__TEE_TGT__", t])
+                j += 1
+                continue
             if t and (t.startswith("test/input")
                       or os.path.isfile(os.path.join(REFERENCE, t))
                       or os.path.isfile(_redirect_write_path(
@@ -4723,9 +4731,13 @@ def execute(case: Case, df: pd.DataFrame):
         # main output format), pass records through unchanged
         fmt_out = _flagvals(a, "-o", case.ofmt)
         positional = [x for x in a if not x.startswith("-")
-                      and x != _flagvals(a, "-o") and x != "__NO_INPUT__"]
+                      and x != _flagvals(a, "-o") and x != "__NO_INPUT__"
+                      and x != "__TEE_TGT__"]
         if _has(a, "-p"):
             raise Unsupported("tee to pipe")
+        tgt = _flagvals(a, "__TEE_TGT__")
+        if tgt:
+            positional = [tgt]
         if not positional:
             raise Unsupported("tee without a filename")
         target = positional[-1]
@@ -5152,7 +5164,12 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
             else:
                 rest.append(a[j])
                 j += 1
-        src = "\n".join(pieces)
+        # each -f/-e piece is a SEPARATE AST in the reference
+        # (cst/root.go:76 loops over dslStrings) so a trailing bare
+        # expression in one piece needs a ';' before the next piece's
+        # first statement (dsl-multipart-scripts/0007)
+        src = ";\n".join(p.rstrip().rstrip(";") if p.strip() else p
+                         for p in pieces)
         a = rest
     else:
         src = None
@@ -7193,6 +7210,31 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
     if case.ofmt in ("xtab", "dkvp", "pprint") and any(
             isinstance(x, str) and "\n" in x
             for r in our_recs for x in r.values()):
+        if case.ofmt == "xtab":
+            # xtab prints values RAW, so embedded newlines span
+            # physical lines (record_writer_xtab.go) and the golden
+            # can't be re-parsed record-wise — compare rendered text
+            # (dsl-basic/0061, verb-json-parse-json-stringify/0019)
+            blocks = []
+            for r in our_recs:
+                w = max((len(str(k)) for k in r), default=0)
+                blocks.append("\n".join(
+                    f"{str(k).ljust(w)} {_render_value(v)}"
+                    for k, v in r.items()))
+            txt = "\n\n".join(blocks) + ("\n" if blocks else "")
+            with open(os.path.join(case_dir, "expout")) as fh:
+                want = fh.read()
+            if txt != want:
+                if os.environ.get("MLR_RAY_DEBUG_XTAB"):
+                    with open("/tmp/xtab_ours.txt", "w") as fh:
+                        fh.write(txt)
+                    with open("/tmp/xtab_want.txt", "w") as fh:
+                        fh.write(want)
+                return "fail", f"{cmd}: xtab text mismatch"
+            pok, pmsg = _compare_postcmp(postcmp)
+            if pok:
+                pok, pmsg = _compare_stderr(case_dir)
+            return ("pass", "ok") if pok else ("fail", f"{cmd}: {pmsg}")
         return "skip", f"embedded newline not representable in {case.ofmt}"
     if case.ofmt == "pprint":
         # pprint cannot represent leading/trailing whitespace in values

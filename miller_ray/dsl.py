@@ -59,14 +59,14 @@ _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+)
   | (?P<comment>\#[^\n]*)
   | (?P<float>(\d+\.\d*|\.\d+)([eE][+-]?\d+)?|\d+[eE][+-]?\d+)
-  | (?P<int>0[xX][0-9a-fA-F]+|0[bB][01]+|\d+)
+  | (?P<int>0[xX][0-9a-fA-F]+|0[bB][01]+|0[oO][0-7]+|\d+)
   | (?P<bytesstr>b"(\\.|[^"\\])*")
   | (?P<string>"(\\.|[^"\\])*"i?)
   | (?P<panic>%%%panic%%%)
   | (?P<posfield>\$\[\[\[|\$\[\[|\$\[)
-  | (?P<field>\$(\{[^}]*\}|[A-Za-z0-9_]+|\*))
-  | (?P<oosvar>@(\{[^}]*\}|[A-Za-z0-9_]+|\*)?)
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<field>\$(\{[^}]*\}|\w+|\*))
+  | (?P<oosvar>@(\{[^}]*\}|\w+|\*)?)
+  | (?P<ident>[^\W\d]\w*)
   | (?P<op>\*\*|\.\+|\.-|\.\*|\./|//|<=>|<<|>>>|>>|<=|>=|==|!=~|!=|=~|!~|&&|\|\||\^\^|\?\?\??|[-+*/%<>=!?:;,().{}\[\]|&^~])
 """, re.VERBOSE)
 
@@ -825,8 +825,10 @@ class _Parser:
 
     def match_(self) -> Expr:
         left = self.comparison()
-        while self.peek()[1] in ("=~", "!~"):
+        while self.peek()[1] in ("=~", "!~", "!=~"):
             _, op = self.next()
+            if op == "!=~":  # grammar spelling of negated match
+                op = "!~"
             right = self.comparison()
 
             def f(t, env, left=left, right=right, op=op):
@@ -1021,6 +1023,26 @@ class _Parser:
                 x = operand(t, env)
                 return pc.invert(x) if _is_arr(x) else (not x)
             return f
+        if v == "~":
+            # unary bitwise NOT (bifs/bits.go BitwiseNOT): ints only;
+            # absent passes through (dsl-basic/0051)
+            self.next()
+            operand = self.unary()
+
+            def f(t, env, operand=operand):
+                x = operand(t, env)
+                if x is None:
+                    return None
+                if _is_arr(x):
+                    return pc.bit_wise_not(x)
+                x = _scalarize(x)
+                if isinstance(x, bool) or not isinstance(x, (int, np.integer)):
+                    try:
+                        x = int(str(x), 0)
+                    except (ValueError, TypeError):
+                        return "(error)"
+                return ~int(x)
+            return f
         return self.power()
 
     def power(self) -> Expr:
@@ -1142,7 +1164,10 @@ class _Parser:
                 # VALUE keeps the body, regex consumers see (?i)
                 v = v[:-1]
             raw = v[1:-1]
-            pieces = re.split(r"(\\[0-9])", raw)
+            # \N is a regex-capture ref UNLESS it starts a 3-digit
+            # octal escape like \102 (unbackslash.go isBackslashOctal
+            # wins before capture splitting; dsl-basic/0061)
+            pieces = re.split(r"(\\[0-9](?![0-7][0-7]))", raw)
             # regex-position consumers (sub/gsub/=~ ...) need the RAW
             # literal: Miller does not unescape regex strings, so
             # "\\t" matches a literal backslash-t, not a TAB
@@ -2297,8 +2322,12 @@ def _exec_impl(self, stmts, t, env, mask, state):
             srec = env.get("\x00srec")
             items = _redirect_items(seq, env, t, redir)
             if items is None:
-                raise DslError("tee requires a file or stderr target")
-            if srec is not None:
+                # `tee > stdout, $*`: the record goes to the normal
+                # output stream (output handlers' stdout target;
+                # dsl-redirects/0011, dsl-output-redirects/0031)
+                if srec is not None:
+                    _seq_push_recs(seq, [dict(srec)])
+            elif srec is not None:
                 items.append(("rec", dict(srec)))
         elif kind == "localdecl":
             typ, name, expr = rest
@@ -3044,8 +3073,16 @@ def _seq_emit(variant, targets, keyexprs, t, env, seq):
     oos = seq["oos"]
     if variant == "emitf":
         rec = {}
-        for _kind, name, _idx in targets:
-            v = oos.get(name)
+        for tg in targets:
+            if tg[0] == "ref":
+                name, v = tg[1], oos.get(tg[1])
+            elif tg[0] == "lref":
+                name = tg[1]
+                v = _scope_lookup(env, name)
+                v = None if v is _ABSENT else v
+            else:  # ("named_expr", name, e) — $field emittable
+                name = tg[1]
+                v = _scalarize(tg[2](t, env))
             if v is not None:
                 rec[name] = v
         if rec:
@@ -3591,8 +3628,13 @@ def _parse_emit(p: "_Parser", variant: str) -> tuple:
     if variant == "emitf":
         while True:
             tg = _parse_emit_target(p)
-            if tg[0] != "ref" or tg[2]:
-                raise DslError("emitf takes unindexed @oosvar names")
+            # emitf takes named emittables: @oosvar (unindexed), local
+            # var, or $field (emitf.go:39 'emitf a,$b,@c' — key is the
+            # bare name, getNameFromNamedNode)
+            ok = (tg[0] == "ref" and not tg[2]) or \
+                tg[0] in ("lref", "named_expr")
+            if not ok:
+                raise DslError("emitf takes unindexed variable names")
             targets.append(tg)
             if p.peek() == ("op", ","):
                 p.next()
@@ -3995,19 +4037,29 @@ def _parse_stmts(p: "_Parser", in_block: bool = False,
                 p.i = saved_i
                 e = p.expr()
                 if p.peek() == ("op", "{"):
-                    stmts.append(("cond", [(e, _parse_block(p))]))
+                    stmts.append(("cond", [(_pa_cond(e), _parse_block(p))]))
                 else:
                     stmts.append(("expr", e))
         else:
             e = p.expr()
             if p.peek() == ("op", "{"):
                 # AWK-style pattern-action: expr { stmts }
-                stmts.append(("cond", [(e, _parse_block(p))]))
+                stmts.append(("cond", [(_pa_cond(e), _parse_block(p))]))
             else:
                 stmts.append(("expr", e))
         if p.peek() == ("op", ";"):
             p.next()
             need_sep = False
+
+
+def _pa_cond(e):
+    """Pattern-action conditions treat ABSENT as false rather than
+    erroring (cond.go:57-58 Execute: condition.IsAbsent() -> false;
+    dsl-null-empty-handling 0014/0016)."""
+    def f(t, env, e=e):
+        v = e(t, env)
+        return False if v is None else v
+    return f
 
 
 def _check_return_shape(stmts, kind: str):
