@@ -161,7 +161,8 @@ def _dedupe_header(hdr: list[str]) -> list[str]:
 
 
 def read_csv(path: str, sep: str = ",", ragged: bool = False,
-             implicit_header: bool = False) -> list[dict]:
+             implicit_header: bool = False,
+             skip_trivial: bool = False) -> list[dict]:
     import csv
 
     with open(path, encoding="utf-8-sig") as f:  # strips a UTF-8 BOM
@@ -184,6 +185,11 @@ def read_csv(path: str, sep: str = ",", ragged: bool = False,
     out = []
     for row in data:
         if len(row) != len(hdr) and not ragged and not implicit_header:
+            if skip_trivial and not any(f != "" for f in row):
+                # a skip-trivial-records chain downgrades all-empty
+                # ragged rows from fatal to skipped
+                # (record_reader_csv.go:264-270, issue #1535)
+                continue
             msg = (f"ragged CSV input without --allow-ragged-csv-input "
                    f"({len(row)} fields vs {len(hdr)} header)")
             if EXPECT_FAIL_MODE[0]:
@@ -1626,6 +1632,10 @@ def parse_cmd(cmd: str) -> Case:
         if not files and gen is None and not no_input:
             return Case("", [], [], unsupported="no verb")
         verb = "cat"
+    elif toks[i] == "then":
+        # `mlr then cat ...`: an empty leading chain slot defaults to
+        # cat (chaining/0013) — keep the 'then' for the segment split
+        verb = "cat"
     else:
         verb = toks[i]
         i += 1
@@ -1750,7 +1760,7 @@ def parse_cmd(cmd: str) -> Case:
             # quiet put: the DSL writer's output IS the whole stdout
             ofmt = dsl_ofmt
         else:
-            args.append("__DSL_OFMT_MIXED__")
+            args.extend(["__DSL_OFMT_MIXED__", dsl_ofmt])
     if ifmt == "jsonl":
         ifmt = "json"
 
@@ -1796,9 +1806,22 @@ def _maybe_decompress(p: str, args: list[str]) -> str:
     if p.endswith(".zst") or "--zstdin" in args:
         try:
             import zstandard as _zstd
+
+            raw = _zstd.ZstdDecompressor().decompress(
+                open(p, "rb").read())
         except ImportError:
-            raise Unsupported("zstd input (no zstandard module)")
-        raw = _zstd.ZstdDecompressor().decompress(open(p, "rb").read())
+            # no python binding in this container — fall back to the
+            # zstd CLI (the engine-proper never reads zstd; this is
+            # the conformance reader only)
+            import shutil as _sh
+            import subprocess as _sp
+
+            if not _sh.which("zstd"):
+                raise Unsupported("zstd input (no zstandard module)")
+            r9 = _sp.run(["zstd", "-dc", p], capture_output=True)
+            if r9.returncode != 0:
+                raise Unsupported("zstd input (decompress failed)")
+            raw = r9.stdout
     elif p.endswith(".gz") or "--gzin" in args:
         with _gzip.open(p, "rb") as fh:
             raw = fh.read()
@@ -1892,7 +1915,10 @@ def _load_df_body(case: Case) -> pd.DataFrame:
                                     ragged=case.ragged)
         elif fmt == "csv":
             recs = read_csv(p, sep=case.ifs or ",", ragged=case.ragged,
-                            implicit_header=case.implicit_header)
+                            implicit_header=case.implicit_header,
+                            skip_trivial=(
+                                case.verb == "skip-trivial-records"
+                                or "skip-trivial-records" in case.args))
         elif fmt == "csvlite":
             recs = read_csvlite(p, sep=case.ifs or ",", ragged=case.ragged,
                                 implicit_header=case.implicit_header)
@@ -2687,8 +2713,21 @@ def execute(case: Case, df: pd.DataFrame):
         df = _void_to_nan(df, (_flagvals(a, "-f") or "").split(","))
         interpolated = _has(a, "-i")
         accs = _flagvals(a, "-a").split(",")
+        _MILLER_ACCS = {"antimode", "count", "distinct_count", "kurtosis",
+                        "mad", "max", "maxlen", "mean", "meaneb", "min",
+                        "minlen", "mode", "null_count", "skewness",
+                        "stddev", "sum", "var", "median", "first", "last"}
         for acc in accs:
-            if acc not in _SUPPORTED_ACCS and not re.fullmatch(r"p\d+(\.\d+)?", acc):
+            if re.fullmatch(r"p\d+(\.\d+)?", acc):
+                continue
+            if acc not in _MILLER_ACCS:
+                # unknown accumulator is fatal at construction
+                # (stats1_accumulators.go:356; verb-stats1/0018)
+                from miller_ray.functions import FatalError
+
+                raise FatalError(
+                    f'mlr stats1: accumulator "{acc}" not found')
+            if acc not in _SUPPORTED_ACCS:
                 raise Unsupported(f"stats1 acc {acc}")
         meta_cols = ("__row__", "__file__", "__filenum__")
         if _has(a, "--fr") or _has(a, "--fx"):
@@ -2747,6 +2786,21 @@ def execute(case: Case, df: pd.DataFrame):
                         elif re.fullmatch(r"p\d+(\.\d+)?", acc):
                             row[f + "_" + acc] = EX.percentile_type1(
                                 vals, float(acc[1:]))
+                        elif acc == "null_count":
+                            # VOID or JSON-null values
+                            # (stats1_accumulators.go null_count;
+                            # verb-stats1-regexed-field-names/0008)
+                            raw_vals = group_df[f].tolist()
+                            row[f + "_null_count"] = sum(
+                                1 for x in raw_vals
+                                if (isinstance(x, str) and x == "")
+                                or x is None
+                                or (isinstance(x, float) and np.isnan(x)))
+                        elif acc == "count":
+                            row[f + "_count"] = len(vals)
+                        elif acc == "distinct_count":
+                            row[f + "_distinct_count"] = len(
+                                {str(x) for x in vals})
                         else:
                             raise Unsupported(f"mixed-type acc {acc}")
                 return row
@@ -3055,13 +3109,35 @@ def execute(case: Case, df: pd.DataFrame):
         return out.sort_values("__row__").drop(columns=["__row__", "__file__", "__filenum__"], errors="ignore"), ordered
 
     if v == "histogram":
-        if _has(a, "-s"):
-            raise Unsupported("histogram -s")
         fields = _flagvals(a, "-f").split(",")
         nbins = int(_flagvals(a, "--nbins", "20"))
         work = df.copy()
         for f in fields:
             work[f] = pd.to_numeric(work[f], errors="coerce")
+        if _has(a, "-s"):
+            # -s: one record per field {field, lo, hi, sparkline}
+            # (histogram.go:271-291 sparklineRecord; verb-histogram/0008)
+            from miller_ray.functions import REGISTRY
+            from miller_ray import dsl as DSL
+
+            if _has(a, "--auto"):
+                lo = min(work[f].min() for f in fields)
+                hi = max(work[f].max() for f in fields)
+            else:
+                lo = float(_flagvals(a, "--lo"))
+                hi = float(_flagvals(a, "--hi"))
+            hist = verbs.histogram(_ds(work), fields, lo=float(lo),
+                                   hi=float(hi), nbins=nbins)
+            prefix = _flagvals(a, "-o") or ""
+            rows = [{prefix + "field": f,
+                     prefix + "lo": DSL._print_render(float(lo),
+                                                      REGTEST_OFMT[0]),
+                     prefix + "hi": DSL._print_render(float(hi),
+                                                      REGTEST_OFMT[0]),
+                     prefix + "sparkline": REGISTRY["sparkline"](
+                         [int(c) for c in hist[f + "_count"]])}
+                    for f in fields]
+            return pd.DataFrame({"__rows__": rows}).pipe(_rows_frame), True
         if _has(a, "--auto"):
             out = verbs.histogram_auto(_ds(work), fields, nbins=nbins)
         else:
@@ -3189,7 +3265,14 @@ def execute(case: Case, df: pd.DataFrame):
         from miller_ray.functions import REGISTRY as _REG
 
         if _has(a, "--help"):
-            raise Unsupported("sparkline --help")
+            # verb --help prints the UsageFunc text and exits 0
+            # (cli.ErrHelpRequested; verb-sparkline/0003)
+            from miller_ray import help_catalog as _H
+
+            usage = _H.verb_usage_exact("sparkline")
+            if usage is None:
+                raise Unsupported("sparkline --help")
+            return RawText(usage.split("\n", 1)[1]), True
         fields = (_flagvals(a, "-f") or "").split(",")
         work = df.sort_values("__row__") if "__row__" in df.columns else df
         rows = []
@@ -3216,7 +3299,12 @@ def execute(case: Case, df: pd.DataFrame):
     if v == "bar":
         # transformers/bar.go: numeric fields replaced by cheesy bars
         if _has(a, "--help"):
-            raise Unsupported("bar --help")
+            from miller_ray import help_catalog as _H
+
+            usage = _H.verb_usage_exact("bar")
+            if usage is None:
+                raise Unsupported("bar --help")
+            return RawText(usage.split("\n", 1)[1]), True
         fields = (_flagvals(a, "-f") or "").split(",")
         lo0 = float(_flagvals(a, "--lo", "0"))
         hi0 = float(_flagvals(a, "--hi", "100"))
@@ -3574,7 +3662,13 @@ def execute(case: Case, df: pd.DataFrame):
         return work.drop(columns=["__row__", "__file__", "__filenum__"], errors="ignore"), True
 
     if v == "tac":
-        return df.sort_values("__row__", ascending=False)                  .drop(columns=["__row__", "__file__", "__filenum__"], errors="ignore"), True
+        out = df.sort_values("__row__", ascending=False)                  .drop(columns=["__row__", "__file__", "__filenum__"], errors="ignore")
+        raw = df.attrs.get("raw_records")
+        if raw is not None and len(raw) == len(out):
+            # exact per-record key order survives the reversal — needed
+            # by headerless het output (io-het-csv-input/0026)
+            out.attrs["out_records"] = list(reversed(raw))
+        return out, True
 
     if v == "seqgen":
         start = int(_flagvals(a, "--start", "1"))
@@ -3669,15 +3763,17 @@ def execute(case: Case, df: pd.DataFrame):
         return pd.concat([out, rest], ignore_index=True), False
 
     if v == "grep":
-        if _has(a, "-a") or _has(a, "-o"):
-            raise Unsupported("grep -a/-o")
         invert = _has(a, "-v")
         ignore_case = _has(a, "-i")
+        values_only = _has(a, "-a")  # grep.go:89 — match the NIDX string
         pattern = [x for x in a if not x.startswith("-")][-1]
         flags = re.IGNORECASE if ignore_case else 0
         rx = re.compile(pattern, flags)
 
         def render(row):
+            if values_only:  # ToNIDXString: values joined by spaces
+                return " ".join(f"{'' if pd.isna(v_) else v_}"
+                                for v_ in row.values if not pd.isna(v_))
             return ",".join(f"{k}={'' if pd.isna(v_) else v_}"
                             for k, v_ in row.items() if not pd.isna(v_))
 
@@ -4273,10 +4369,6 @@ def execute(case: Case, df: pd.DataFrame):
 
     if v == "unspace":
         keys_only, values_only = _has(a, "-k"), _has(a, "-v")
-        if values_only and case.ofmt == "pprint":
-            # keys keep their spaces -> pprint output is ambiguous to
-            # re-parse (header tokens split on the very spaces)
-            raise Unsupported("unspace -v with pprint output")
         ch = _flagvals(a, "-f", "_")
         work = _drop_meta(df).copy()
         if not keys_only:
@@ -4286,6 +4378,14 @@ def execute(case: Case, df: pd.DataFrame):
         if not values_only:
             work = work.rename(columns={c: c.replace(" ", ch)
                                         for c in work.columns})
+        if values_only and case.ofmt == "pprint":
+            # keys keep their spaces -> the golden pprint header is
+            # ambiguous to re-parse (header tokens split on those very
+            # spaces) — compare rendered text instead (verb-unspace/0003)
+            recs = [{k: ("" if pd.isna(x) else x) for k, x in row.items()}
+                    for _, row in work.iterrows()]
+            return RawText(render_records(recs, "pprint",
+                                          flatsep=case.flatsep or ".")), True
         return work, True
 
     if v == "altkv":
@@ -4478,18 +4578,53 @@ def execute(case: Case, df: pd.DataFrame):
                 order.append(sig)
             groups[sig].append(r)
         out_rows = [r for sig in order for r in groups[sig]]
-        return pd.DataFrame({"__rows__": out_rows}).pipe(_rows_frame), True
+        out = pd.DataFrame({"__rows__": out_rows}).pipe(_rows_frame)
+        out.attrs["out_records"] = out_rows
+        return out, True
 
     if v == "check":
         # check.go: validates the stream and emits NO records
         return df.iloc[0:0], True
+
+    if v == "group-by":
+        # group_by.go:117-129: regroup by the VALUES of the positional
+        # comma-joined field list; groups in first-seen order, original
+        # order within; records missing ANY group field are dropped
+        pos = [x for x in a if not x.startswith("-")
+               and x != "__NO_INPUT__"]
+        if not pos:
+            raise Unsupported("group-by without field names")
+        gflds = pos[0].split(",")
+        raw = df.attrs.get("raw_records")
+        work = df.sort_values("__row__")
+        if raw is None or len(raw) != len(work):
+            raw = [{k: x for k, x in row.items()
+                    if not str(k).startswith("__")
+                    and not (x is None or (isinstance(x, float)
+                                           and np.isnan(x)))}
+                   for _, row in work.iterrows()]
+        order2: list[tuple] = []
+        groups2: dict[tuple, list[dict]] = {}
+        for r in raw:
+            if any(f2 not in r for f2 in gflds):
+                continue
+            sig = tuple(str(r[f2]) for f2 in gflds)
+            if sig not in groups2:
+                groups2[sig] = []
+                order2.append(sig)
+            groups2[sig].append(r)
+        out_rows = [r for sig in order2 for r in groups2[sig]]
+        return pd.DataFrame({"__rows__": out_rows}).pipe(_rows_frame), True
 
     if v == "rank":
         # rank.go: competition rank (min method) per field, optional
         # groups; --sorted is an O(1)-space promise with identical
         # output on sorted input
         if not _flagvals(a, "-f"):
-            raise Unsupported("rank without -f")
+            # -f is required at CLI parse (rank.go usage; verb-rank/0006)
+            from miller_ray.functions import FatalError
+
+            raise FatalError("mlr rank: -f field names required")
         fields = _flagvals(a, "-f").split(",")
         g = _flagvals(a, "-g")
         gb = g.split(",") if g else None
@@ -5185,10 +5320,19 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                 lib_files.append(p2)
         lib_src = "".join(open(p2).read() + "\n" for p2 in lib_files)
         src = lib_src + src
-    if "__DSL_OFMT_MIXED__" in a:
-        raise Unsupported(
-            f"{v} with a separate DSL writer format AND a pass-through "
-            f"record stream (two concurrent output writers)")
+    mixed_dsl_ofmt = _flagvals(a, "__DSL_OFMT_MIXED__")
+    if mixed_dsl_ofmt:
+        if ofmt != "pprint":
+            # only a BUFFERED main writer keeps the two streams
+            # separable (pprint holds all records to end-of-stream;
+            # a streaming main writer would interleave)
+            raise Unsupported(
+                f"{v} with a separate DSL writer format AND a "
+                f"pass-through record stream (two concurrent output "
+                f"writers)")
+        i9 = a.index("__DSL_OFMT_MIXED__")
+        a = a[:i9] + a[i9 + 2:]
+        force_seq = True
     if "-s" in a:
         # put/filter -s name=value: preset @name as if by a begin block
         # (put_or_filter.go:278 "mlr put -s sum=0" == put 'begin{@sum=0}');
@@ -5323,7 +5467,7 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
         # full reference semantics at conformance scale (the
         # distributed engine path for the associative subset is
         # dsl.put_oosvar)
-        if invert:
+        if invert and v != "filter":
             raise Unsupported(f"{v} -x with sequential execution")
         raw = df.attrs.get("raw_records")
         if raw is not None and len(raw) == len(df):
@@ -5362,12 +5506,26 @@ def _exec_put_filter(v: str, a: list[str], df: pd.DataFrame,
                 records, seeds=seeds, quiet=quiet, ofmt=REGTEST_OFMT[0],
                 want_filter=(v == "filter"), sinks=sinks,
                 flatsep=flatsep,
-                end_nr=df.attrs.get("stream_end_nr"))
+                end_nr=df.attrs.get("stream_end_nr"),
+                invert=invert,
+                tag_stdout_redirect=bool(mixed_dsl_ofmt))
         except DSL.DslError as e:
             raise Unsupported(f"dsl seq: {e}")
         except (TypeError, KeyError, IndexError) as e:
             raise Unsupported(f"dsl seq {type(e).__name__}: {e}")
         _write_dsl_sinks(sinks, ofmt, flatsep)
+        if mixed_dsl_ofmt and sinks.get("stdout_redir"):
+            # two concurrent stdout writers: the `> stdout` redirect
+            # renders through the put-level format; the buffered main
+            # pprint writer flushes after it (dsl-output-redirects/0070)
+            redir_recs = [p for k2, p in sinks["stdout_redir"]
+                          if k2 == "rec"]
+            head = render_records(redir_recs, mixed_dsl_ofmt,
+                                  flatsep=flatsep)
+            clean = [{k: x for k, x in r.items()
+                      if not str(k).startswith("__")} for r in recs]
+            body = render_records(clean, ofmt, flatsep=flatsep)
+            return RawText(head + body), True
         for cmd2, ent in (sinks.get("pipes") or {}).items():
             # pipe redirect: rendered output runs through the shell
             # command; the command's stdout joins mlr's stdout
@@ -6684,6 +6842,15 @@ def _run_case_inner(case_dir: str,
     rel = os.path.relpath(case_dir, REFERENCE)
     cmd = cmd.replace("${CASEDIR}", rel).replace("./" + rel, rel)
     ctoks = cmd.split()
+    if len(ctoks) == 1 and ctoks[0] in ("mlr", "${MLR}"):
+        # bare `mlr`: usage to stderr, exit 1 (climain parseCommandLine
+        # -> help.MainUsage; cli-default-verb-cat/0004)
+        usage = _main_usage_text()
+        experr_p = os.path.join(case_dir, "experr")
+        want = open(experr_p).read() if os.path.exists(experr_p) else ""
+        if usage is not None and usage.rstrip("\n") == want.rstrip("\n"):
+            return "pass", "failed as expected (usage to stderr)"
+        return "skip", "no verb"
     if len(ctoks) >= 2 and ctoks[0] in ("mlr", "${MLR}") \
             and ctoks[1] in _AUXENTS:
         return _run_auxent(case_dir, cmd)
@@ -6899,6 +7066,33 @@ def _run_expect_fail(case_dir: str, cmd: str, case: Case, segments,
     return "fail", f"{cmd}: unreachable"
 
 
+def _main_usage_text() -> str | None:
+    """Extract help.MainUsage's text from the reference at runtime
+    (pkg/terminals/help/entry.go:294-310 — a raw backtick literal plus
+    the DOC_URL line), like the rest of the help surface."""
+    p = os.path.join(REFERENCE, "pkg/terminals/help/entry.go")
+    try:
+        src = open(p).read()
+    except OSError:
+        return None
+    i = src.find("func MainUsage")
+    if i < 0:
+        return None
+    j = src.find("`", i)
+    k = src.find("`", j + 1)
+    if j < 0 or k < 0:
+        return None
+    body = src[j + 1:k]
+    try:
+        du = open(os.path.join(REFERENCE, "pkg/lib/docurl.go")).read()
+        m = re.search(r'DOC_URL\s*=\s*"([^"]+)"', du)
+        if m:
+            body += f"Please also see {m.group(1)}\n"
+    except OSError:
+        pass
+    return body
+
+
 def _compare_stderr(case_dir: str) -> tuple[bool, str]:
     if not _LAST_STDERR:
         return True, "ok"
@@ -7031,6 +7225,9 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
                 raise Unsupported("empty then segment")
             sub_case = dataclasses.replace(
                 case, verb=seg[0], args=seg[1:], unsupported=None)
+            # poison inherited out_records so only the stage's OWN
+            # record-order claim survives (attrs propagate via .copy())
+            df.attrs["out_records"] = None
             ours, seg_ordered = execute(sub_case, df)
             if isinstance(ours, RawText):
                 if si != len(segments) - 1:
@@ -7061,6 +7258,11 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
         # records emitted before the abort
         if expect_fail:
             precs = getattr(e, "partial_records", None) or []
+            if case.verb == "join":
+                # the abort came from join's own -f side reader (or
+                # pre-join main input): nothing reached the writer
+                # (verb-join/left-file-malformed-*)
+                precs = []
             got = render_records(precs, case.ofmt,
                                  flatsep=case.flatsep or ".") \
                 if precs else ""
@@ -7152,11 +7354,20 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
                    for r in our_recs}
         if case.headerless_out and case.ofmt != "nidx" and \
             len(keysets) > 1 and not case.implicit_header:
-            # het keysets + headerless output: the union frame cannot
-            # represent per-record key ORDER, which decides the
-            # positional value order — itemized gap
-            raise Unsupported("headerless output with heterogeneous "
-                              "key order")
+            pres = None if ours is None else \
+                ours.attrs.get("out_records")
+            if pres is not None and len(pres) == len(our_recs):
+                # the final stage carried exact per-record key order
+                # (tac/group-like/group-by record reorderings) —
+                # positional values come from it
+                # (io-het-csv-input/0026-0027)
+                our_recs = [dict(r) for r in pres]
+            else:
+                # het keysets + headerless output: the union frame
+                # cannot represent per-record key ORDER, which decides
+                # the positional value order — itemized gap
+                raise Unsupported("headerless output with "
+                                  "heterogeneous key order")
         our_recs = [{str(i): v for i, v in enumerate(
                         (x for x in r.values()
                          if not (x is None or (isinstance(x, float)
@@ -7207,6 +7418,27 @@ def _run_case_body(case_dir: str, cmd: str, case: Case,
                     fr[k] = x
             flat_recs.append(fr)
         our_recs = flat_recs
+    if case.ofmt == "xtab" and any(
+            isinstance(k, str) and " " in k
+            for r in our_recs for k in r):
+        # keys containing spaces make the golden xtab ambiguous to
+        # re-parse (key = first space-run-delimited token) — compare
+        # rendered text (verb-stats1-regexed-field-names/0008)
+        blocks = []
+        for r in our_recs:
+            w = max((len(str(k)) for k in r), default=0)
+            blocks.append("\n".join(
+                f"{str(k).ljust(w)} {_render_value(v)}"
+                for k, v in r.items()))
+        txt = "\n\n".join(blocks) + ("\n" if blocks else "")
+        with open(os.path.join(case_dir, "expout")) as fh:
+            want = fh.read()
+        if txt != want:
+            return "fail", f"{cmd}: xtab text mismatch"
+        pok, pmsg = _compare_postcmp(postcmp)
+        if pok:
+            pok, pmsg = _compare_stderr(case_dir)
+        return ("pass", "ok") if pok else ("fail", f"{cmd}: {pmsg}")
     if case.ofmt in ("xtab", "dkvp", "pprint") and any(
             isinstance(x, str) and "\n" in x
             for r in our_recs for x in r.values()):

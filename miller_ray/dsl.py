@@ -3033,6 +3033,11 @@ def _redirect_items(seq, env, t, redir):
         ent = pipes.setdefault(cmd, {"items": []})
         return ent["items"]
     if tgt == "stdout":
+        if seq.get("tag_stdout_redirect"):
+            # the harness renders explicit >stdout redirect output
+            # through the put-level writer format, separately from the
+            # pass-through stream (dsl-output-redirects/0070)
+            return seq.setdefault("stdout_redir_items", [])
         return None
     if tgt == "stderr":
         return seq.setdefault("stderr_items", [])
@@ -3333,7 +3338,8 @@ def _print_render(v, ofmt: str | None = None) -> str:
 def _run_records_impl(self, records: list[dict], seeds: list[dict] | None
                       = None, quiet=False, ofmt: str | None = None,
                       want_filter=False, sinks: dict | None = None,
-                      flatsep: str = ".", end_nr: int | None = None):
+                      flatsep: str = ".", end_nr: int | None = None,
+                      invert=False, tag_stdout_redirect=False):
     """Wrapper installing the process-wide float formatter (MLR_OFMT
     analogue) for the duration of the run; see _run_records_body.
     ``sinks``, when given, receives redirect output: sinks["files"] =
@@ -3345,7 +3351,8 @@ def _run_records_impl(self, records: list[dict], seeds: list[dict] | None
         _bifs.OFMT = ofmt
     try:
         return _run_records_body(self, records, seeds, quiet, ofmt,
-                                 want_filter, sinks, flatsep, end_nr)
+                                 want_filter, sinks, flatsep, end_nr,
+                                 invert, tag_stdout_redirect)
     finally:
         _bifs.OFMT = saved
 
@@ -3392,7 +3399,8 @@ def run_script(prog, records, ofmt=None, flatsep="."):
 
 def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
                       want_filter=False, sinks=None, flatsep=".",
-                      end_nr=None):
+                      end_nr=None, invert=False,
+                      tag_stdout_redirect=False):
     """Row-at-a-time execution over ordered record dicts with full
     cross-record semantics (@oosvars, begin/end, emit, dump/print,
     locals, loops, user functions). Returns (records, texts): emitted +
@@ -3405,7 +3413,8 @@ def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
     when the final bare expression (or filter-keyword mask) is truthy."""
     oos: dict = {}
     seq = {"oos": oos, "emitted": [], "texts": [], "ofmt": ofmt,
-           "flatsep": flatsep}
+           "flatsep": flatsep,
+           "tag_stdout_redirect": tag_stdout_redirect}
     funcs = getattr(self, "funcs", {})
     subrs = getattr(self, "subrs", {})
     out_records: list[dict] = []
@@ -3463,6 +3472,10 @@ def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
             if pred is not None:
                 keep = bool(_scalarize(pred)) if _is_arr(pred) \
                     else bool(pred)
+            if want_filter and invert:
+                # filter -x: exclude records the expression selects
+                # (filter.go -x; dsl-context-specific-validation/0020)
+                keep = not keep
             if keep:
                 out_records.append(srec)
                 if seq.get("buf"):  # printn output joins this line
@@ -3489,6 +3502,7 @@ def _run_records_body(self, records, seeds=None, quiet=False, ofmt=None,
         sinks["files"] = seq.get("outfiles", {})
         sinks["stderr"] = seq.get("stderr_items", [])
         sinks["pipes"] = seq.get("outpipes", {})
+        sinks["stdout_redir"] = seq.get("stdout_redir_items", [])
     return out_records, texts, stream
 
 

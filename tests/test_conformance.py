@@ -184,8 +184,8 @@ def test_overall_coverage(ray_session):
         for k in tot:
             tot[k] += r[k]
     assert tot["fail"] == 0
-    # supported coverage must not silently shrink (round-5 floor: 4,655
-    # passing golden cases across all 287 UNIQUE suites — earlier
-    # rounds' "4,9xx" figures double-counted 3 duplicated SUITES
-    # entries; the deduped corpus is 4,734 top-level cases)
-    assert tot["pass"] >= 4650, tot
+    # round-5 end state: the FULL deduped corpus passes — 4,734 golden
+    # cases across all 287 unique suites, zero skips. Coverage must
+    # not silently shrink.
+    assert tot["skip"] == 0, tot
+    assert tot["pass"] >= 4734, tot
