@@ -141,7 +141,7 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
     # noisy host is visible in the artifact itself (a large IQR or a
     # median far above min flags interference — the round-2 bench
     # dispute was exactly an unflagged 2x host-noise inflation).
-    inner = int(os.environ.get("GRAFT_BENCH_INNER_REPS", "3"))
+    inner = int(os.environ.get("GRAFT_BENCH_INNER_REPS", "5"))
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
     for name, fn in queries.items():
