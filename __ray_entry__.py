@@ -782,11 +782,23 @@ def q_step_slwin(sf_dir: str):
 
 
 def q_decimate(sf_dir: str):
+    """decimate -n 10 with a declared order (exact Miller positional
+    semantics via the sorted-block carry path, SQL-oracled row-for-row;
+    the orderless verbs.decimate keeps a content-hash 1/n instead)."""
+    import pyarrow.compute as pc
+
     from miller_ray import verbs
 
     ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
-    kept = verbs.decimate(ds, n=10)
-    return pd.DataFrame({"kept": [kept.count()]})
+
+    def okey(t):
+        return t.append_column(
+            "okey", pc.add(pc.multiply(t["l_orderkey"], 16),
+                           t["l_linenumber"]))
+
+    r = verbs.decimate_positional(
+        ds.map_batches(okey, batch_format="pyarrow"), 10, [], "okey")
+    return r.select_columns(["l_orderkey", "l_linenumber"])
 
 
 def q_decimate_pos(sf_dir: str):
@@ -1396,6 +1408,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "lang_counts":
             "SELECT lang, count(*) AS count FROM documents GROUP BY lang",
+        "decimate":
+            "SELECT l_orderkey, l_linenumber FROM ("
+            "SELECT l_orderkey, l_linenumber, row_number() OVER "
+            "(ORDER BY l_orderkey*16 + l_linenumber) AS rn FROM lineitem"
+            ") WHERE rn % 10 = 0",
+        "lang_id":
+            "WITH w AS (SELECT lang, list_slice(regexp_split_to_array("
+            "lower(text), '\\s+'), 1, 200) AS ws FROM documents), "
+            "s AS (SELECT lang, "
+            "len(list_distinct(list_filter(ws, x -> x IN "
+            "('der','und','die')))) AS s_de, "
+            "len(list_distinct(list_filter(ws, x -> x IN "
+            "('the','and','of')))) AS s_en, "
+            "len(list_distinct(list_filter(ws, x -> x IN "
+            "('el','y','los')))) AS s_es, "
+            "len(list_distinct(list_filter(ws, x -> x IN "
+            "('le','et','les')))) AS s_fr FROM w), "
+            "p AS (SELECT lang, CASE "
+            "WHEN GREATEST(s_de,s_en,s_es,s_fr) = 0 THEN 'unknown' "
+            "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr "
+            "THEN 'de' "
+            "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
+            "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred FROM s) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_correct FROM p GROUP BY lang",
+        "group_like":
+            # the hetify stage nulls `value` where event_id%3==0; the
+            # group-like reordering is invisible to the driver's
+            # order-insensitive compare, so content equality IS the check
+            "SELECT event_id, event_type, "
+            "CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value "
+            "FROM events",
+        "quality_scores":
+            "WITH w AS (SELECT source, length(text)::DOUBLE AS n_chars, "
+            "len(regexp_split_to_array(text, '\\s+'))::DOUBLE AS n_words, "
+            "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            "x -> x IN ('the','and','of','a','to','in','is','it','that',"
+            "'for')))::DOUBLE AS n_stop FROM documents) "
+            "SELECT source, "
+            "ROUND(AVG(n_stop / GREATEST(n_words, 1)), 6) AS stop_ratio_mean, "
+            "ROUND(AVG(n_chars / GREATEST(n_words, 1)), 6) "
+            "AS mean_word_len_mean FROM w GROUP BY source",
         "token_stats":
             "WITH t AS (SELECT lang, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) "
             "AS n_tok FROM documents) "
