@@ -28,7 +28,7 @@ from miller_ray.sketches.minhash import MinHash, hamming64, shingle_hashes, simh
 
 
 def exact_dedup(ds, content_cols: list[str], id_col: str,
-                keep: str = "min"):
+                keep: str = "min", broadcast_limit: int = 2_000_000):
     """Keep one row per distinct content: the one with the min (or max)
     id. Shuffle key = content hash; collisionful groups are disambiguated
     inside the group by the real content columns."""
@@ -53,7 +53,7 @@ def exact_dedup(ds, content_cols: list[str], id_col: str,
     parts = hashed.map_batches(local_winner, batch_format="pyarrow").materialize()
     agg_col = f"{id_col}_{keep}"
     n_parts = parts.count()
-    if n_parts > 2_000_000:
+    if n_parts > broadcast_limit:
         # Stage 2, scale path: winners stay distributed; semi-join rows
         # against them with a hash-partitioned shuffle join on
         # (__h, id) — nothing corpus-sized ever lands on one node.
@@ -63,8 +63,17 @@ def exact_dedup(ds, content_cols: list[str], id_col: str,
             Max(agg_col, alias_name=agg_col)
         winners_ds = (parts.groupby("__h").aggregate(agg)
                            .rename_columns({agg_col: id_col}))
+        # partitions scale with the winner count but are clamped to the
+        # cluster's CPU slots: the hash-shuffle join's aggregator pool
+        # DEADLOCKS when num_partitions exceeds schedulable cores
+        # (observed: 32 partitions on a 4-CPU ray.init hangs forever)
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
         joined = hashed.join(winners_ds, join_type="inner",
-                             num_partitions=max(32, n_parts // 1_000_000),
+                             num_partitions=max(
+                                 2, min(max(cpus, n_parts // 1_000_000),
+                                        4 * cpus)),
                              on=("__h", id_col))
         return joined.map_batches(
             lambda df: df.drop(columns="__h").drop_duplicates(subset=content_cols),

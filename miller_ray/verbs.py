@@ -1292,13 +1292,22 @@ def _broadcast_join(ds, small_df: pd.DataFrame, on: list[str], how: str = "left"
 
 
 def join(ds, right, on: list[str], how: str = "inner",
-         right_is_small: bool = True, num_partitions: int = 32):
+         right_is_small: bool = True, num_partitions: int | None = None):
     """Verb ``join`` (join.go:311-330). Small right side -> broadcast
     hash join (actor-pool holds the table once per actor). Large-large
-    -> Ray Dataset.join (hash-partitioned shuffle join)."""
+    -> Ray Dataset.join (hash-partitioned shuffle join).
+
+    ``num_partitions`` defaults to the cluster CPU count, capped at
+    4x: the shuffle join's aggregator pool deadlocks when partitions
+    exceed schedulable cores (32 partitions on a 4-CPU ray.init hangs
+    forever — same clamp as stages/dedup.exact_dedup)."""
     if right_is_small:
         small = right.to_pandas() if not isinstance(right, pd.DataFrame) else right
         return _broadcast_join(ds, small, on=on, how="inner" if how == "inner" else how)
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
     return ds.join(right, join_type=how, num_partitions=num_partitions, on=tuple(on))
 
 

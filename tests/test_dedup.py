@@ -26,6 +26,20 @@ def test_exact_dedup_no_dups_is_identity(rd):
     assert sorted(out["id"]) == [1, 2, 3]
 
 
+def test_exact_dedup_shuffle_join_scale_path(rd):
+    # force the >broadcast_limit branch (hash-partitioned shuffle
+    # semi-join — the 100-TB path) and check it agrees with the
+    # broadcast path on the same input
+    n = 500
+    ids = list(range(n))
+    txts = [f"doc{i % 200}" for i in ids]  # 200 distinct, dups keep min id
+    t = pa.table({"id": ids, "txt": txts})
+    a = dedup.exact_dedup(rd.from_arrow(t), ["txt"], "id").to_pandas()
+    b = dedup.exact_dedup(rd.from_arrow(t), ["txt"], "id",
+                          broadcast_limit=0).to_pandas()
+    assert sorted(a["id"]) == sorted(b["id"]) == list(range(200))
+
+
 def test_minhash_finds_planted_near_dups(rd):
     base = ("the quick brown fox jumps over the lazy dog and then runs far "
             "away into the deep dark woods to hide from every single hunter")
