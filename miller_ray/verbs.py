@@ -50,7 +50,8 @@ def _fold_partials(parts, combine, fan: int = 64, **mb_kwargs):
 # counting / distinctness  (count.go, uniq.go)
 # ---------------------------------------------------------------------------
 
-def count(ds, group_by: list[str] | None = None, output_name: str = "count") -> pd.DataFrame:
+def count(ds, group_by: list[str] | None = None, output_name: str = "count",
+          fold_limit: int = 2_000_000) -> pd.DataFrame:
     """Verb ``count`` (count.go): record count, optionally per group."""
     if not group_by:
         return pd.DataFrame({output_name: [ds.count()]})
@@ -63,7 +64,7 @@ def count(ds, group_by: list[str] | None = None, output_name: str = "count") -> 
         partial, batch_format="pyarrow").materialize()
     # small fan-in -> driver fold (a distributed shuffle on a few MB of
     # partials is pure overhead); high-cardinality keys take the Ray path
-    if parts.count() <= 2_000_000:
+    if parts.count() <= fold_limit:
         pdf = parts.to_pandas()
         if pdf.empty:  # empty input loses its schema through to_pandas
             return pd.DataFrame({**{g: [] for g in group_by},
@@ -79,7 +80,8 @@ def count(ds, group_by: list[str] | None = None, output_name: str = "count") -> 
     return out
 
 
-def _num_distinct(ds, fields: list[str]) -> int:
+def _num_distinct(ds, fields: list[str],
+                  fold_limit: int = 2_000_000) -> int:
     """Number of distinct field-combos WITHOUT collecting the distinct
     set to the driver. Per-block distinct partial (bounded by block
     size), then: small partial sets fold on the driver; above the
@@ -92,7 +94,7 @@ def _num_distinct(ds, fields: list[str]) -> int:
 
     parts = ds.select_columns(fields).map_batches(
         partial, batch_format="pyarrow").materialize()
-    if parts.count() <= 2_000_000:
+    if parts.count() <= fold_limit:
         return int(len(parts.to_pandas().drop_duplicates()))
     from ray.data.aggregate import Count
     return int(parts.groupby(fields).aggregate(Count()).count())

@@ -374,6 +374,32 @@ def test_count_distinct_n_streaming(rd):
     exact = len(df.drop_duplicates())
     assert verbs.count_distinct(ds, ["a", "b"], n=True)["count"][0] == exact
     assert _num_distinct(ds, ["a", "b"]) == exact
+    # force the above-threshold Dataset-groupby branches (the 100-TB
+    # paths: grouped-count shuffle / never-collected distinct stream)
+    assert _num_distinct(ds, ["a", "b"], fold_limit=0) == exact
+    big = verbs.count(ds, ["a"], fold_limit=0)
+    exp_a = df.groupby("a").size()
+    assert big.set_index("a")["count"].sort_index().tolist() == exp_a.tolist()
     lz = verbs.count_lazy(ds, ["a"]).to_pandas()
     exp = df.groupby("a").size()
     assert lz.set_index("a")["count"].sort_index().tolist() == exp.tolist()
+
+
+def test_grouped_percentiles_dense_refinement_path(rd):
+    # force the histogram-refinement fallback (distinct values >
+    # max_uniques — the 10^12-row continuous-column path, Pass B/C)
+    # and check it stays EXACT vs the R-type-1 definition
+    from miller_ray.engine.exact import percentile_type1
+    from miller_ray.engine.groupby import grouped_percentiles
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"g": np.arange(3000) % 3,
+                       "v": rng.normal(size=3000)})  # ~all distinct
+    ds = rd.from_pandas(df).repartition(6)
+    out = grouped_percentiles(ds, ["g"], "v", [10, 50, 99],
+                              max_uniques=10, nbins=64)
+    for g, grp in df.groupby("g"):
+        vals = np.sort(grp["v"].to_numpy())
+        row = out[out["g"] == g].iloc[0]
+        for p in (10, 50, 99):
+            assert row[f"v_p{p}"] == percentile_type1(vals, p), (g, p)
