@@ -2082,11 +2082,14 @@ def histogram_auto(ds, fields: list[str], nbins: int = 20) -> pd.DataFrame:
 
 def tee(ds, path: str):
     """Verb ``tee`` (tee.go): write the stream to a sink mid-chain and
-    pass records through. Ray-native: write partitioned parquet, return
-    the (already materialized) dataset for further stages."""
-    mat = ds.materialize()
-    mat.write_parquet(path)
-    return mat
+    pass records through. Ray-native: STREAM the write (partitioned
+    parquet, backpressured — never a full object-store materialize,
+    which would pin the whole corpus), then hand downstream stages a
+    fresh streaming read of the files just written."""
+    import ray.data as rd
+
+    ds.write_parquet(path)
+    return rd.read_parquet(path)
 
 
 def split_write(ds, out_dir: str, by: str | None = None, n: int | None = None,
