@@ -43,45 +43,122 @@ def exact_dedup(ds, content_cols: list[str], id_col: str,
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
 
     # Stage 1: winner id per content hash — vectorized per-block partial
-    # (local min/max per hash) then a small merge; NEVER a per-group
-    # Python call (a map_groups here would pay one call per distinct
-    # hash — the whole corpus).
+    # (local min/max per hash, plus the COUNT of rows tying the local
+    # winner: full-row duplicates with the same id must still emit ONE
+    # output row, and per-batch drop_duplicates cannot see cross-block
+    # copies) then a small merge; NEVER a per-group Python call (a
+    # map_groups here would pay one call per distinct hash — the whole
+    # corpus).
+    agg_col = f"{id_col}_{keep}"
+
     def local_winner(t: pa.Table) -> pa.Table:
-        out = t.select(["__h", id_col]).group_by(["__h"]).aggregate([(id_col, keep)])
-        return out.select(sorted(out.column_names))
+        # heavy reduction in Arrow (distinct (h, id) + copy count);
+        # pandas touches only the reduced set to pick the per-h winner
+        red = (t.select(["__h", id_col]).group_by(["__h", id_col])
+                .aggregate([([], "count_all")]).to_pandas())
+        idx = red.groupby("__h", sort=False)[id_col].idxmin() \
+            if keep == "min" else \
+            red.groupby("__h", sort=False)[id_col].idxmax()
+        g = (red.loc[idx]
+                .rename(columns={id_col: agg_col, "count_all": "__nw"})
+                .reset_index(drop=True))
+        return pa.Table.from_pandas(g[["__h", agg_col, "__nw"]],
+                                    preserve_index=False)
 
     parts = hashed.map_batches(local_winner, batch_format="pyarrow").materialize()
-    agg_col = f"{id_col}_{keep}"
     n_parts = parts.count()
     if n_parts > broadcast_limit:
-        # Stage 2, scale path: winners stay distributed; semi-join rows
-        # against them with a hash-partitioned shuffle join on
-        # (__h, id) — nothing corpus-sized ever lands on one node.
+        # Stage 2, scale path: winners stay distributed. A manual
+        # BUCKETED semi-join replaces Dataset.join: both sides tag
+        # bucket = __h mod P and co-locate via groupby(bucket)
+        # .map_groups — P python calls total (not per-content), each
+        # holding ~1/P of the corpus. All rows of one content hash land
+        # in one bucket, so same-(hash, id) duplicates dedupe EXACTLY
+        # here. (Dataset.join was also observed to deadlock when
+        # num_partitions exceeds ~4x schedulable cores, and to raise
+        # ArrowInvalid on empty right partitions — the manual bucket
+        # join has neither failure mode.)
+        import ray as _ray
+
         from ray.data.aggregate import Max, Min
 
         agg = Min(agg_col, alias_name=agg_col) if keep == "min" else \
             Max(agg_col, alias_name=agg_col)
         winners_ds = (parts.groupby("__h").aggregate(agg)
                            .rename_columns({agg_col: id_col}))
-        # partitions scale with the winner count but are clamped to the
-        # cluster's CPU slots: the hash-shuffle join's aggregator pool
-        # DEADLOCKS when num_partitions exceeds schedulable cores
-        # (observed: 32 partitions on a 4-CPU ray.init hangs forever)
-        import ray as _ray
-
         cpus = int(_ray.cluster_resources().get("CPU", 8))
-        joined = hashed.join(winners_ds, join_type="inner",
-                             num_partitions=max(
-                                 2, min(max(cpus, n_parts // 1_000_000),
-                                        4 * cpus)),
-                             on=("__h", id_col))
-        return joined.map_batches(
-            lambda df: df.drop(columns="__h").drop_duplicates(subset=content_cols),
-            batch_format="pandas")
+        n_buckets = max(2, min(max(cpus, n_parts // 1_000_000), 4 * cpus))
+
+        def tag_bucket(t: pa.Table) -> pa.Table:
+            b = (t["__h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % np.uint64(n_buckets)).astype(np.int64)
+            return t.append_column("__b", pa.array(b))
+
+        data_cols = [c for c in hashed.schema().names]
+        rows_b = hashed.map_batches(tag_bucket, batch_format="pyarrow")
+
+        def wside(t: pa.Table) -> pa.Table:
+            t = tag_bucket(t)
+            return t.rename_columns(
+                ["__wh" if c == "__h" else "__wid" if c == id_col else c
+                 for c in t.column_names])
+
+        win_b = winners_ds.map_batches(wside, batch_format="pyarrow")
+        ucols = data_cols + ["__b", "__wh", "__wid"]
+
+        def bucket_semijoin(g: pd.DataFrame) -> pd.DataFrame:
+            wmask = g["__wid"].notna() if "__wid" in g.columns else \
+                pd.Series(False, index=g.index)
+            w = g[wmask]
+            rows = g[~wmask]
+            keepm = pd.MultiIndex.from_arrays(
+                [rows["__h"], rows[id_col]]).isin(
+                pd.MultiIndex.from_arrays([w["__wh"], w["__wid"]]))
+            out = rows[keepm]
+            # one output row per content: same-(h, id) full-row dups
+            # collapse here (whole hash lives in this bucket); true
+            # hash collisions are disambiguated by content equality
+            out = out.drop_duplicates(subset=content_cols)
+            out = out[[c for c in data_cols if c != "__h"]].copy()
+            # the union's null padding promoted int columns to float in
+            # this pandas group — restore the input dtypes
+            for c in out.columns:
+                if pa.types.is_integer(data_types[c]) and \
+                        out[c].dtype != np.int64:
+                    out[c] = out[c].astype(np.int64)
+            return out
+
+        # union the (schema-aligned) sides: winner rows carry null data
+        # columns, data rows carry null __wh/__wid
+        data_types = dict(zip(hashed.schema().names,
+                              hashed.schema().types))
+
+        def pad_rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            t = t.append_column("__wh", pa.nulls(n, pa.int64()))
+            t = t.append_column("__wid", pa.nulls(n, data_types[id_col]))
+            return t.select(ucols)
+
+        def pad_wins(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            for c in data_cols:
+                t = t.append_column(c, pa.nulls(n, data_types[c]))
+            return t.select(ucols)
+
+        u = rows_b.map_batches(pad_rows, batch_format="pyarrow").union(
+            win_b.map_batches(pad_wins, batch_format="pyarrow"))
+        return u.groupby("__b").map_groups(bucket_semijoin,
+                                           batch_format="pandas")
 
     pdf = parts.to_pandas()
-    winners = (pdf.groupby("__h", sort=False)[agg_col]
-                  .agg(keep).reset_index())
+    gw = (pdf.groupby("__h", sort=False)
+             .agg(**{agg_col: (agg_col, keep)}).reset_index())
+    # winner multiplicity: total count of rows tying the GLOBAL winner
+    # — blocks whose local winner equals it contribute their tie count
+    sel = pdf[agg_col].to_numpy() == pdf["__h"].map(
+        gw.set_index("__h")[agg_col]).to_numpy()
+    mult = pdf[sel].groupby("__h", sort=False)["__nw"].sum()
+    winners = gw
     # Stage 2, broadcast path: pack (content hash, id hash) into one
     # uint64 per winner and semi-join via np.isin against the sorted
     # packed array — vectorized, 8 bytes/winner, no per-row Python
@@ -93,17 +170,45 @@ def exact_dedup(ds, content_cols: list[str], id_col: str,
                 ) ^ hash64(idv, seed=31)
 
     wpacked = np.sort(_pack(winners["__h"].to_numpy(), winners[agg_col].to_numpy()))
+    # (h, id) pairs whose winner row occurs MORE THAN ONCE in the input
+    # (full-row duplicates): excluded from the streamed filter and
+    # re-emitted exactly once below. Empty for well-formed inputs.
+    dup_hs = mult[mult > 1].index.to_numpy()
+    dpacked = np.sort(_pack(
+        dup_hs, gw.set_index("__h").loc[dup_hs, agg_col].to_numpy())) \
+        if len(dup_hs) else np.empty(0, dtype=np.uint64)
     wref = ray.put(wpacked)
+    dref = ray.put(dpacked)
 
     def keep_winners(df: pd.DataFrame) -> pd.DataFrame:
         w = ray.get(wref)
+        d = ray.get(dref)
         packed = _pack(df["__h"].to_numpy(), df[id_col].to_numpy())
-        out = df[np.isin(packed, w)].drop(columns="__h")
+        m = np.isin(packed, w)
+        if len(d):
+            m &= ~np.isin(packed, d)
+        out = df[m].drop(columns="__h")
         # same-hash same-id different-content collisions are broken by
         # exact content equality within the surviving rows
         return out.drop_duplicates(subset=content_cols)
 
-    return hashed.map_batches(keep_winners, batch_format="pandas")
+    streamed = hashed.map_batches(keep_winners, batch_format="pandas")
+    if not len(dpacked):
+        return streamed
+
+    def only_dups(df: pd.DataFrame) -> pd.DataFrame:
+        packed = _pack(df["__h"].to_numpy(), df[id_col].to_numpy())
+        return df[np.isin(packed, ray.get(dref))]
+
+    # the duplicated-winner rows are a tiny, bounded set: collect,
+    # dedupe exactly by content, stream back in as one extra block
+    import ray.data as _rd
+
+    extra = (hashed.map_batches(only_dups, batch_format="pandas")
+                   .to_pandas()
+                   .drop_duplicates(subset=content_cols)
+                   .drop(columns="__h"))
+    return streamed.union(_rd.from_pandas(extra))
 
 
 def _keep_multi_member_buckets(ds, keys: list[str], return_counts: bool = False):

@@ -26,6 +26,21 @@ def test_exact_dedup_no_dups_is_identity(rd):
     assert sorted(out["id"]) == [1, 2, 3]
 
 
+def test_exact_dedup_cross_block_full_row_dups(rd):
+    # identical (id, content) rows in DIFFERENT blocks must still emit
+    # exactly one output row — per-batch drop_duplicates can't see
+    # cross-block copies (regression: winner multiplicity tracking /
+    # bucketed semi-join)
+    t1 = pa.table({"id": [1, 2], "txt": ["a", "b"]})
+    t2 = pa.table({"id": [1, 3], "txt": ["a", "c"]})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    a = dedup.exact_dedup(ds, ["txt"], "id").to_pandas()
+    assert sorted(a["id"].tolist()) == [1, 2, 3]
+    b = dedup.exact_dedup(ds, ["txt"], "id", broadcast_limit=0).to_pandas()
+    assert sorted(b["id"].tolist()) == [1, 2, 3]
+    assert b["id"].dtype == "int64"
+
+
 def test_exact_dedup_shuffle_join_scale_path(rd):
     # force the >broadcast_limit branch (hash-partitioned shuffle
     # semi-join — the 100-TB path) and check it agrees with the
