@@ -67,6 +67,8 @@ def exact_dedup(ds, content_cols: list[str], id_col: str,
 
     parts = hashed.map_batches(local_winner, batch_format="pyarrow").materialize()
     n_parts = parts.count()
+    if n_parts == 0:
+        return ds  # empty input: pass the (empty) stream through
     if n_parts > broadcast_limit:
         # Stage 2, scale path: winners stay distributed. A manual
         # BUCKETED semi-join replaces Dataset.join: both sides tag

@@ -404,6 +404,9 @@ def top(ds, field: str, n: int = 1, group_by: list[str] | None = None,
     # fold once distributed so the driver sees ≤ 64 × groups × n rows
     pdf = _fold_partials(parts, per_block,
                          batch_format="pyarrow").to_pandas()
+    if pdf.empty:  # empty input loses its schema through to_pandas
+        pdf = pd.DataFrame({c: pd.Series(dtype=object)
+                            for c in group_by + [field]})
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         sel = df.sort_values(field, ascending=smallest).head(n)
@@ -415,6 +418,11 @@ def top(ds, field: str, n: int = 1, group_by: list[str] | None = None,
         return out
 
     if group_by:
+        if pdf.empty:  # groupby.apply on an empty frame drops columns
+            return pd.DataFrame({**{k: pd.Series(dtype=object)
+                                    for k in group_by},
+                                 "top_idx": pd.Series(dtype=np.int64),
+                                 f"{field}_top": pd.Series(dtype=object)})
         return (pdf.groupby(group_by, sort=False, as_index=False)
                    .apply(finalize, include_groups=True)
                    .reset_index(drop=True)[group_by + ["top_idx", f"{field}_top"]])
@@ -456,6 +464,10 @@ def histogram(ds, fields: list[str], lo: float, hi: float, nbins: int = 20) -> p
     parts = ds.select_columns(fields).map_batches(partial, batch_format="pyarrow")
     merged = parts.groupby("bin").aggregate(
         *[Sum(f"{f}_count", alias_name=f"{f}_count") for f in fields]).to_pandas()
+    if merged.empty:  # no input blocks at all: every bin counts zero
+        merged = pd.DataFrame({"bin": np.arange(nbins, dtype=np.int64),
+                               **{f"{f}_count": np.zeros(nbins, np.int64)
+                                  for f in fields}})
     merged = merged.sort_values("bin").reset_index(drop=True)
     width = (hi - lo) / nbins
     out = pd.DataFrame({"bin_lo": lo + merged["bin"] * width,

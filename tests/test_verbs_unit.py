@@ -385,6 +385,25 @@ def test_count_distinct_n_streaming(rd):
     assert lz.set_index("a")["count"].sort_index().tolist() == exp.tolist()
 
 
+def test_empty_input_passes_through(rd):
+    # an empty Dataset must flow through every aggregate/filter verb
+    # without KeyErrors from schema-less empty pandas frames
+    import pyarrow as pa
+
+    from miller_ray.stages import dedup
+
+    empty = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                    "txt": pa.array([], pa.string()),
+                                    "v": pa.array([], pa.float64())}))
+    assert len(verbs.top(empty, "v", n=3)) == 0
+    assert len(verbs.top(empty, "v", n=3, group_by=["txt"])) == 0
+    h = verbs.histogram(empty, ["v"], lo=0.0, hi=1.0, nbins=4)
+    assert len(h) == 4 and h["v_count"].sum() == 0
+    assert dedup.exact_dedup(empty, ["txt"], "id").count() == 0
+    assert dedup.exact_dedup(empty, ["txt"], "id",
+                             broadcast_limit=0).count() == 0
+
+
 def test_grouped_percentiles_dense_refinement_path(rd):
     # force the histogram-refinement fallback (distinct values >
     # max_uniques — the 10^12-row continuous-column path, Pass B/C)
