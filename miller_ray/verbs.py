@@ -46,6 +46,39 @@ def _fold_partials(parts, combine, fan: int = 64, **mb_kwargs):
     return parts.repartition(fan).map_batches(combine, **mb_kwargs)
 
 
+def _bucketed_group_apply(ds, keys: list[str], fn,
+                          num_buckets: int | None = None):
+    """Co-locate all rows of each key and apply a pandas group-wise
+    function with O(buckets) Ray tasks instead of O(groups):
+    ``groupby(keys).map_groups`` pays one Python task per distinct
+    key — a scale killer for high-cardinality keys (billions of
+    doc_ids). Rows are tagged bucket = row-hash(keys) mod P; ``fn``
+    receives one BUCKET's frame (every key's rows land whole in
+    exactly one bucket) and must itself be group-wise (e.g.
+    ``df.groupby(keys).head(n)`` — vectorized C inside the task)."""
+    import ray
+
+    if num_buckets is None:
+        num_buckets = max(2, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df):
+            df["__bkt"] = (pd.util.hash_pandas_object(
+                df[keys], index=False).to_numpy()
+                % np.uint64(num_buckets)).astype(np.int64)
+        else:
+            df["__bkt"] = pd.Series(dtype=np.int64)
+        return df
+
+    def apply_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns="__bkt"))
+
+    return (ds.map_batches(tag, batch_format="pandas")
+              .groupby("__bkt").map_groups(apply_bucket,
+                                           batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # counting / distinctness  (count.go, uniq.go)
 # ---------------------------------------------------------------------------
@@ -636,8 +669,9 @@ def head(ds, n: int = 10, group_by: list[str] | None = None,
     trimmed = ds.map_batches(
         lambda df: df.groupby(group_by, sort=False, dropna=False).head(n),
         batch_format="pandas")
-    return trimmed.groupby(group_by).map_groups(
-        lambda df: df.head(n), batch_format="pandas")
+    return _bucketed_group_apply(
+        trimmed, group_by,
+        lambda df: df.groupby(group_by, sort=False, dropna=False).head(n))
 
 
 def head_by(ds, n: int, order_by: str, group_by: list[str]):
@@ -654,9 +688,10 @@ def head_by(ds, n: int, order_by: str, group_by: list[str]):
     pruned = ds.map_batches(per_block, batch_format="pandas")
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(order_by).head(n)
+        return (df.sort_values(order_by)
+                  .groupby(group_by, sort=False, dropna=False).head(n))
 
-    return pruned.groupby(group_by).map_groups(f, batch_format="pandas")
+    return _bucketed_group_apply(pruned, group_by, f)
 
 
 def tail(ds, n: int = 10, group_by: list[str] | None = None,
@@ -678,8 +713,10 @@ def tail(ds, n: int = 10, group_by: list[str] | None = None,
             lambda df: df.groupby(group_by, sort=False,
                                   dropna=False).tail(n),
             batch_format="pandas")
-        return trimmed.groupby(group_by).map_groups(
-            lambda df: df.tail(n), batch_format="pandas")
+        return _bucketed_group_apply(
+            trimmed, group_by,
+            lambda df: df.groupby(group_by, sort=False,
+                                  dropna=False).tail(n))
     if order_by is not None:
         def per_block(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
@@ -1798,13 +1835,13 @@ def nest_implode(ds, field: str, group_by: list[str], sep: str = ";"):
     parts = ds.map_batches(partial, batch_format="pandas")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        vals = sep.join(sorted(
-            v for p in df["__part"] for v in p.split(NUL)))
-        out = df.iloc[[0]][group_by].copy()
-        out[field] = vals
+        out = (df.groupby(group_by, sort=False, dropna=False)["__part"]
+                 .agg(lambda s: sep.join(sorted(
+                     v for p in s for v in p.split(NUL))))
+                 .reset_index().rename(columns={"__part": field}))
         return out
 
-    return parts.groupby(group_by).map_groups(merge, batch_format="pandas")
+    return _bucketed_group_apply(parts, group_by, merge)
 
 
 def reshape_wide_to_long(ds, fields: list[str], key_name: str = "key",
@@ -2439,9 +2476,10 @@ def tail_by(ds, n: int, order_by: str, group_by: list[str]):
     pruned = ds.map_batches(per_block, batch_format="pandas")
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(order_by).tail(n)
+        return (df.sort_values(order_by)
+                  .groupby(group_by, sort=False, dropna=False).tail(n))
 
-    return pruned.groupby(group_by).map_groups(f, batch_format="pandas")
+    return _bucketed_group_apply(pruned, group_by, f)
 
 
 def step_slwin(ds, fields: list[str], m: int, n: int, group_by: list[str],
