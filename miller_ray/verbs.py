@@ -1430,29 +1430,47 @@ def sorted_merge_join(ds, left, right_on: list[str],
     lcols = [lp + c for c in lnonkey]
     scols = [rp + c for c in snonkey]
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        keyrow = df.iloc[0]
-        key_ok = all(not pd.isna(keyrow[k]) for k in right_on)
-        if ignore_empty:
-            key_ok = key_ok and all(keyrow[k] != "" for k in right_on)
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of every key in this bucket: pair/unpair every key
+        # at once with vectorized pandas merges (one Ray task per
+        # BUCKET — groupby(keys).map_groups would pay one task per
+        # distinct key)
         ls = df[df["__side__"] == 0]
         ss = df[df["__side__"] == 1]
+
+        def valid(d: pd.DataFrame) -> pd.Series:
+            m = pd.Series(True, index=d.index)
+            for k in right_on:
+                m &= d[k].notna()
+                if ignore_empty:
+                    m &= (d[k] != "")
+            return m
+
+        lsv = ls[valid(ls)]
+        ssv = ss[valid(ss)]
         parts = []
-        if not key_ok or ls.empty or ss.empty:
-            if emit_unpaired_left and not ls.empty:
-                parts.append(ls[list(right_on) + lcols])
-            if emit_unpaired_right and not ss.empty:
-                parts.append(ss[list(right_on) + scols])
-        elif emit_paired:
-            # cartesian within the key run (equal-key bucket pairing)
-            parts.append(ls[list(right_on) + lcols]
-                         .merge(ss[scols], how="cross"))
+        if emit_paired and len(lsv) and len(ssv):
+            # inner merge IS the per-key cartesian of equal-key runs
+            parts.append(lsv[list(right_on) + lcols].merge(
+                ssv[list(right_on) + scols], on=list(right_on),
+                how="inner"))
+        if emit_unpaired_left and len(ls):
+            matched = (pd.MultiIndex.from_frame(ls[list(right_on)])
+                       .isin(pd.MultiIndex.from_frame(
+                           ssv[list(right_on)]))
+                       & valid(ls).to_numpy())
+            parts.append(ls[~matched][list(right_on) + lcols])
+        if emit_unpaired_right and len(ss):
+            matched = (pd.MultiIndex.from_frame(ss[list(right_on)])
+                       .isin(pd.MultiIndex.from_frame(
+                           lsv[list(right_on)]))
+                       & valid(ss).to_numpy())
+            parts.append(ss[~matched][list(right_on) + scols])
         out = pd.concat(parts, ignore_index=True) if parts else \
             df.iloc[0:0][ucols]
         return out.reindex(columns=ucols)
 
-    return tagged.groupby(right_on).map_groups(
-        per_key, batch_format="pandas")
+    return _bucketed_group_apply(tagged, list(right_on), per_bucket)
 
 
 def mlr_join(ds, left, left_on: list[str], right_on: list[str] | None = None,
