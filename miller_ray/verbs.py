@@ -152,6 +152,16 @@ def count_lazy(ds, group_by: list[str], output_name: str = "count"):
         Sum("count_all", alias_name=output_name))
 
 
+def uniq_lazy(ds, fields: list[str], show_counts: bool = False):
+    """Dataset-returning ``uniq -g`` / ``count-distinct -f`` for
+    output-sized results (billions of distinct combos over 10^12
+    rows): the distinct set stays a distributed Dataset the caller can
+    ``write_parquet`` — never a driver DataFrame. Same partial-count +
+    grouped-Sum shape as :func:`count_lazy`."""
+    out = count_lazy(ds, fields)
+    return out if show_counts else out.select_columns(fields)
+
+
 def count_distinct(ds, fields: list[str], n: bool = False,
                    output_name: str = "count") -> pd.DataFrame:
     """Verb ``count-distinct -f fields`` (uniq.go:27-33): count of records

@@ -383,6 +383,10 @@ def test_count_distinct_n_streaming(rd):
     lz = verbs.count_lazy(ds, ["a"]).to_pandas()
     exp = df.groupby("a").size()
     assert lz.set_index("a")["count"].sort_index().tolist() == exp.tolist()
+    ul = verbs.uniq_lazy(ds, ["a", "b"]).to_pandas()
+    assert len(ul) == exact and list(ul.columns) == ["a", "b"]
+    ulc = verbs.uniq_lazy(ds, ["a"], show_counts=True).to_pandas()
+    assert ulc["count"].sum() == len(df)
 
 
 def test_empty_input_passes_through(rd):
