@@ -1063,6 +1063,35 @@ def q_quality_scores(sf_dir: str):
     return _round(r, {"stop_ratio_mean": 6, "mean_word_len_mean": 6})
 
 
+def q_corpus_curation(sf_dir: str):
+    """End-to-end training-data curation over ``documents``: quality
+    filter (stopword + punctuation ratio) -> exact content dedup (keep
+    min doc_id) -> per-language token stats over the surviving corpus.
+
+    Every stage streams: the quality gate is a pyarrow filter inside
+    map_batches, dedup shuffles only (hash, id) pairs, and the stats
+    are pre-aggregated partials. Fully SQL-checkable (each heuristic
+    is deterministic arithmetic both engines compute identically).
+    """
+    import pyarrow.compute as pc
+
+    from miller_ray import verbs
+    from miller_ray.stages import dedup, text
+
+    ds = text.quality_score(_t(sf_dir, "documents", ["doc_id", "lang", "text"]))
+
+    def keep(t):
+        m = pc.and_(pc.greater_equal(t["stop_ratio"], 0.05),
+                    pc.less_equal(t["punct_ratio"], 0.2))
+        return t.filter(m).select(["doc_id", "lang", "text"])
+
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+    ds = dedup.exact_dedup(ds, ["text"], "doc_id")
+    ds = text.token_count(ds)
+    r = verbs.stats1(ds, ["count", "sum", "mean"], ["n_tok"], ["lang"])
+    return _round(r, {"n_tok_mean": 6, "n_tok_sum": 1})
+
+
 def q_ann_lsh_top10(sf_dir: str):
     """LSH-bucketed ANN (scale path): recall vs the brute-force truth."""
     import duckdb
@@ -1144,6 +1173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # r01+r02+r03) rotate behind the cap. Every entry keeps its
     # oracle_sql() pair, so scripts/check_oracle.py still covers 66/66.
     return {
+        # --- round-5 flagship: composed curation pipeline (quality
+        # --- gate -> exact dedup -> per-lang token stats), SQL-checked
+        "corpus_curation": q_corpus_curation,
         # --- round-4 window: previously past the 50-cap, plus the
         # --- round-4 ENGINE ops (never driver-checked) ---
         "sorted_join": q_sorted_join,
@@ -1441,6 +1473,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, "
             "CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value "
             "FROM events",
+        "corpus_curation":
+            "WITH w AS (SELECT doc_id, lang, text, "
+            "len(regexp_split_to_array(text, '\\s+'))::DOUBLE AS n_words, "
+            "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            "x -> x IN ('the','and','of','a','to','in','is','it','that',"
+            "'for')))::DOUBLE AS n_stop, "
+            "length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE "
+            "AS n_punct, "
+            "GREATEST(length(text), 1)::DOUBLE AS n_chars FROM documents), "
+            "f AS (SELECT doc_id, lang, text FROM w "
+            "WHERE n_stop / GREATEST(n_words, 1) >= 0.05 "
+            "AND n_punct / n_chars <= 0.2), "
+            "d AS (SELECT arg_min(lang, doc_id) AS lang, text "
+            "FROM f GROUP BY text), "
+            "t AS (SELECT lang, CAST(len(regexp_split_to_array(text, "
+            "'\\s+')) AS BIGINT) AS n_tok FROM d) "
+            "SELECT lang, count(n_tok) AS n_tok_count, "
+            "ROUND(sum(n_tok), 1) AS n_tok_sum, "
+            "ROUND(avg(n_tok), 6) AS n_tok_mean FROM t GROUP BY lang",
         "quality_scores":
             "WITH w AS (SELECT source, length(text)::DOUBLE AS n_chars, "
             "len(regexp_split_to_array(text, '\\s+'))::DOUBLE AS n_words, "
