@@ -20,7 +20,7 @@ FAST_QUERIES = [
     "top3", "histogram", "most_frequent_brand", "merge_fields",
     "filter_project", "sort_head", "join_segment_revenue",
     "uniq_all", "reshape_long", "nest_explode", "grep",
-    "summary", "cumfrac", "format_values",
+    "summary", "cumfrac", "format_values", "corpus_curation",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
