@@ -34,8 +34,48 @@ def _rd():
     return rd
 
 
+_BLOCK_HINT_CACHE: dict[str, int | None] = {}
+_TARGET_BYTES_PER_BLOCK = 2 * 1024 * 1024
+
+
+def _block_hint(path: str) -> int | None:
+    """Bytes-aware read parallelism for SMALL files only.
+
+    Ray Data's minimum-parallelism heuristic splits every read into
+    ~2x-CPUs blocks; for a KB..MB input that means 64 tasks of ~80 rows
+    each and the pipeline is pure scheduling overhead (measured: 1.6 MB
+    documents table, 0.65 s of a 0.8 s execution was task dispatch).
+    Aim for >= _TARGET_BYTES_PER_BLOCK of uncompressed bytes per task;
+    once the byte-derived count exceeds the parallelism floor (i.e. the
+    input is big), return None and let Ray's own byte-based splitting
+    govern — at 100 TB this hint is a no-op."""
+    hint = _BLOCK_HINT_CACHE.get(path)
+    if path in _BLOCK_HINT_CACHE:
+        return hint
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8)) \
+        if ray.is_initialized() else (os.cpu_count() or 8)
+    try:
+        m = pq.read_metadata(path)
+        nbytes = sum(m.row_group(i).total_byte_size
+                     for i in range(m.num_row_groups))
+        blocks = max(1, -(-nbytes // _TARGET_BYTES_PER_BLOCK))
+        hint = int(blocks) if blocks < 2 * cpus else None
+    except Exception:
+        hint = None
+    _BLOCK_HINT_CACHE[path] = hint
+    return hint
+
+
 def _t(sf_dir: str, name: str, columns=None):
-    return _rd().read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    path = f"{sf_dir}/{name}.parquet"
+    hint = _block_hint(path)
+    kw = {"override_num_blocks": hint} if hint else {}
+    return _rd().read_parquet(path, columns=columns, **kw)
 
 
 def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
@@ -485,7 +525,14 @@ def q_summary(sf_dir: str):
                       summarizers=["count", "null_count", "min", "max", "sum",
                                    "mean", "stddev", "p25", "median", "p75",
                                    "iqr"])
-    return _round(r, {"sum": 2, "mean": 6, "stddev": 6, "iqr": 6})
+    # mean is derived from the 2-digit-rounded sum (the inputs are 2-dp
+    # fixed point, so that sum is EXACT and block-order-independent;
+    # avg(l_discount) lands exactly on a 6th-digit half, so rounding a
+    # float-accumulated mean directly flips with summation order — on
+    # the DuckDB side too)
+    r = _round(r, {"sum": 2})
+    r["mean"] = (r["sum"] / r["count"]).astype(np.float64).round(6)
+    return _round(r, {"stddev": 6, "iqr": 6})
 
 
 def q_summary_full(sf_dir: str):
@@ -1569,7 +1616,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'l_quantity' AS field_name, count(l_quantity) AS count, "
             "count(*) - count(l_quantity) AS null_count, "
             "min(l_quantity) AS min, max(l_quantity) AS max, "
-            "ROUND(sum(l_quantity), 2) AS sum, ROUND(avg(l_quantity), 6) AS mean, "
+            "ROUND(sum(l_quantity), 2) AS sum, "
+            "ROUND(ROUND(sum(l_quantity), 2) / count(l_quantity), 6) AS mean, "
             "ROUND(stddev_samp(l_quantity), 6) AS stddev, "
             "(SELECT l[1+least(cast(floor(25*n/100.0) as int), n-1)] FROM q) AS p25, "
             "(SELECT l[1+least(cast(floor(50*n/100.0) as int), n-1)] FROM q) AS median, "
@@ -1579,7 +1627,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem UNION ALL "
             "SELECT 'l_discount', count(l_discount), count(*) - count(l_discount), "
             "min(l_discount), max(l_discount), ROUND(sum(l_discount), 2), "
-            "ROUND(avg(l_discount), 6), ROUND(stddev_samp(l_discount), 6), "
+            "ROUND(ROUND(sum(l_discount), 2) / count(l_discount), 6), "
+            "ROUND(stddev_samp(l_discount), 6), "
             "(SELECT l[1+least(cast(floor(25*n/100.0) as int), n-1)] FROM d), "
             "(SELECT l[1+least(cast(floor(50*n/100.0) as int), n-1)] FROM d), "
             "(SELECT l[1+least(cast(floor(75*n/100.0) as int), n-1)] FROM d), "
