@@ -142,9 +142,18 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
     # median far above min flags interference — the round-2 bench
     # dispute was exactly an unflagged 2x host-noise inflation).
     inner = int(os.environ.get("GRAFT_BENCH_INNER_REPS", "5"))
+    # one untimed warmup rep per query: the FIRST full-size execution
+    # pays one-time costs the mini-warmup above can't reach (object
+    # store sizing for full blocks, worker-pool scale-up) — measured
+    # 2.5s first rep vs 0.9s steady state on the flagship. Steady-state
+    # throughput is the metric; the warmup rep is reported in the
+    # metric string so the artifact is honest about it.
+    warmup = int(os.environ.get("GRAFT_BENCH_WARMUP_REPS", "1"))
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
     for name, fn in queries.items():
+        for _ in range(max(warmup, 0)):
+            _consume(fn())
         reps: list[float] = []
         for _ in range(max(inner, 1)):
             t0 = time.perf_counter()
@@ -160,7 +169,8 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline pipelines wall time (sf%s, %d cpus, "
-                  "median of %d)" % (_sf_of(sf_dir), num_cpus, inner),
+                  "median of %d after %d warmup)"
+                  % (_sf_of(sf_dir), num_cpus, inner, warmup),
         "value": total,
         "unit": "sec",
         "queries": timings,
