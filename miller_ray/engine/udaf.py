@@ -140,13 +140,19 @@ def build_sketches(ds, specs: list[SketchSpec], batch_size: int | None = None,
     # action would re-execute the whole build pass.
     parts = parts.materialize()
     n = parts.count()
-    while n > merge_fanin:
-        # partials are single-row blocks; batch_size bundles merge_fanin
-        # consecutive blocks per merge task — same tree level as an
-        # explicit repartition without shuffling the blobs twice
+    # Tree-merge levels chain LAZILY: each map_batches(batch_size=
+    # merge_fanin) bundles ~merge_fanin single-row partial blocks per
+    # merge task, and only the final take_all() executes the whole
+    # chain — a materialize()+count() round-trip per level would cost
+    # one full execution each. The level count is planned from the
+    # known partial count; if Ray's batch bundling yields a few more
+    # rows than ceil(n/fanin) the driver fold below simply merges a
+    # slightly longer (still KB-sized) tail.
+    n_est = n
+    while n_est > merge_fanin:
         parts = parts.map_batches(
-            merge, batch_format="pyarrow", batch_size=merge_fanin).materialize()
-        n = parts.count()
+            merge, batch_format="pyarrow", batch_size=merge_fanin)
+        n_est = -(-n_est // merge_fanin)
     rows = parts.take_all()
     out: dict[str, Any] = {}
     for spec in specs:

@@ -52,6 +52,23 @@ def pack_arrays(tag: bytes, scalars: list[float], arrays: list[np.ndarray]) -> b
     out.append(struct.pack("<I", len(arrays)))
     for a in arrays:
         a = np.ascontiguousarray(a)
+        logical = a.dtype
+        # flag bit 2: 8-byte integer arrays whose values fit a narrower
+        # int are STORED narrow (dtype_str below is the stored dtype;
+        # the logical dtype follows the header). Partial-sketch counter
+        # arrays (CMS rows, bounded-int hists) are int64 by contract
+        # but per-block values are small — narrowing halves (or
+        # quarters) the bytes zlib touches on BOTH ends of every merge.
+        if logical.kind in "iu" and logical.itemsize == 8 and a.nbytes > 4096:
+            lo = int(a.min()) if a.size else 0
+            hi = int(a.max()) if a.size else 0
+            cands = (np.uint8, np.uint16, np.uint32) if lo >= 0 else \
+                (np.int8, np.int16, np.int32)
+            for cand in cands:
+                info = np.iinfo(cand)
+                if info.min <= lo and hi <= info.max:
+                    a = a.astype(cand)
+                    break
         ds = a.dtype.str.encode()
         raw = a.tobytes()
         flag, payload = 0, raw
@@ -59,8 +76,13 @@ def pack_arrays(tag: bytes, scalars: list[float], arrays: list[np.ndarray]) -> b
             comp = zlib.compress(raw, 1)
             if len(comp) < 0.9 * len(raw):
                 flag, payload = 1, comp
-        out.append(struct.pack("<B", len(ds)) + ds
-                   + struct.pack("<BQQ", flag, len(raw), len(payload)) + payload)
+        hdr = struct.pack("<B", len(ds)) + ds \
+            + struct.pack("<BQQ", flag | (2 if a.dtype != logical else 0),
+                          len(raw), len(payload))
+        if a.dtype != logical:
+            lds = logical.str.encode()
+            hdr += struct.pack("<B", len(lds)) + lds
+        out.append(hdr + payload)
     return b"".join(out)
 
 
@@ -86,12 +108,19 @@ def unpack_arrays_ex(data: bytes, expect_tag: bytes,
         off += dl
         flag, raw_nb, stored_nb = struct.unpack_from("<BQQ", data, off)
         off += 17
+        logical = None
+        if flag & 2:  # stored narrow; restore the logical dtype
+            (ll,) = struct.unpack_from("<B", data, off)
+            off += 1
+            logical = np.dtype(data[off : off + ll].decode())
+            off += ll
         payload = data[off : off + stored_nb]
         off += stored_nb
-        if flag == 1:
+        if flag & 1:
             payload = zlib.decompress(payload)
-        arrays.append(np.frombuffer(payload, dtype=dt,
-                                    count=raw_nb // dt.itemsize).copy())
+        arr = np.frombuffer(payload, dtype=dt, count=raw_nb // dt.itemsize)
+        arrays.append(arr.astype(logical) if logical is not None
+                      else arr.copy())
     return scalars, arrays, off
 
 
