@@ -1203,6 +1203,32 @@ def q_multimodal_features(sf_dir: str):
     )[["media_id", "f0"]]
 
 
+def q_multimodal_real_decode(sf_dir: str):
+    """REAL codec-free decode end-to-end: PCM WAV (stdlib wave + numpy
+    FFT mel-band energies) and netpbm/BMP images (pure numpy), through
+    the same actor-pool stages as the fake path. Deterministic media
+    table, deterministic features."""
+    import ray.data as rd
+
+    from miller_ray.stages import multimodal
+
+    media = rd.from_arrow(multimodal.make_real_media_table(60))
+    img_types = {"image/x-portable-pixmap", "image/bmp"}
+    imgs = media.filter(lambda r: r["media_type"] in img_types)
+    auds = media.filter(lambda r: r["media_type"] == "audio/wav")
+    fi = multimodal.extract_image_features(imgs, concurrency=(1, 2),
+                                           use_fake=False).to_pandas()
+    fa = multimodal.extract_audio_features(auds, concurrency=(1, 2),
+                                           use_fake=False).to_pandas()
+    fi["kind"] = "image"
+    fa["kind"] = "audio"
+    fi["f0"] = fi["features"].map(lambda v: round(float(v[0]), 6))
+    fa["f0"] = fa["audio_features"].map(lambda v: round(float(v[0]), 6))
+    out = pd.concat([fi[["media_id", "kind", "f0"]],
+                     fa[["media_id", "kind", "f0"]]], ignore_index=True)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1329,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top10": q_ann_lsh_top10,
         "lang_id": q_lang_id,
         "multimodal_av": q_multimodal_av,
+        "multimodal_real_decode": q_multimodal_real_decode,
         # round 4: rows-only engine ops
         "group_like": q_group_like,
         "embed_cosine_lsh": q_embed_cosine_lsh,

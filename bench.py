@@ -197,7 +197,6 @@ def run_flagship_probe(sf_dir: str, num_cpus: int) -> dict:
     disks, so per-node scan bandwidth is constant across cluster
     sizes)."""
     _init_ray(num_cpus)
-    from miller_ray.engine.udaf import _merge_fn, _partial_fn
     from miller_ray.pipelines import tokens as T
     from miller_ray.pipelines.tokens import default_specs
 
@@ -211,14 +210,13 @@ def run_flagship_probe(sf_dir: str, num_cpus: int) -> dict:
         return time.perf_counter() - t0
 
     def one_compute(mat) -> float:
+        # the LIBRARY build path (partials materialize + lazy tree
+        # merge), not an inline copy — the probe must measure the code
+        # the flagship actually ships
+        from miller_ray.engine.udaf import build_sketches
+
         t0 = time.perf_counter()
-        parts = mat.map_batches(_partial_fn(specs), batch_format="pyarrow",
-                                zero_copy_batch=True, batch_size=None).materialize()
-        m = parts
-        while m.count() > 16:
-            m = m.map_batches(_merge_fn(specs), batch_format="pyarrow",
-                              batch_size=16).materialize()
-        m.take_all()
+        build_sketches(mat, specs)
         return time.perf_counter() - t0
 
     e2e = min(one_e2e() for _ in range(2))
