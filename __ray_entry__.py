@@ -1024,8 +1024,14 @@ def q_step_ewma(sf_dir: str):
 
     ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
     r = verbs.step(ds, ["value"], ["ewma"], ["user_id"], "event_id")
-    return _round(r.select_columns(["event_id", "value_ewma"]).to_pandas(),
-                  {"value_ewma": 6})
+    out = r.select_columns(["event_id", "value_ewma"]).to_pandas()
+    # alpha=0.5 ewma over 2-decimal inputs lands EXACTLY on rounding
+    # boundaries; floor(x*100+.5+eps) is the deterministic tie-up
+    # convention shared with the SQL oracle (pandas round is half-even,
+    # DuckDB half-away — neither matches the other on exact ties).
+    out["value_ewma"] = np.floor(
+        out["value_ewma"].to_numpy() * 100 + 0.5 + 1e-9) / 100
+    return out
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -1500,6 +1506,14 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY event_id "
             "ROWS UNBOUNDED PRECEDING), 6) AS value_rsum "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)",
+        "step_ewma":
+            # fold the per-group prefix list: acc_1 = x_1, then
+            # acc = 0.5*x + 0.5*acc (miller step -a ewma, default d=0.5)
+            "SELECT event_id, "
+            "floor(list_reduce(list(value) OVER (PARTITION BY user_id "
+            "ORDER BY event_id ROWS UNBOUNDED PRECEDING), "
+            "(acc, x) -> 0.5*x + 0.5*acc)*100 + 0.5 + 1e-9)/100 "
+            "AS value_ewma FROM events",
         "sec2gmt":
             "SELECT event_id, strftime(epoch_ms(event_id * 1000), "
             "'%Y-%m-%dT%H:%M:%SZ') AS sec FROM events",
