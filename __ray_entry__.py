@@ -1171,6 +1171,55 @@ def q_ann_lsh_top10(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_ann_ivf_top10(sf_dir: str):
+    """IVF ANN (scale path): k-means lists trained with distributed
+    Lloyd partials, each query scanning only its nprobe closest lists.
+    Full-probe equals brute force by construction (asserted here); the
+    pruned probe's recall is reported per query."""
+    import duckdb
+
+    from miller_ray.stages import ann
+
+    con = duckdb.connect()
+    q = con.execute(
+        f"select embedding from '{sf_dir}/embeddings.parquet' where vec_id < 4 order by vec_id"
+    ).df()["embedding"]
+    con.close()
+    queries_m = np.stack(q.to_numpy()).astype(np.float64)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ann.train_ivf_centroids(ds, n_lists=8, sample_target=1024)
+    exact = ann.brute_force_topk(ds, queries_m, k=10)
+    full = ann.ivf_topk(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                        queries_m, k=10, n_lists=8, nprobe=8, centroids=cents)
+    assert full.equals(exact), "IVF full-probe must match brute force"
+    approx = ann.ivf_topk(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                          queries_m, k=10, n_lists=8, nprobe=4,
+                          centroids=cents)
+    rows = []
+    for qid in sorted(exact["query_id"].unique()):
+        e = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        rows.append({"query_id": int(qid),
+                     "recall_pct": int(100 * len(e & a) / max(len(e), 1)),
+                     "returned": len(a)})
+    return pd.DataFrame(rows)
+
+
+def q_domain_mix(sf_dir: str):
+    """Deterministic source-weighted subsampling (domain mixing): keep
+    doc iff doc_id % 100 < 15*(src_index%5+1) — systematic id-keyed
+    selection, reproducible across retries/repartitions, no RNG. The
+    curation step that rebalances source proportions before training."""
+    from miller_ray import verbs
+    from miller_ray.stages import text
+
+    quotas = {f"src{i}": (i % 5 + 1) * 0.15 for i in range(64)}
+    ds = text.domain_mix(
+        _t(sf_dir, "documents", ["doc_id", "source", "n_chars"]), quotas)
+    r = verbs.stats1(ds, ["count", "sum"], ["n_chars"], ["source"])
+    return _round(r, {"n_chars_sum": 1})
+
+
 def q_lang_id(sf_dir: str):
     """n-gram language-ID heuristic vs the labeled lang column."""
     from miller_ray.stages import text
@@ -1359,7 +1408,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q_quality_scores,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_top10": q_ann_lsh_top10,
+        "ann_ivf_top10": q_ann_ivf_top10,
         "lang_id": q_lang_id,
+        "domain_mix": q_domain_mix,
         "multimodal_av": q_multimodal_av,
         "multimodal_real_decode": q_multimodal_real_decode,
         # round 4: rows-only engine ops
@@ -1533,6 +1584,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, row_number() OVER "
             "(ORDER BY l_orderkey*16 + l_linenumber) AS rn FROM lineitem"
             ") WHERE rn % 10 = 0",
+        "domain_mix":
+            "WITH kept AS (SELECT source, n_chars FROM documents WHERE "
+            "(doc_id % 100) < ((CAST(substr(source, 4) AS INT) % 5 + 1) * 15)) "
+            "SELECT source, count(n_chars) AS n_chars_count, "
+            "ROUND(sum(n_chars), 1) AS n_chars_sum "
+            "FROM kept GROUP BY source",
         "lang_id":
             "WITH w AS (SELECT lang, list_slice(regexp_split_to_array("
             "lower(text), '\\s+'), 1, 200) AS ws FROM documents), "

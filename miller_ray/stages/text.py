@@ -158,3 +158,36 @@ def lang_id(ds, text_col: str = "text", out_col: str = "lang_pred"):
 
     return ds.map_batches(Scorer, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=(1, 2))
+
+
+def domain_mix(ds, quotas: dict[str, float], id_col: str = "doc_id",
+               source_col: str = "source", denom: int = 100,
+               default_quota: float = 0.0):
+    """Deterministic source-weighted subsampling (domain mixing): keep a
+    row iff ``key % denom < round(denom * quotas[source])``, where key is
+    the integer id when the id column is integral (SQL-reproducible —
+    the oracle-checked mode) else ``hash64(id)`` (same distribution,
+    rows-only-verifiable). Systematic id-keyed selection instead of RNG:
+    reproducible across task retries, stable under repartitioning, and
+    a re-run of the pipeline selects the SAME subset — the property a
+    resumable 100 TB curation job needs. Quotas > 1 are clamped (use
+    ``repeat`` for upsampling); unknown sources get ``default_quota``.
+
+    Scale shape: one filtering map_batches, a broadcast-size quota dict
+    captured in the closure, no shuffle, no driver state.
+    """
+    cuts = {s: int(round(denom * min(max(q, 0.0), 1.0)))
+            for s, q in quotas.items()}
+    default_cut = int(round(denom * min(max(default_quota, 0.0), 1.0)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        col = t[id_col]
+        if pa.types.is_integer(col.type):
+            key = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False) % denom
+        else:
+            key = hash64(col) % np.uint64(denom)
+        src = t[source_col].to_pandas()
+        cut = src.map(lambda s: cuts.get(s, default_cut)).to_numpy()
+        return t.filter(pa.array(key < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -183,3 +183,86 @@ def test_ngram_jaccard_distributed_scoring(rd):
     assert 0.0 < out.loc[0, "jaccard"] < 1.0
     empty = dedup.ngram_jaccard(ds, pairs.iloc[0:0])
     assert list(empty.columns) == ["a", "b", "jaccard"] and empty.empty
+
+
+def _clustered_vecs(n_clusters=4, per=150, d=16):
+    """Deterministic clustered embeddings: splitmix64-derived centers
+    plus small splitmix64 noise — no RNG state, reproducible anywhere."""
+    import numpy as np
+
+    from miller_ray.hashing import splitmix64
+
+    def unit(seed, rows):
+        raw = splitmix64(np.arange(rows * d, dtype=np.uint64), seed=seed)
+        m = (raw.astype(np.float64) * 2.0**-64 - 0.5).reshape(rows, d)
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    centers = unit(7, n_clusters)
+    noise = 0.15 * unit(11, n_clusters * per)
+    pts = np.repeat(centers, per, axis=0) + noise
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    return centers, pts
+
+
+def test_ivf_topk_full_probe_is_exact(rd):
+    """nprobe == n_lists degrades to the brute-force answer exactly."""
+    import numpy as np
+
+    from miller_ray.stages import ann
+
+    centers, pts = _clustered_vecs()
+    t = pa.table({"vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+                  "embedding": pa.array(list(pts), type=pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t)
+    queries = centers[:2]
+    cents = ann.train_ivf_centroids(ds, n_lists=4, sample_target=256)
+    exact = ann.brute_force_topk(ds, queries, k=8)
+    full = ann.ivf_topk(ds, queries, k=8, n_lists=4, nprobe=4,
+                        centroids=cents)
+    assert full.equals(exact)
+
+
+def test_ivf_topk_nprobe1_recall_on_clusters(rd):
+    """On clustered data a single probed list retains the true top-k:
+    k-means lists align with the clusters."""
+    import numpy as np
+
+    from miller_ray.stages import ann
+
+    centers, pts = _clustered_vecs()
+    t = pa.table({"vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+                  "embedding": pa.array(list(pts), type=pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t)
+    queries = centers[:2]
+    cents = ann.train_ivf_centroids(ds, n_lists=4, sample_target=256)
+    exact = ann.brute_force_topk(ds, queries, k=8)
+    approx = ann.ivf_topk(ds, queries, k=8, n_lists=4, nprobe=1,
+                          centroids=cents)
+    for qid in (0, 1):
+        e = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        assert len(e & a) / len(e) >= 0.75, (qid, len(e & a))
+
+
+def test_ivf_persisted_index(rd, tmp_path):
+    """build_ivf_index partitions by list once; querying reads only the
+    probed list dirs and matches the in-memory ivf_topk answer."""
+    import os
+
+    import numpy as np
+
+    from miller_ray.stages import ann
+
+    centers, pts = _clustered_vecs()
+    t = pa.table({"vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+                  "embedding": pa.array(list(pts), type=pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t)
+    queries = centers[:2]
+    cents = ann.train_ivf_centroids(ds, n_lists=4, sample_target=256)
+    idx = ann.build_ivf_index(ds, str(tmp_path / "ivfidx"), cents)
+    parts = [p for p in os.listdir(idx) if p.startswith("__list=")]
+    assert 2 <= len(parts) <= 4  # clustered corpus fills the lists
+    got = ann.ivf_index_topk(idx, queries, cents, k=8, nprobe=1)
+    want = ann.ivf_topk(ds, queries, k=8, n_lists=4, nprobe=1,
+                        centroids=cents)
+    assert got.equals(want)
