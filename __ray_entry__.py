@@ -1205,6 +1205,38 @@ def q_ann_ivf_top10(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub (emails / IPv4s / SSN-shaped ids -> placeholder tags)
+    with per-doc redaction counts. PII spans are PLANTED deterministically
+    (user<doc_id>@example.com + an IPv4) so the redaction kernels are
+    actually exercised; the oracle replays the same plant + RE2
+    replacements in DuckDB and compares md5 of the redacted text."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from miller_ray.stages import text as T
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        planted = pc.binary_join_element_wise(
+            "user", pc.cast(t["doc_id"], pa.string()),
+            "@example.com ip 10.0.0.1 ", pc.cast(t["text"], pa.string()),
+            "")
+        return pa.table({"doc_id": t["doc_id"], "text": planted})
+
+    red = T.pii_redact(ds.map_batches(plant, batch_format="pyarrow"))
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        df["redacted_md5"] = [hashlib.md5(x.encode()).hexdigest()
+                              for x in df["text"]]
+        return df[["doc_id", "n_redacted", "redacted_md5"]]
+
+    return red.map_batches(digest, batch_format="pandas")
+
+
 def q_domain_mix(sf_dir: str):
     """Deterministic source-weighted subsampling (domain mixing): keep
     doc iff doc_id % 100 < 15*(src_index%5+1) — systematic id-keyed
@@ -1411,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top10": q_ann_ivf_top10,
         "lang_id": q_lang_id,
         "domain_mix": q_domain_mix,
+        "pii_redact": q_pii_redact,
         "multimodal_av": q_multimodal_av,
         "multimodal_real_decode": q_multimodal_real_decode,
         # round 4: rows-only engine ops
@@ -1584,6 +1617,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, row_number() OVER "
             "(ORDER BY l_orderkey*16 + l_linenumber) AS rn FROM lineitem"
             ") WHERE rn % 10 = 0",
+        "pii_redact":
+            "WITH planted AS (SELECT doc_id, 'user' || doc_id || "
+            "'@example.com ip 10.0.0.1 ' || text AS t0 FROM documents), "
+            "s1 AS (SELECT doc_id, "
+            "len(regexp_extract_all(t0, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1, "
+            "regexp_replace(t0, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS t1 FROM planted), "
+            "s2 AS (SELECT doc_id, c1, "
+            "len(regexp_extract_all(t1, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS c2, "
+            "regexp_replace(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', "
+            "'<IP>', 'g') AS t2 FROM s1), "
+            "s3 AS (SELECT doc_id, c1, c2, "
+            "len(regexp_extract_all(t2, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS c3, "
+            "regexp_replace(t2, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') "
+            "AS t3 FROM s2) "
+            "SELECT doc_id, c1 + c2 + c3 AS n_redacted, md5(t3) AS "
+            "redacted_md5 FROM s3",
         "domain_mix":
             "WITH kept AS (SELECT source, n_chars FROM documents WHERE "
             "(doc_id % 100) < ((CAST(substr(source, 4) AS INT) % 5 + 1) * 15)) "

@@ -191,3 +191,42 @@ def domain_mix(ds, quotas: dict[str, float], id_col: str = "doc_id",
         return t.filter(pa.array(key < cut))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# (pattern, replacement) pairs applied in order; RE2 syntax so the same
+# pattern string runs identically under pyarrow.compute (RE2) and
+# DuckDB's regexp_replace (also RE2) — the oracle-parity requirement
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def pii_redact(ds, text_col: str = "text", out_col: str | None = None,
+               count_col: str | None = "n_redacted",
+               patterns: list[tuple[str, str]] | None = None):
+    """Scrub PII-shaped spans (emails, IPv4s, SSN-shaped ids) from a
+    text column — the standard hygiene pass before training-data
+    release. Fully vectorized: pyarrow.compute replace/count regex
+    kernels (RE2) per batch, no Python loop over rows, no shuffle.
+    ``count_col`` (optional) records how many spans were replaced per
+    document so downstream filters can quarantine PII-dense docs."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    dst = out_col or text_col
+
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[text_col], pa.string())
+        n = None
+        for pat, repl in pats:
+            if count_col is not None:
+                c = pc.count_substring_regex(s, pat)
+                n = c if n is None else pc.add(n, c)
+            s = pc.replace_substring_regex(s, pat, repl)
+        cols = dict(zip(t.column_names, t.columns))
+        cols[dst] = s
+        if count_col is not None:
+            cols[count_col] = pc.cast(n, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

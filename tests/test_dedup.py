@@ -266,3 +266,15 @@ def test_ivf_persisted_index(rd, tmp_path):
     want = ann.ivf_topk(ds, queries, k=8, n_lists=4, nprobe=1,
                         centroids=cents)
     assert got.equals(want)
+
+
+def test_pii_redact_planted(rd):
+    from miller_ray.stages import text as T
+
+    t = pa.table({"doc_id": [1, 2],
+                  "text": ["contact bob@x.org or 192.168.0.1 ssn 123-45-6789",
+                           "no pii here at all"]})
+    out = T.pii_redact(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert list(out["text"]) == [
+        "contact <EMAIL> or <IP> ssn <SSN>", "no pii here at all"]
+    assert list(out["n_redacted"]) == [3, 0]

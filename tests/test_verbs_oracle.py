@@ -21,7 +21,7 @@ FAST_QUERIES = [
     "filter_project", "sort_head", "join_segment_revenue",
     "uniq_all", "reshape_long", "nest_explode", "grep",
     "summary", "cumfrac", "format_values", "corpus_curation",
-    "step_ewma", "domain_mix",
+    "step_ewma", "domain_mix", "pii_redact",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
