@@ -134,21 +134,28 @@ def build_sketches(ds, specs: list[SketchSpec], batch_size: int | None = None,
     parts = ds.map_batches(_partial_fn(specs), batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=batch_size)
     merge = _merge_fn(specs)
-    # Materialize the partials ONCE (KB–MB per block — the full input is
-    # never materialized), then tree-merge while the partial count is too
-    # large for a driver fold. Without this, each count()/take_all()
-    # action would re-execute the whole build pass.
-    parts = parts.materialize()
-    n = parts.count()
+    # Plan the merge-tree depth from the PRE-execution block-count
+    # estimate (one partial row per input block) so the whole
+    # build -> tree-merge -> take_all chain runs as a SINGLE streaming
+    # execution — a materialize()+count() round trip here costs a full
+    # extra executor startup (~0.2-0.4 s of serial driver time per
+    # build, the dominant fixed cost after the round-5 kernel work).
+    # The estimate only plans LEVEL COUNT; correctness never depends on
+    # it: if Ray splits blocks beyond the estimate, the driver fold
+    # below simply merges a longer (still KB-sized) tail of partials.
+    try:
+        n_est = int(ds._plan.initial_num_blocks() or 0)
+    except Exception:  # plan API unavailable -> single level + fold
+        n_est = 0
+    if n_est <= 0:
+        # no usable estimate: materialize once and count exactly
+        parts = parts.materialize()
+        n_est = parts.count()
     # Tree-merge levels chain LAZILY: each map_batches(batch_size=
     # merge_fanin) bundles ~merge_fanin single-row partial blocks per
     # merge task, and only the final take_all() executes the whole
     # chain — a materialize()+count() round-trip per level would cost
-    # one full execution each. The level count is planned from the
-    # known partial count; if Ray's batch bundling yields a few more
-    # rows than ceil(n/fanin) the driver fold below simply merges a
-    # slightly longer (still KB-sized) tail.
-    n_est = n
+    # one full execution each.
     while n_est > merge_fanin:
         parts = parts.map_batches(
             merge, batch_format="pyarrow", batch_size=merge_fanin)
