@@ -45,7 +45,15 @@ def read_tokens(sf_dir: str, n_rows: int | None = None):
     n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     cpus = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8)) \
         if ray.is_initialized() else (os.cpu_count() or 8)
-    return rd.read_parquet(path, override_num_blocks=max(1, min(n_files, cpus)))
+    # batch_size (forwarded to the Arrow to_batches scan) = one shard's
+    # row count: the reader otherwise splits each row group into ~10k-row
+    # batches, so a downstream per-batch partial-sketch build emits 7x
+    # more KB..MB partial blobs than shards and the merge tree becomes
+    # the scaling bottleneck (measured: 448 partials -> ~8 s of merge at
+    # 2 CPUs on the 4M-row table; one partial per shard -> <1 s).
+    file_rows = max(3125, -(-n // 64))
+    return rd.read_parquet(path, override_num_blocks=max(1, min(n_files, cpus)),
+                           batch_size=file_rows)
 
 
 def _token_counts(t, cache) -> np.ndarray:
@@ -76,10 +84,24 @@ def _token_counts(t, cache) -> np.ndarray:
     return cache[key]
 
 
+def _doc_id_hashes(t: pa.Table, cache: dict) -> np.ndarray:
+    """ONE hash64 pass over the batch's doc_id column, shared via the
+    per-batch cache by HLL and Bloom (identical base hash, seed 0) —
+    doc_id hashing is the kernel's second hot spot after the token
+    bincount, and sharing halves it with bit-identical results."""
+    key = ("h64", "doc_id")
+    if key not in cache:
+        from miller_ray.hashing import hash64
+
+        cache[key] = hash64(t["doc_id"])
+    return cache[key]
+
+
 def default_specs(hll_p: int = 14, hh_k: int = 50, kll_k: int = 200,
                   td_compression: float = 200.0, bloom_capacity: int = 1_000_000):
     return [
-        SketchSpec.column("hll_doc_id", lambda: HyperLogLog(p=hll_p), "doc_id"),
+        SketchSpec.custom("hll_doc_id", lambda: HyperLogLog(p=hll_p),
+                          lambda sk, t, cache: sk.update_hashes(_doc_id_hashes(t, cache))),
         SketchSpec.column("hll_source", lambda: HyperLogLog(p=hll_p), "source"),
         SketchSpec.custom("hh_tokens",
                           lambda: HeavyHitters(k=hh_k, eps=1e-4, delta=1e-3),
@@ -92,7 +114,9 @@ def default_specs(hll_p: int = 14, hh_k: int = 50, kll_k: int = 200,
         SketchSpec.custom("hist_token_values",
                           lambda: BoundedIntHist(domain=VOCAB_SIZE),
                           lambda sk, t, cache: sk.update_counts(_token_counts(t, cache))),
-        SketchSpec.column("bloom_doc_id", lambda: BloomFilter(capacity=bloom_capacity, fpp=0.01), "doc_id"),
+        SketchSpec.custom("bloom_doc_id",
+                          lambda: BloomFilter(capacity=bloom_capacity, fpp=0.01),
+                          lambda sk, t, cache: sk.update_hashes(_doc_id_hashes(t, cache))),
     ]
 
 

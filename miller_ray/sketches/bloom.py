@@ -37,20 +37,37 @@ class BloomFilter:
         self.n_added = 0
         self.seed = seed
 
-    def _positions(self, values) -> np.ndarray:
-        h1, h2 = hash_pair(values, seed=self.seed)
+    def _positions_from_h1(self, h1: np.ndarray) -> np.ndarray:
+        """Kirsch-Mitzenmacher positions from the base hash (h2 derived
+        exactly as hash_pair does, so pre-hashed and value paths agree)."""
+        from miller_ray.hashing import splitmix64
+
+        h2 = splitmix64(h1, seed=self.seed + 7919)
+        h2 |= np.uint64(1)
         m = np.uint64(self.m)
         with np.errstate(over="ignore"):
             return np.stack([((h1 + np.uint64(i) * h2) % m).astype(np.int64)
                              for i in range(self.k)])
 
-    def add_batch(self, values) -> None:
-        pos = self._positions(values)
+    def _positions(self, values) -> np.ndarray:
+        h1, _ = hash_pair(values, seed=self.seed)
+        return self._positions_from_h1(h1)
+
+    def _add_positions(self, pos: np.ndarray) -> None:
         if pos.shape[1] == 0:
             return
         flat = pos.ravel()
         np.bitwise_or.at(self.bits, flat >> 3, (np.uint8(1) << (flat & 7).astype(np.uint8)))
         self.n_added += pos.shape[1]
+
+    def add_batch(self, values) -> None:
+        self._add_positions(self._positions(values))
+
+    def update_hashes(self, h1: np.ndarray) -> None:
+        """Update from pre-computed base hashes (``hash64(values,
+        seed=self.seed)``) — for shared-hash pipelines where another
+        sketch already hashed the same column."""
+        self._add_positions(self._positions_from_h1(h1))
 
     # Sketch-protocol alias
     update_batch = add_batch

@@ -275,3 +275,44 @@ def test_shingles():
     # shifted window produces overlapping shingles
     sh2 = shingle_hashes(t[1:], n=3)
     assert np.intersect1d(sh, sh2).size == 7
+
+
+def test_hash64_arrow_fast_path_matches_pandas():
+    """The vectorized buffer-level SipHash-2-4 over Arrow string
+    columns must be BYTE-IDENTICAL to the pandas object path (every
+    sketch keys off hash64; a divergence silently changes estimates,
+    partial-blob content, and checkpoint reuse)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from miller_ray.hashing import hash64, splitmix64
+
+    # <=8 distinct lengths, all <=64 bytes: the fast-path eligibility
+    # window (ids/categories); the helper must be used AND byte-correct
+    from miller_ray.hashing import _hash_arrow_strings
+
+    rng = np.random.RandomState(7)
+    lens = [0, 1, 4, 8, 9, 16, 33]  # ascii-only so byte len == char len
+    strs = ["".join(chr(rng.randint(32, 127)) for _ in range(rng.choice(lens)))
+            for _ in range(400)] + ["doc-000000000001", "src7", ""]
+    want = pd.util.hash_array(np.asarray(strs, dtype=object),
+                              hash_key="miller_ray_00042", categorize=False)
+    fast = _hash_arrow_strings(pa.array(strs))
+    assert fast is not None and (fast == want).all()
+    got = hash64(pa.array(strs))
+    assert (got == want).all()
+    # heterogeneous/long text declines the fast path but stays correct
+    texts = ["word " * rng.randint(1, 60) for _ in range(200)]
+    assert (hash64(pa.array(texts)) ==
+            pd.util.hash_array(np.asarray(texts, dtype=object),
+                               hash_key="miller_ray_00042",
+                               categorize=False)).all()
+    # seeded family + large_string + sliced (non-zero offset) layouts
+    assert (hash64(pa.array(strs), seed=5) == splitmix64(want, seed=5)).all()
+    assert (hash64(pa.array(strs, type=pa.large_string())) == want).all()
+    big = pa.array(strs * 3)
+    sl = big.slice(17, 200)
+    assert (hash64(sl) == hash64(pa.array(sl.to_pylist()))).all()
+    # nulls fall back to the object path without raising
+    assert len(hash64(pa.array(["a", None, "b"]))) == 3
