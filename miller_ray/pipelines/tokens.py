@@ -52,8 +52,15 @@ def read_tokens(sf_dir: str, n_rows: int | None = None):
     # the scaling bottleneck (measured: 448 partials -> ~8 s of merge at
     # 2 CPUs on the 4M-row table; one partial per shard -> <1 s).
     file_rows = max(3125, -(-n // 64))
+    # mmap local filesystem: the uncompressed PLAIN token pages decode
+    # straight off page-cache mappings instead of buffered read copies
+    # (measured 1.4x single-thread scan throughput through the same
+    # pyarrow dataset scanner Ray uses)
+    import pyarrow.fs as pafs
+
     return rd.read_parquet(path, override_num_blocks=max(1, min(n_files, cpus)),
-                           batch_size=file_rows)
+                           batch_size=file_rows,
+                           filesystem=pafs.LocalFileSystem(use_mmap=True))
 
 
 def _token_counts(t, cache) -> np.ndarray:
