@@ -124,7 +124,11 @@ def _hash_arrow_strings(arr: pa.Array) -> np.ndarray | None:
     Rows are grouped by byte length so each group hashes as a dense
     (m, W)-word matrix. Returns None when the layout isn't eligible
     (nulls, non-string) — caller falls back to the object path."""
-    if arr.null_count:
+    import sys
+
+    if sys.byteorder != "little" or arr.null_count:
+        # word framing views padded bytes as LE uint64; BE hosts use the
+        # object path (correct everywhere, just slower)
         return None
     if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
         off_dtype = np.int64
