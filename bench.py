@@ -221,7 +221,9 @@ def run_flagship_probe(sf_dir: str, num_cpus: int) -> dict:
 
     e2e = min(one_e2e() for _ in range(2))
     mat = ds.materialize()
-    compute = min(one_compute(mat) for _ in range(2))
+    # the compute leg is seconds-short with the final kernels, so a
+    # single noisy rep can move a leg median; best-of-3 is cheap here
+    compute = min(one_compute(mat) for _ in range(3))
     return {"e2e_sec": round(e2e, 3), "compute_sec": round(compute, 3),
             "num_cpus": num_cpus}
 
@@ -305,6 +307,10 @@ def run_scaling(sf_dir: str, low: int | None = None, high: int | None = None) ->
         "compute_only_sec": {str(c): round(med_comp[c], 3) for c in (low, high)},
         "compute_only_efficiency": round(eff(comp, statistics.median), 3),
         "compute_only_efficiency_best": round(eff(comp, min), 3),
+        "compute_runs_sec": {str(c): [round(x, 3) for x in v]
+                             for c, v in comp.items()},
+        # host-contention sentinel (pure-ALU loop): compare across runs
+        "noise_canary": _noise_canary(),
     }
 
 
